@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic ("oracle-exact") aggregate helpers.
+  *
+  * Floating-point SUM/AVG are order-dependent, and Spark's partial
+  * aggregation order differs run-to-run and engine-to-engine, so a raw
+  * `sum(double)` can never hash-match a DuckDB oracle bit-for-bit. The fix:
+  * route every money-valued aggregate through an exact DECIMAL(18,4)
+  * accumulator (order-independent), then cast the final value back to
+  * DOUBLE (a single deterministic rounding). Any *row-local* double
+  * arithmetic before the cast (e.g. `price * (1 - discount)`) is identical
+  * IEEE-754 in every engine, so the cast-to-decimal sees the same input on
+  * both sides.
+  *
+  * This also scales: decimal hash-aggregation is codegen'd and
+  * partial-aggregated map-side exactly like double sums; at 100 TB a
+  * DECIMAL(18,4) sum promoted to DECIMAL(28,4) holds ~1e24 before
+  * overflow.
+  */
+object Exact {
+  // Scale 6, not 4: money values in the fixtures have ≤2 true decimals, so
+  // products of three of them (price·(1−disc)·(1+tax)) have ≤6 — at scale 6
+  // every such product is exactly representable and the double→decimal cast
+  // never lands on a rounding midpoint (where Spark's HALF_UP-on-shortest-
+  // repr and DuckDB's binary-scaled rounding disagree).
+  val Money: DecimalType = DecimalType(18, 6)
+
+  /** Exact order-independent sum of a double expression, as DOUBLE. */
+  def dsum(c: Column): Column = sum(c.cast(Money)).cast(DoubleType)
+
+  /** Exact average: decimal-sum / non-null count, one deterministic
+    * double division at the end. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** The matching DuckDB-side SQL fragments (kept next to the Scala so the
+    * two can never drift). */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+  def davgSql(expr: String): String =
+    s"(${dsumSql(expr)} / COUNT($expr))"
+}
