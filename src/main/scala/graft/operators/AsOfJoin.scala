@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — the canonical time-series enrichment the reference
+  * lacks entirely (SURVEY.md §2.4 "joins": ABSENT; the closest it gets is
+  * consumer-side event-time lag, `/root/reference/src/tests/integration_test.rs:257-270`).
+  *
+  * For every left row, attach the latest right row whose time is <= the
+  * left row's time, per key.
+  *
+  * Scale design (100 TB): the naive formulation (theta-join + row_number)
+  * explodes to |L|x|R| pairs per key before pruning. Instead we tag and
+  * UNION the two sides, shuffle ONCE on the key, sort each key's rows by
+  * (time, side, tiebreak) inside the partition, and carry the most recent
+  * right payload forward with `last(_, ignoreNulls)` over an
+  * unbounded-preceding running frame. Cost: one shuffle + one sort of
+  * |L|+|R| rows, zero row amplification — the same plan shape a dedicated
+  * ASOF JOIN physical operator would produce. Skewed keys behave like any
+  * window over a hot key (AQE-visible, saltable by time-chunking).
+  */
+object AsOfJoin {
+
+  /** @param keys      (leftKeyCol, rightKeyCol) equi-key pairs
+    * @param leftTime  left event-time column name (orderable; same type as right)
+    * @param rightTime right event-time column name
+    * @param carry     (rightCol, outputName) right-side payload to attach
+    * @param rightTieBreak right columns ordering the winner among right rows
+    *                      with identical (key, time) — last in ascending
+    *                      order wins, making the result deterministic
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      carry: Seq[(String, String)],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+
+    val lCols = left.columns.toSeq
+    val keyL = keys.map(_._1)
+    val tCol = "__asof_t"; val sideCol = "__asof_side"; val rCol = "__asof_r"
+    val tieCols = rightTieBreak.indices.map(i => s"__asof_tie$i")
+
+    val payload = struct(carry.map { case (c, out) => col(c).as(out) }: _*)
+    // Right rows are re-keyed to the left's column names so one window
+    // partitioning covers both sides; non-key left columns become typed
+    // nulls (never read back — right rows are filtered out at the end).
+    val rPart = right.select(
+      keys.map { case (lk, rk) => col(rk).as(lk) } ++
+        lCols.filterNot(keyL.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTime).as(tCol), lit(0).as(sideCol), payload.as(rCol)) ++
+        rightTieBreak.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"__asof_tie$i") }: _*)
+
+    val rTieTypes = rightTieBreak.map(right.schema(_).dataType)
+    val lPart = left.select(
+      lCols.map(col) ++
+        Seq(col(leftTime).as(tCol), lit(1).as(sideCol),
+          lit(null).cast(rPart.schema(rCol).dataType).as(rCol)) ++
+        rTieTypes.zipWithIndex.map { case (t, i) =>
+          lit(null).cast(t).as(s"__asof_tie$i") }: _*)
+
+    // side asc: at equal times the right row sorts before the left row, so
+    // a right row stamped exactly at the left time qualifies (<= semantics).
+    val w = Window
+      .partitionBy(keyL.map(col): _*)
+      .orderBy((Seq(col(tCol).asc, col(sideCol).asc) ++
+        tieCols.map(col(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lPart.unionByName(rPart)
+      .withColumn(rCol, last(col(rCol), ignoreNulls = true).over(w))
+      .filter(col(sideCol) === 1)
+      .select(lCols.map(col) ++
+        carry.map { case (_, out) => col(rCol).getField(out).as(out) }: _*)
+  }
+}
