@@ -10,7 +10,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def catalog: Seq[Qry] = Relational.all ++ TimeSeries.all
+  private def catalog: Seq[Qry] =
+    Relational.all ++ TimeSeries.all ++ Text.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

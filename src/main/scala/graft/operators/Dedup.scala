@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Near-duplicate detection operators: MinHash+LSH and SimHash.
+  * LLM-pipeline surface (BASELINE.json); nothing comparable exists in the
+  * reference. Both are built as single-pass hash aggregates + equi-joins
+  * so Catalyst/AQE handle them like any groupBy/join at 100 TB:
+  *
+  *   - signatures: ONE hash aggregate producing K min-columns (map-side
+  *     partial min ⇒ shuffle carries ≤ one row per (doc, partition)).
+  *   - LSH banding: explode docs × B bands (B small, e.g. 4) and
+  *     equi-join on (band index, band key) — candidate generation is a
+  *     shuffle join on a short string key, never an all-pairs product.
+  *   - verification joins candidates back to signatures (broadcastable
+  *     when the candidate set is small; sort-merge otherwise).
+  *
+  * Exact-dup dedup is a plain `groupBy(md5(text))` — see q32.
+  */
+object Dedup {
+
+  /** MinHash signature per id: K columns m0..m{K-1}, one hash aggregate.
+    * Input: (idCol, shingle-hash column `h` with h in [0, P)). */
+  def minhashSignatures(shingleHashes: DataFrame, idCol: String, h: String,
+      k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min((col(h) * aParam(i) + bParam(i)) % P).as(s"m$i"))
+    shingleHashes.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs (idA < idB) from signatures: B bands of R rows
+    * (K = B·R); a pair is a candidate iff some band's R values all match.
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, bands: Int,
+      rows: Int): DataFrame = {
+    val banded = sig.select(col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          concat_ws(":", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
+            .as("band_key"))
+      }: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_key"))
+    val a = banded.select(col(idCol).as("ida"), col("band_idx"), col("band_key"))
+    val b = banded.select(col(idCol).as("idb"), col("band_idx").as("bi2"),
+      col("band_key").as("bk2"))
+    a.join(b, col("band_idx") === col("bi2") && col("band_key") === col("bk2")
+        && col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+  }
+
+  /** 31-bit SimHash from a set of element hashes (h in [0, 2^31)):
+    * bit j of the result is set iff more element hashes have bit j set
+    * than clear. One hash aggregate with 31 sum columns, then a single
+    * projection folds them into the fingerprint. */
+  def simhash(elemHashes: DataFrame, idCol: String, h: String): DataFrame = {
+    val bitSums = (0 until 31).map(j =>
+      sum(when(shiftright(col(h), j) % 2 === 1, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val agg = elemHashes.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 31).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+}

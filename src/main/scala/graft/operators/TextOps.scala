@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis / dedup primitives for the LLM-data-pipeline surface
+  * (BASELINE.json north star; entirely absent from the reference, whose
+  * only "string" handling is raw little-endian byte blobs —
+  * `/root/reference/src/storage/table.rs:27`).
+  *
+  * Cross-engine determinism contract: every primitive here has an exact
+  * DuckDB-SQL equivalent (verified bit-for-bit by tools/probe_parity.py +
+  * ProbeParity.scala) so dedup/similarity queries can be oracle-checked:
+  *   - tokens: lowercase, split on non-[a-z0-9 CJK] (Java regex here,
+  *     RE2 `[^a-z0-9\x{4e00}-\x{9fff}]+` in DuckDB), drop empties.
+  *   - md5Long: first 15 hex digits of md5 → 60-bit non-negative BIGINT
+  *     (DuckDB: `CAST('0x'||substring(md5(x),1,15) AS BIGINT)`).
+  *   - hashMod: md5Long mod P (P = 2^31-1) — the base hash for the
+  *     MinHash affine family h_i(x) = (a_i·x + b_i) mod P, whose products
+  *     stay < 2^62 (no BIGINT overflow under ANSI mode, either engine).
+  *
+  * Scale notes (100 TB): everything is per-row/codegen-friendly column
+  * expressions — no UDFs, no driver state. MinHash signatures are K agg
+  * columns in ONE hash aggregate (no K-fold row explosion); shingle
+  * explosion is bounded by document length. At production scale the
+  * md5-based hash would swap for xxhash64 (builtin, faster); md5 is used
+  * because both engines implement it identically for oracle checking.
+  */
+object TextOps {
+  /** Modulus for all token/shingle hashes: the Mersenne prime 2^31-1. */
+  val P: Long = 2147483647L
+
+  /** Java-regex token delimiter (keep in sync with TokenReDuck). */
+  val TokenRe = "[^a-z0-9一-鿿]+"
+  /** RE2 spelling of TokenRe for DuckDB oracle SQL. */
+  val TokenReDuck = "[^a-z0-9\\x{4e00}-\\x{9fff}]+"
+
+  /** Lowercased word tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), TokenRe), t => length(t) > 0)
+
+  /** 60-bit hash from the md5 hex prefix (identical in DuckDB). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** md5Long reduced mod P — base hash for MinHash/SimHash families. */
+  def hashMod(c: Column): Column = md5Long(c) % P
+
+  /** Word n-gram shingles (space-joined), empty array when < n tokens.
+    * DuckDB twin:
+    * `list_transform(range(len(tk)-n+1), i -> array_to_string(tk[i+1:i+n],' '))`
+    */
+  def shingles(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Order-dependent polynomial fold of the token-hash sequence mod P —
+    * a whole-document fingerprint (content + order sensitive).
+    * DuckDB twin: `list_reduce(list_prepend(0::BIGINT, hashes),
+    * (acc,h) -> (acc*31 + h) % P)`. */
+  def docFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, tok) => (acc * 31 + hashMod(tok)) % P)
+
+  /** MinHash affine-family parameters — plain literals so the generated
+    * oracle SQL can embed the same constants. */
+  def aParam(i: Int): Long = (999983L * (i + 1)) % P
+  def bParam(i: Int): Long = (1000003L * (i + 1)) % P
+}

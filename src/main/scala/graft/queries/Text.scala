@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.{Dedup, TextOps}
+import graft.operators.TextOps.{P, TokenReDuck}
+import graft.sources.Tables
+
+/** Text-analysis + deduplication surface over the `documents` fixture
+  * (LLM-data-pipeline operators, BASELINE.json): exact dedup, token
+  * statistics, quality scoring, language ID, n-gram Jaccard near-dup,
+  * MinHash+LSH, SimHash, and document fingerprinting.
+  *
+  * Every query is oracle-checked: the tokenizer/hash primitives are
+  * bit-identical across Spark and DuckDB (see TextOps + ProbeParity).
+  * The oracle SQL for MinHash/SimHash is GENERATED from the same K/band
+  * constants as the Spark plan, so the two sides cannot drift.
+  */
+object Text {
+
+  private def docs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(spark, dir).documents
+  private val one = lit(1)
+
+  private val K = 16; private val B = 4; private val R = 4
+
+  // ---- shared DuckDB CTE fragments ------------------------------------
+  private val toksCte =
+    s"""toks AS (SELECT doc_id, lang, text,
+       |  list_filter(string_split_regex(lower(text), '$TokenReDuck'),
+       |              t -> len(t) > 0) AS tk
+       |  FROM documents)""".stripMargin
+  private def hashSql(e: String) =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT) % $P"
+  private val sh3Cte =
+    s"""sh AS (SELECT DISTINCT doc_id, ${hashSql("sh")} AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_distinct(list_transform(range(len(tk) - 2),
+       |            i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
+       |        FROM toks WHERE len(tk) >= 3))""".stripMargin
+
+  // Spark-side distinct 3-gram shingle hashes per doc.
+  private def shingleHashes(d: org.apache.spark.sql.DataFrame) = {
+    import d.sparkSession.implicits._
+    d.select($"doc_id", TextOps.tokens($"text").as("tk"))
+      .select($"doc_id",
+        explode(array_distinct(TextOps.shingles($"tk", 3))).as("sh"))
+      .select($"doc_id", TextOps.hashMod($"sh").as("h"))
+      .distinct()
+  }
+
+  val all: Seq[Qry] = Seq(
+
+    // ---- exact deduplication (hash groupBy) ----------------------------
+    Qry(
+      "q32_exact_dedup",
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      docs(spark, dir)
+        .groupBy(md5($"text").as("content_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(one).as("n_copies"))
+    },
+
+    // ---- token statistics per language ---------------------------------
+    Qry(
+      "q33_token_stats",
+      s"""WITH $toksCte
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  SUM(len(tk)) AS tok_sum,
+         |  CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS tok_avg,
+         |  CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS chars_avg
+         |FROM toks GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      docs(spark, dir)
+        .select($"lang", size(TextOps.tokens($"text")).cast(LongType).as("nt"),
+          length($"text").cast(LongType).as("nc"))
+        .groupBy($"lang")
+        .agg(count(one).as("n_docs"), sum($"nt").as("tok_sum"),
+          (sum($"nt").cast("double") / count(one)).as("tok_avg"),
+          (sum($"nc").cast("double") / count(one)).as("chars_avg"))
+    },
+
+    // ---- quality scoring ------------------------------------------------
+    Qry(
+      "q34_quality_score",
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tok,
+         |  CAST(length(text) AS BIGINT) AS n_char,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  CAST(len(regexp_extract_all(lower(text),
+         |    '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS DOUBLE)
+         |    / greatest(len(tk), 1) AS stop_ratio,
+         |  CAST(length(array_to_string(tk, '')) AS DOUBLE)
+         |    / greatest(length(text), 1) AS alnum_ratio,
+         |  0.5e0 * (CAST(len(regexp_extract_all(lower(text),
+         |      '\\b(the|and|of|to|in|is|that|it|was|for)\\b')) AS DOUBLE)
+         |      / greatest(len(tk), 1))
+         |    + 0.3e0 * (CAST(length(array_to_string(tk, '')) AS DOUBLE)
+         |      / greatest(length(text), 1))
+         |    - 0.2e0 * (CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+         |      AS DOUBLE) / greatest(length(text), 1)) AS quality_score,
+         |  len(tk) >= 10 AS long_enough
+         |FROM toks""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val stopRe = "\\b(the|and|of|to|in|is|that|it|was|for)\\b"
+      val base = docs(spark, dir).select($"doc_id", $"text",
+        TextOps.tokens($"text").as("tk"))
+        .select($"doc_id",
+          size($"tk").cast(LongType).as("n_tok"),
+          length($"text").cast(LongType).as("n_char"),
+          (size(regexp_extract_all($"text", lit("[.,!?;:]"), lit(0)))
+            .cast("double") / greatest(length($"text"), one)).as("punct_ratio"),
+          (size(regexp_extract_all(lower($"text"), lit(stopRe), lit(0)))
+            .cast("double") / greatest(size($"tk"), one)).as("stop_ratio"),
+          (length(concat_ws("", $"tk")).cast("double") /
+            greatest(length($"text"), one)).as("alnum_ratio"))
+      base.select($"doc_id", $"n_tok", $"n_char", $"punct_ratio",
+        $"stop_ratio", $"alnum_ratio",
+        (lit(0.5) * $"stop_ratio" + lit(0.3) * $"alnum_ratio"
+          - lit(0.2) * $"punct_ratio").as("quality_score"),
+        ($"n_tok" >= 10).as("long_enough"))
+    },
+
+    // ---- language identification (stopword/CJK heuristic) --------------
+    Qry(
+      "q35_lang_id", {
+        val en = "\\b(the|and|of|to|in|is|that|it|was|for)\\b"
+        val de = "\\b(der|die|das|und|ist|nicht|ein|zu|den|von)\\b"
+        val fr = "\\b(le|la|les|et|est|un|une|des|du|que)\\b"
+        val es = "\\b(el|los|las|es|y|una|por|con|para|que)\\b"
+        s"""WITH scored AS (
+           |  SELECT lang,
+           |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS s_zh,
+           |    len(regexp_extract_all(lower(text), '$en')) AS s_en,
+           |    len(regexp_extract_all(lower(text), '$de')) AS s_de,
+           |    len(regexp_extract_all(lower(text), '$fr')) AS s_fr,
+           |    len(regexp_extract_all(lower(text), '$es')) AS s_es
+           |  FROM documents)
+           |SELECT lang, CASE
+           |    WHEN s_zh > 0 AND s_zh >= greatest(s_en, s_de, s_fr, s_es)
+           |      THEN 'zh'
+           |    WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+           |    WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+           |    WHEN s_fr >= s_es THEN 'fr'
+           |    ELSE 'es' END AS pred_lang,
+           |  COUNT(*) AS n
+           |FROM scored GROUP BY 1, 2""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      def score(re: String) =
+        size(regexp_extract_all(lower($"text"), lit(re), lit(0)))
+      val scored = docs(spark, dir).select($"lang",
+        size(regexp_extract_all($"text", lit("[一-鿿]"), lit(0))).as("s_zh"),
+        score("\\b(the|and|of|to|in|is|that|it|was|for)\\b").as("s_en"),
+        score("\\b(der|die|das|und|ist|nicht|ein|zu|den|von)\\b").as("s_de"),
+        score("\\b(le|la|les|et|est|un|une|des|du|que)\\b").as("s_fr"),
+        score("\\b(el|los|las|es|y|una|por|con|para|que)\\b").as("s_es"))
+      scored.select($"lang",
+          when($"s_zh" > 0 &&
+            $"s_zh" >= greatest($"s_en", $"s_de", $"s_fr", $"s_es"), "zh")
+          .when($"s_en" >= greatest($"s_de", $"s_fr", $"s_es"), "en")
+          .when($"s_de" >= greatest($"s_fr", $"s_es"), "de")
+          .when($"s_fr" >= $"s_es", "fr")
+          .otherwise("es").as("pred_lang"))
+        .groupBy($"lang", $"pred_lang")
+        .agg(count(one).as("n"))
+    },
+
+    // ---- n-gram Jaccard near-duplicate pairs ---------------------------
+    Qry(
+      "q36_ngram_jaccard",
+      s"""WITH $toksCte,
+         |$sh3Cte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b, shared,
+         |  sa.n AS n_a, sb.n AS n_b,
+         |  CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+         |FROM pairs
+         |  JOIN sizes sa ON da = sa.doc_id
+         |  JOIN sizes sb ON db = sb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5e0"""
+        .stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val sh = shingleHashes(docs(spark, dir))
+      val sizes = sh.groupBy($"doc_id").agg(count(one).as("n"))
+      val a = sh.select($"doc_id".as("da"), $"h")
+      val b = sh.select($"doc_id".as("db"), $"h".as("h2"))
+      val pairs = a.join(b, $"h" === $"h2" && $"da" < $"db")
+        .groupBy($"da", $"db").agg(count(one).as("shared"))
+      pairs
+        .join(sizes.select($"doc_id".as("ka"), $"n".as("n_a")), $"da" === $"ka")
+        .join(sizes.select($"doc_id".as("kb"), $"n".as("n_b")), $"db" === $"kb")
+        .select($"da".as("doc_a"), $"db".as("doc_b"), $"shared",
+          $"n_a", $"n_b",
+          ($"shared".cast("double") / ($"n_a" + $"n_b" - $"shared"))
+            .as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+    },
+
+    // ---- MinHash + LSH near-duplicate candidates -----------------------
+    Qry(
+      "q37_minhash_lsh", {
+        val minCols = (0 until K).map(i =>
+          s"min((h * ${TextOps.aParam(i)} + ${TextOps.bParam(i)}) % $P) AS m$i")
+          .mkString(", ")
+        val bandSelects = (0 until B).map { b =>
+          val ks = (0 until R).map(r => s"m${b * R + r}").mkString(", ")
+          s"SELECT doc_id, $b AS band_idx, concat_ws(':', $ks) AS band_key FROM sig"
+        }.mkString("\n  UNION ALL ")
+        val matchSum = (0 until K).map(i =>
+          s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH $toksCte,
+           |$sh3Cte,
+           |sig AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+           |banded AS (
+           |  $bandSelects),
+           |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           |         FROM banded a JOIN banded b
+           |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           |          AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, n_match,
+           |  CAST(n_match AS DOUBLE) / $K AS est_jaccard
+           |FROM (SELECT c.ida AS doc_a, c.idb AS doc_b,
+           |        $matchSum AS n_match
+           |      FROM cand c
+           |        JOIN sig sa ON c.ida = sa.doc_id
+           |        JOIN sig sb ON c.idb = sb.doc_id)
+           |WHERE n_match >= ${K / 2}""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val sh = shingleHashes(docs(spark, dir))
+      val sig = Dedup.minhashSignatures(sh, "doc_id", "h", K)
+      val cand = Dedup.lshCandidatePairs(sig, "doc_id", B, R)
+      val sa = sig.select($"doc_id".as("ka") +:
+        (0 until K).map(i => col(s"m$i").as(s"a$i")): _*)
+      val sb = sig.select($"doc_id".as("kb") +:
+        (0 until K).map(i => col(s"m$i").as(s"b$i")): _*)
+      val nMatch = (0 until K).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      cand.join(sa, $"ida" === $"ka").join(sb, $"idb" === $"kb")
+        .select($"ida".as("doc_a"), $"idb".as("doc_b"),
+          nMatch.as("n_match"))
+        .filter($"n_match" >= K / 2)
+        .withColumn("est_jaccard", $"n_match".cast("double") / K)
+    },
+
+    // ---- SimHash pairwise hamming-distance histogram -------------------
+    Qry(
+      "q38_simhash", {
+        val bitSums = (0 until 31).map(j =>
+          s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+          .mkString(", ")
+        val fpSum = (0 until 31).map(j =>
+          s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""WITH $toksCte,
+           |th AS (SELECT DISTINCT doc_id, ${hashSql("tok")} AS h
+           |       FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)),
+           |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY 1),
+           |fp AS (SELECT doc_id, CAST($fpSum AS BIGINT) AS simhash FROM bits)
+           |SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming,
+           |  COUNT(*) AS n_pairs
+           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |GROUP BY 1""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val tk = docs(spark, dir)
+        .select($"doc_id", TextOps.tokens($"text").as("tk"))
+      val th = tk.select($"doc_id", explode($"tk").as("tok"))
+        .select($"doc_id", TextOps.hashMod($"tok").as("h")).distinct()
+      val fp = Dedup.simhash(th, "doc_id", "h")
+      val a = fp.select($"doc_id".as("da"), $"simhash".as("fa"))
+      val b = fp.select($"doc_id".as("db"), $"simhash".as("fb"))
+      a.join(b, $"da" < $"db")
+        .select(bit_count($"fa".bitwiseXOR($"fb")).cast(LongType)
+          .as("hamming"))
+        .groupBy($"hamming").agg(count(one).as("n_pairs"))
+    },
+
+    // ---- order-sensitive document fingerprint --------------------------
+    Qry(
+      "q39_fingerprint",
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(tk, tok -> ${hashSql("tok")})),
+         |    (acc, h) -> (acc * 31 + h) % $P) AS fp,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens
+         |FROM toks""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      docs(spark, dir).select($"doc_id",
+        TextOps.docFingerprint($"text").as("fp"),
+        size(TextOps.tokens($"text")).cast(LongType).as("n_tokens"))
+    }
+  )
+}

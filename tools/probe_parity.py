@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""DuckDB side of the cross-engine parity probe (see ProbeParity.scala)."""
+import duckdb
+
+DOCS = [
+    "The quick brown fox, jumps! Over 2 lazy dogs.",
+    "  leading and trailing  ",
+    "punct... only!!!",
+    "Der schnelle braune Fuchs springt über den faulen Hund",
+    "你好世界 this has cjk 汉字",
+    "a",
+    "",
+]
+
+con = duckdb.connect()
+con.execute("CREATE TABLE docs(text VARCHAR)")
+for d in DOCS:
+    con.execute("INSERT INTO docs VALUES (?)", [d])
+
+TOK = r"[^a-z0-9\x{4e00}-\x{9fff}]+"
+sql = f"""
+SELECT text,
+  CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h60,
+  list_filter(string_split_regex(lower(text), '{TOK}'),
+              t -> len(t) > 0) AS toks,
+  len(string_split_regex(lower(text), '{TOK}')) AS n_toks_raw,
+  len(list_filter(string_split_regex(lower(text), '{TOK}'),
+      t -> len(t) > 0)) AS n_toks,
+  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|a)\\b'))
+    AS n_stop_en,
+  len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS n_cjk,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        list_filter(string_split_regex(lower(text), '{TOK}'),
+                    t -> len(t) > 0),
+        tok -> CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+               % 2147483647)),
+    (acc, h) -> (acc * 31 + h) % 2147483647) AS fold_hash
+FROM docs
+"""
+for row in con.sql(sql).fetchall():
+    print("PROBE\t" + "\t".join(str(v).replace("\t", " ") for v in row))
