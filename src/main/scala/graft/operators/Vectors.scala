@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector/similarity primitives over `array<float>` embedding columns
+  * (LLM-pipeline surface, BASELINE.json; the reference has no array types
+  * at all — SURVEY.md §1.2).
+  *
+  * Determinism contract: floats are widened to double (exact), products
+  * and sums run as a SEQUENTIAL left fold in double — bit-identical to
+  * DuckDB's `list_dot_product(CAST(x AS DOUBLE[]), ...)` (verified
+  * empirically; both are ordered accumulations, and IEEE multiply is
+  * commutative), so similarity queries are oracle-checkable with no
+  * tolerance fudge.
+  *
+  * Scale notes: these are pure codegen'd column expressions (Catalyst
+  * `ArrayAggregate`/`ZipWith`), so they vectorize inside whole-stage
+  * codegen with no UDF boundary. Brute-force top-k broadcasts the query
+  * side and streams the corpus; the IVF/LSH operators in Embeddings.scala
+  * bound the candidate set for cluster-scale corpora.
+  */
+object Vectors {
+
+  /** Exact widening float[] → double[]. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential-fold dot product in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Squared Euclidean distance (sequential fold, no sqrt). */
+  def distSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity; caller supplies precomputed norms to avoid
+    * recomputing them per pair. */
+  def cosine(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+
+  /** Deterministic pseudo-random hyperplane component i of plane j, in
+    * [-0.5, 0.5): integer Weyl-style mix then scale. Pure integer + one
+    * double division → bit-identical in any engine. */
+  def hyperplaneComponent(j: Int, i: Column): Column =
+    ((lit(j.toLong * 64L) + i) * lit(2654435761L) % lit(1000003L)) /
+      lit(1000003.0) - lit(0.5)
+
+  /** 64-dim hyperplane j as an in-engine generated array. */
+  def hyperplane(j: Int, dim: Int = 64): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i => hyperplaneComponent(j, i))
+
+  /** Sign-random-projection LSH bucket id from `nPlanes` hyperplanes. */
+  def srpBucket(v: Column, nPlanes: Int, dim: Int = 64): Column =
+    (0 until nPlanes).map { j =>
+      when(dot(v, hyperplane(j, dim)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}
