@@ -11,7 +11,8 @@ import graft.queries._
 object SparkEntry {
 
   private def catalog: Seq[Qry] =
-    Relational.all ++ TimeSeries.all ++ Text.all ++ Embeddings.all
+    Relational.all ++ TimeSeries.all ++ Text.all ++ Embeddings.all ++
+      Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming plumbing: bounded file-stream sources over the
+  * fixture tables and a run-to-completion harness, so streaming pipelines
+  * can sit in the same oracle-checked query catalog as batch ones.
+  *
+  * This is the Spark-native replacement for the reference's ingest loop
+  * (`/root/reference/src/storage/table.rs:54-110`): the bounded MPMC ring
+  * maps to the micro-batch file source (backpressure via
+  * `maxFilesPerTrigger`/`maxBytesPerTrigger` instead of reject-new —
+  * SURVEY.md §7.4), destructive consume maps to exactly-once micro-batch
+  * processing, and consumer threads map to concurrent streaming queries.
+  *
+  * Scale notes: file-stream sources shard by file/partition exactly like
+  * batch scans; stateful operators checkpoint per-partition state. The
+  * memory sink used here is test/driver harness only — production sinks
+  * are parquet/kafka/foreachBatch.
+  */
+object Streams {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Read one fixture table as a file stream (schema from the batch
+    * footer). `events.ts` gets the same nanos→µs treatment as
+    * sources.Tables: raw nanos kept in `ts_ns`, µs TimestampType in `ts`.
+    */
+  def fileStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$name.parquet"
+    // The file source requires a directory; fixtures are single files.
+    // Expose the file through a per-run temp dir (symlink, zero copy).
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_${name}_")
+    streamDir.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve(s"$name.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    if (name == "events")
+      raw.withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    else raw
+  }
+
+  /** Start `df` into an in-memory table, process everything available,
+    * stop, and return the materialized result. */
+  def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
+    val spark = df.sparkSession
+    val table = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream.outputMode(outputMode)
+      .format("memory").queryName(table).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(table)
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 100L, "l1"), (1L, 200L, "l2"), (2L, 150L, "l3"), (3L, 50L, "l4"))
+    .toDF("k", "t", "lv")
+  private def right = Seq(
+    (1L, 90L, "r-90"), (1L, 100L, "r-100"), (1L, 150L, "r-150"),
+    (2L, 150L, "r-equal"), (2L, 149L, "r-before"))
+    .toDF("k", "rt", "rv")
+
+  test("backward as-of picks latest right row at or before left time") {
+    val out = AsOfJoin.backward(left, right,
+      keys = Seq("k" -> "k"), leftTime = "t", rightTime = "rt",
+      carry = Seq("rv" -> "rv", "rt" -> "matched_t"),
+      rightTieBreak = Seq("rv"))
+      .orderBy("k", "t").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSeq ==
+      Seq(
+        (1L, "l1", "r-100"),   // exact-time right row qualifies (<=)
+        (1L, "l2", "r-150"),
+        (2L, "l3", "r-equal"), // 150 <= 150 beats 149
+        (3L, "l4", null)))     // no right row for key 3 → null carry
+  }
+
+  test("as-of with zero right rows yields all-null carry") {
+    val out = AsOfJoin.backward(left, right.filter($"k" === 999),
+      keys = Seq("k" -> "k"), leftTime = "t", rightTime = "rt",
+      carry = Seq("rv" -> "rv"))
+    assert(out.count() == 4 && out.filter($"rv".isNotNull).count() == 0)
+  }
+}
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("interval join honors [t-before, t+after) bounds across buckets") {
+    val l = Seq((1L, 10_000L, "p")).toDF("k", "t", "lv")
+    val r = Seq(
+      (1L, 6_999L), (1L, 7_000L),   // 7_000 = t-3000 inclusive lower bound
+      (1L, 9_999L), (1L, 10_000L),  // 10_000 = t+0 exclusive upper bound
+      (2L, 8_000L))                 // wrong key
+      .toDF("rk", "rt")
+    val out = RangeJoin.intervalJoin(l, r, "k", "rk", "t", "rt",
+      beforeMs = 3_000L, afterMs = 0L, bucketMs = 1_000L)
+    assert(out.select("rt").as[Long].collect().sorted.toSeq ==
+      Seq(7_000L, 9_999L))
+  }
+}
+
+class SessionizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("gap strictly greater than threshold starts a new session") {
+    val df = Seq(
+      (1L, 0L), (1L, 1_000L), (1L, 2_000L),  // session 1
+      (1L, 3_001L),                          // gap 1001 > 1000 → session 2
+      (1L, 4_001L),                          // gap exactly 1000 → stays
+      (2L, 0L))                              // separate key
+      .toDF("k", "t")
+    val out = Sessionize.byGap(df, Seq("k"), "t", gapMs = 1_000L)
+      .orderBy("k", "t")
+      .select($"k", $"t", $"session_id").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L), (1L, 1_000L, 1L), (1L, 2_000L, 1L),
+      (1L, 3_001L, 2L), (1L, 4_001L, 2L), (2L, 0L, 1L)))
+  }
+}
+
+class TextOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokens drop empties; shingles need >= n tokens") {
+    val df = Seq("one two three", "a b", "").toDF("text")
+      .select(TextOps.tokens($"text").as("tk"))
+      .select($"tk", TextOps.shingles($"tk", 3).as("sh"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](0) == Seq("one", "two", "three"))
+    assert(rows(0).getSeq[String](1) == Seq("one two three"))
+    assert(rows(1).getSeq[String](1) == Seq.empty)
+    assert(rows(2).getSeq[String](0) == Seq.empty)
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val fps = Seq("alpha beta", "beta alpha", "alpha beta")
+      .toDF("text")
+      .select(TextOps.docFingerprint($"text").as("fp"))
+      .as[Long].collect()
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+    assert(fps.forall(fp => fp >= 0 && fp < TextOps.P))
+  }
+
+  test("identical docs share MinHash signatures and SimHash") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different content about spark engines"))
+      .toDF("doc_id", "text")
+    val sh = docs.select($"doc_id", TextOps.tokens($"text").as("tk"))
+      .select($"doc_id", explode(array_distinct(TextOps.shingles($"tk", 3))).as("s"))
+      .select($"doc_id", TextOps.hashMod($"s").as("h")).distinct()
+    val sig = Dedup.minhashSignatures(sh, "doc_id", "h", 8)
+      .orderBy("doc_id").collect()
+    assert(sig(0).toSeq.tail == sig(1).toSeq.tail)
+    assert(sig(0).toSeq.tail != sig(2).toSeq.tail)
+    val cand = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(sh, "doc_id", "h", 8), "doc_id", 2, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)) && !cand.contains((1L, 3L)))
+  }
+}
+
+class VectorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dot, norm, distSq on known values") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(
+        Vectors.dot(Vectors.toDouble($"a"), Vectors.toDouble($"b")).as("d"),
+        Vectors.norm(Vectors.toDouble($"a")).as("na"),
+        Vectors.distSq(Vectors.toDouble($"a"), Vectors.toDouble($"b")).as("d2"))
+    val Row(d: Double, na: Double, d2: Double) = df.head()
+    assert(d == 8.0 && na == 3.0 && d2 == 2.0)
+  }
+
+  test("srp bucket is deterministic and within range") {
+    val v = (0 until 64).map(i => (i % 7 - 3).toFloat).toArray
+    val df = Seq(v, v).toDF("e")
+      .select(Vectors.srpBucket(Vectors.toDouble($"e"), 8).as("b"))
+      .as[Long].collect()
+    assert(df(0) == df(1) && df(0) >= 0 && df(0) < 256)
+  }
+}
