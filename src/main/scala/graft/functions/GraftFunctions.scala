@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the graft expression library.
+  *
+  * Two entry paths, same builders:
+  *   - `spark.sql.extensions=graft.functions.GraftExtensions` (proper
+  *     cluster deployment: functions exist in every session), or
+  *   - `GraftFunctions.register(spark)` for an existing session (tests,
+  *     the Verify/Bench mains).
+  */
+object GraftFunctions {
+
+  private def fn(name: String, usage: String,
+      builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      builder)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    fn("le_encode_u8", "low byte of an int as 1-byte binary",
+      es => LeEncodeU8(es.head)),
+    fn("le_encode_u32", "little-endian 4-byte encoding of an int",
+      es => LeEncodeU32(es.head)),
+    fn("le_encode_u64", "little-endian 8-byte encoding of a long",
+      es => LeEncodeU64(es.head)),
+    fn("le_encode_f64", "little-endian 8-byte encoding of a double",
+      es => LeEncodeF64(es.head)),
+    fn("le_u8", "decode u8 at offset from binary",
+      es => LeDecodeU8(es(0), es(1))),
+    fn("le_u32", "decode little-endian u32 at offset from binary",
+      es => LeDecodeU32(es(0), es(1))),
+    fn("le_u64", "decode little-endian u64 at offset from binary",
+      es => LeDecodeU64(es(0), es(1))),
+    fn("le_f64", "decode little-endian f64 at offset from binary",
+      es => LeDecodeF64(es(0), es(1))))
+
+  /** Idempotent registration into an existing session. */
+  def register(spark: SparkSession): Unit = all.foreach {
+    case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
