@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan/timing inspector: `runMain graft.Explain <sfDir> q1 q27 ...`
+  * prints each query's formatted physical plan and two timed runs
+  * (cold-ish, warm) so plan regressions and warmup effects are
+  * distinguishable. Dev tool, not part of the driver contract. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // absorb session warmup so timings reflect the plan, not the JVM
+    spark.range(2000000L).selectExpr("sum(id)").collect()
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      println(s"==== $name ====")
+      fn(spark, sfDir).explain("formatted")
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -243,7 +243,7 @@ object Relational {
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
         .stripMargin) { (spark, dir) =>
-      t(spark, dir).registerAll()
+      t(spark, dir).orders.createOrReplaceTempView("orders")
       spark.sql(
         s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
            |  ${dsumSql("o_totalprice")} AS total

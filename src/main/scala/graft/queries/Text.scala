@@ -276,12 +276,20 @@ object Text {
       val th = tk.select($"doc_id", explode($"tk").as("tok"))
         .select($"doc_id", TextOps.hashMod($"tok").as("h")).distinct()
       val fp = Dedup.simhash(th, "doc_id", "h")
-      val a = fp.select($"doc_id".as("da"), $"simhash".as("fa"))
-      val b = fp.select($"doc_id".as("db"), $"simhash".as("fb"))
-      a.join(b, $"da" < $"db")
+      // Multiplicity compression: group identical fingerprints first so
+      // the quadratic stage runs over DISTINCT fingerprints weighted by
+      // their counts (at scale, near-dup corpora collapse heavily here);
+      // same-fingerprint doc pairs contribute c·(c−1)/2 at hamming 0.
+      val fpc = fp.groupBy($"simhash").agg(count(one).as("c"))
+      val a = fpc.select($"simhash".as("fa"), $"c".as("ca"))
+      val b = fpc.select($"simhash".as("fb"), $"c".as("cb"))
+      val cross = a.join(b, $"fa" < $"fb")
         .select(bit_count($"fa".bitwiseXOR($"fb")).cast(LongType)
-          .as("hamming"))
-        .groupBy($"hamming").agg(count(one).as("n_pairs"))
+          .as("hamming"), ($"ca" * $"cb").as("w"))
+      val same = fpc.select(lit(0L).as("hamming"),
+        ($"c" * ($"c" - 1) / 2).cast(LongType).as("w")).filter($"w" > 0)
+      cross.unionByName(same)
+        .groupBy($"hamming").agg(sum($"w").as("n_pairs"))
     },
 
     // ---- order-sensitive document fingerprint --------------------------
