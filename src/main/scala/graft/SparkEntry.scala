@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def catalog: Seq[Qry] =
     Relational.all ++ TimeSeries.all ++ Text.all ++ Embeddings.all ++
-      Streaming.all ++ Wire.all ++ MultimodalQ.all ++ Extras.all
+      Streaming.all ++ Wire.all ++ MultimodalQ.all ++ Extras.all ++
+      Extras2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
