@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** User-facing facade: the operator library as DataFrame syntax.
+  *
+  * {{{
+  * import graft.Graft._
+  * trades.asofBackward(quotes, Seq("sym" -> "sym"), "ts", "qts",
+  *   carry = Seq("bid" -> "bid", "ask" -> "ask"))
+  * docs.nearDupPairs(idCol = "doc_id", textCol = "text", threshold = 0.8)
+  * events.sessionized(Seq("user_id"), "ms", gapMs = 30 * 60 * 1000L)
+  * }}}
+  */
+object Graft {
+
+  implicit class GraftDataFrame(private val df: DataFrame) extends AnyVal {
+
+    /** Backward as-of join (see operators.AsOfJoin). */
+    def asofBackward(right: DataFrame, keys: Seq[(String, String)],
+        leftTime: String, rightTime: String,
+        carry: Seq[(String, String)],
+        rightTieBreak: Seq[String] = Nil): DataFrame =
+      AsOfJoin.backward(df, right, keys, leftTime, rightTime, carry,
+        rightTieBreak)
+
+    /** Bucketed interval join (see operators.RangeJoin). */
+    def intervalJoin(right: DataFrame, leftKey: String, rightKey: String,
+        leftTimeMs: String, rightTimeMs: String,
+        beforeMs: Long, afterMs: Long, bucketMs: Long): DataFrame =
+      RangeJoin.intervalJoin(df, right, leftKey, rightKey, leftTimeMs,
+        rightTimeMs, beforeMs, afterMs, bucketMs)
+
+    /** Gap-based session ids (see operators.Sessionize). */
+    def sessionized(keys: Seq[String], timeMs: String, gapMs: Long,
+        tieBreak: Seq[String] = Nil): DataFrame =
+      Sessionize.byGap(df, keys, timeMs, gapMs, tieBreak)
+
+    /** Salted skew join (see operators.SkewJoin). */
+    def saltedJoin(small: DataFrame, largeKey: String, smallKey: String,
+        salts: Int): DataFrame =
+      SkewJoin.saltedJoin(df, small, largeKey, smallKey, salts)
+
+    /** Exact dedup: one surviving row id per identical `textCol`. */
+    def exactDedup(idCol: String, textCol: String): DataFrame =
+      df.groupBy(md5(col(textCol)).as("content_hash"))
+        .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+    /** Distinct word-{n}-gram shingle hashes per id — input to the
+      * near-dup operators. */
+    def shingleHashes(idCol: String, textCol: String, n: Int = 3)
+        : DataFrame =
+      df.select(col(idCol),
+          explode(array_distinct(
+            TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("__sh"))
+        .select(col(idCol), TextOps.hashMod(col("__sh")).as("h"))
+        .distinct()
+
+    /** n-gram Jaccard near-duplicate pairs (idA < idB) at or above
+      * `threshold`. */
+    def nearDupPairs(idCol: String, textCol: String,
+        threshold: Double = 0.8, n: Int = 3): DataFrame = {
+      val sh = shingleHashes(idCol, textCol, n)
+      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      val a = sh.select(col(idCol).as("id_a"), col("h"))
+      val b = sh.select(col(idCol).as("id_b"), col("h").as("h2"))
+      a.join(b, col("h") === col("h2") && col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col(idCol).as("__ka"), col("__n").as("n_a")),
+          col("id_a") === col("__ka"))
+        .join(sizes.select(col(idCol).as("__kb"), col("__n").as("n_b")),
+          col("id_b") === col("__kb"))
+        .select(col("id_a"), col("id_b"),
+          (col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+
+    /** MinHash+LSH candidate pairs (see operators.Dedup). */
+    def minhashCandidates(idCol: String, textCol: String,
+        k: Int = 16, bands: Int = 4): DataFrame = {
+      val sig = Dedup.minhashSignatures(
+        shingleHashes(idCol, textCol), idCol, "h", k)
+      Dedup.lshCandidatePairs(sig, idCol, bands, k / bands)
+    }
+
+    /** Exact cosine top-k: for each row of `queries`, the k nearest rows
+      * of this DataFrame by cosine over `vecCol` (both must share the id
+      * and vector column names). Queries are broadcast. */
+    def cosineTopK(queries: DataFrame, idCol: String, vecCol: String,
+        k: Int): DataFrame = {
+      val n = df.select(col(idCol), Vectors.toDouble(col(vecCol)).as("__v"))
+        .withColumn("__nr", Vectors.norm(col("__v")))
+      val q = queries
+        .select(col(idCol).as("query_id"),
+          Vectors.toDouble(col(vecCol)).as("__qv"))
+        .withColumn("__qnr", Vectors.norm(col("__qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      n.crossJoin(broadcast(q))
+        .filter(col(idCol) =!= col("query_id"))
+        .select(col("query_id"), col(idCol).as("neighbor_id"),
+          Vectors.cosine(Vectors.dot(col("__qv"), col("__v")),
+            col("__qnr"), col("__nr")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+}
