@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.Exact._
+import graft.sources.Tables
+
+/** Seventh coverage wave: last-observation-carried-forward gap filling
+  * (the canonical time-series fill operator, via IGNORE NULLS windows)
+  * and GROUPING markers on rollups. */
+object Extras7 {
+
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(spark, dir)
+  private val one = lit(1)
+
+  val all: Seq[Qry] = Seq(
+
+    // ---- LOCF gap fill + value windows ---------------------------------
+    // Values < 5 are treated as missing sensor readings; `filled` carries
+    // the last valid observation forward per user.
+    Qry(
+      "q71_fill_forward",
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value,
+        |    CASE WHEN value < 5e0 THEN NULL ELSE value END AS nv
+        |  FROM events)
+        |SELECT user_id, event_id, value,
+        |  last_value(nv IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ms, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  first_value(value) OVER
+        |    (PARTITION BY user_id ORDER BY ms, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_seen,
+        |  nth_value(value, 3) OVER
+        |    (PARTITION BY user_id ORDER BY ms, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS third_value
+        |FROM e""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val running = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(spark, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          $"value", when($"value" < 5.0, lit(null)).otherwise($"value")
+            .as("nv"))
+        .select($"user_id", $"event_id", $"value",
+          last($"nv", ignoreNulls = true).over(running).as("filled"),
+          first($"value").over(running).as("first_seen"),
+          nth_value($"value", 3).over(full).as("third_value"))
+    },
+
+    // ---- GROUPING markers on rollup ------------------------------------
+    Qry(
+      "q72_grouping_id",
+      s"""SELECT r_name, n_name,
+         |  CAST(GROUPING(r_name) AS INTEGER) AS gr,
+         |  CAST(GROUPING(n_name) AS INTEGER) AS gn,
+         |  COUNT(*) AS n, ${dsumSql("c_acctbal")} AS tot
+         |FROM customer
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val tb = t(spark, dir)
+      tb.customer
+        .join(broadcast(tb.nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(tb.region), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(grouping($"r_name").cast(IntegerType).as("gr"),
+          grouping($"n_name").cast(IntegerType).as("gn"),
+          count(one).as("n"), dsum($"c_acctbal").as("tot"))
+        .select($"r_name", $"n_name", $"gr", $"gn", $"n", $"tot")
+    }
+  )
+}
