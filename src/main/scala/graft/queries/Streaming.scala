@@ -56,14 +56,14 @@ object Streaming {
       s"""WITH e AS (SELECT user_id, event_id,
          |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value FROM events),
          |flags AS (
-         |  SELECT user_id, ms, value,
+         |  SELECT user_id, event_id, ms, value,
          |    CASE WHEN lag(ms) OVER w IS NULL
          |           OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END
          |      AS new_s
          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
          |sess AS (
          |  SELECT user_id, ms, value,
-         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          |  FROM flags)
          |SELECT user_id, MIN(ms) AS start_ms, MAX(ms) + 1800000 AS end_ms,

@@ -187,14 +187,14 @@ object TimeSeries {
       "q30_sessionize",
       s"""WITH e AS ($eventsMsSql),
          |  flags AS (
-         |    SELECT user_id, ms, value,
+         |    SELECT user_id, event_id, ms, value,
          |      CASE WHEN lag(ms) OVER w IS NULL
          |             OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END
          |        AS new_s
          |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
          |  sess AS (
          |    SELECT user_id, ms, value,
-         |      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+         |      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |        AS session_id
          |    FROM flags)
