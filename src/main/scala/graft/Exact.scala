@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
   * Floating-point SUM/AVG are order-dependent, and Spark's partial
   * aggregation order differs run-to-run and engine-to-engine, so a raw
   * `sum(double)` can never hash-match a DuckDB oracle bit-for-bit. The fix:
-  * route every money-valued aggregate through an exact DECIMAL(18,4)
-  * accumulator (order-independent), then cast the final value back to
+  * route every money-valued aggregate through an exact DECIMAL(18,6)
+  * accumulator (order-independent; see `Money` below for the chosen
+  * scale), then cast the final value back to
   * DOUBLE (a single deterministic rounding). Any *row-local* double
   * arithmetic before the cast (e.g. `price * (1 - discount)`) is identical
   * IEEE-754 in every engine, so the cast-to-decimal sees the same input on
@@ -18,7 +19,7 @@ import org.apache.spark.sql.types._
   *
   * This also scales: decimal hash-aggregation is codegen'd and
   * partial-aggregated map-side exactly like double sums; at 100 TB a
-  * DECIMAL(18,4) sum promoted to DECIMAL(28,4) holds ~1e24 before
+  * DECIMAL(18,6) sum promoted to DECIMAL(28,6) holds ~1e22 before
   * overflow.
   */
 object Exact {

@@ -50,40 +50,25 @@ object Graft {
         .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
     /** Distinct word-{n}-gram shingle hashes per id — input to the
-      * near-dup operators. */
+      * near-dup operators (delegates to operators.Dedup, the single
+      * source of truth). */
     def shingleHashes(idCol: String, textCol: String, n: Int = 3)
         : DataFrame =
-      df.select(col(idCol),
-          explode(array_distinct(
-            TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("__sh"))
-        .select(col(idCol), TextOps.hashMod(col("__sh")).as("h"))
-        .distinct()
+      Dedup.shingleHashes(df, idCol, textCol, n)
 
     /** n-gram Jaccard near-duplicate pairs (idA < idB) at or above
       * `threshold`. */
     def nearDupPairs(idCol: String, textCol: String,
-        threshold: Double = 0.8, n: Int = 3): DataFrame = {
-      val sh = shingleHashes(idCol, textCol, n)
-      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-      val a = sh.select(col(idCol).as("id_a"), col("h"))
-      val b = sh.select(col(idCol).as("id_b"), col("h").as("h2"))
-      a.join(b, col("h") === col("h2") && col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
-        .join(sizes.select(col(idCol).as("__ka"), col("__n").as("n_a")),
-          col("id_a") === col("__ka"))
-        .join(sizes.select(col(idCol).as("__kb"), col("__n").as("n_b")),
-          col("id_b") === col("__kb"))
-        .select(col("id_a"), col("id_b"),
-          (col("shared").cast("double") /
-            (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
+        threshold: Double = 0.8, n: Int = 3): DataFrame =
+      Dedup.jaccardPairs(Dedup.shingleHashes(df, idCol, textCol, n), idCol)
         .filter(col("jaccard") >= threshold)
-    }
+        .select(col("id_a"), col("id_b"), col("jaccard"))
 
     /** MinHash+LSH candidate pairs (see operators.Dedup). */
     def minhashCandidates(idCol: String, textCol: String,
         k: Int = 16, bands: Int = 4): DataFrame = {
       val sig = Dedup.minhashSignatures(
-        shingleHashes(idCol, textCol), idCol, "h", k)
+        Dedup.shingleHashes(df, idCol, textCol), idCol, "h", k)
       Dedup.lshCandidatePairs(sig, idCol, bands, k / bands)
     }
 

@@ -22,6 +22,34 @@ import TextOps._
   */
 object Dedup {
 
+  /** Distinct word-n-gram shingle hashes per id: (idCol, h) with h in
+    * [0, P). The canonical input to jaccardPairs / minhashSignatures. */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol),
+        explode(array_distinct(
+          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("__sh"))
+      .select(col(idCol), TextOps.hashMod(col("__sh")).as("h"))
+      .distinct()
+
+  /** Exact Jaccard pairs (id_a < id_b) from per-id shingle-hash sets:
+    * one shared-shingle equi-join + set-size joins. Columns:
+    * id_a, id_b, shared, n_a, n_b, jaccard. Callers threshold/rename. */
+  def jaccardPairs(sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col(idCol).as("id_a"), col("h"))
+    val b = sh.select(col(idCol).as("id_b"), col("h").as("__h2"))
+    a.join(b, col("h") === col("__h2") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col(idCol).as("__ka"), col("__n").as("n_a")),
+        col("id_a") === col("__ka"))
+      .join(sizes.select(col(idCol).as("__kb"), col("__n").as("n_b")),
+        col("id_b") === col("__kb"))
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
+  }
+
   /** MinHash signature per id: K columns m0..m{K-1}, one hash aggregate.
     * Input: (idCol, shingle-hash column `h` with h in [0, P)). */
   def minhashSignatures(shingleHashes: DataFrame, idCol: String, h: String,

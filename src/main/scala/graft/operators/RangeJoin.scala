@@ -38,14 +38,15 @@ object RangeJoin {
       bucketMs: Long): DataFrame = {
     require(bucketMs > 0 && beforeMs >= 0 && afterMs >= 0)
     val lb = "__rj_bucket"; val rb = "__rj_rbucket"
-    // epoch ms is positive → integer division == floor
-    def bucketOf(c: Column): Column = (c / bucketMs).cast(LongType)
-
+    // integral DIV, not double `/`: double division rounds above 2^53,
+    // which would mis-bucket ns-magnitude epochs and silently drop
+    // matches at bucket edges (positive epochs → DIV == floor)
     val lExp = left.withColumn(lb,
       explode(sequence(
-        bucketOf(col(leftTimeMs) - beforeMs),
-        bucketOf(col(leftTimeMs) + afterMs))))
-    val rBkt = right.withColumn(rb, bucketOf(col(rightTimeMs)))
+        expr(s"(`$leftTimeMs` - ${beforeMs}L) DIV ${bucketMs}L"),
+        expr(s"(`$leftTimeMs` + ${afterMs}L) DIV ${bucketMs}L"))))
+    val rBkt = right.withColumn(rb,
+      expr(s"`$rightTimeMs` DIV ${bucketMs}L"))
 
     lExp.join(rBkt,
         col(lb) === col(rb) &&

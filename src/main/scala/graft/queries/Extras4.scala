@@ -100,12 +100,15 @@ object Extras4 {
         .agg(count(one).as("f"), first($"ntok").as("ntok"))
       val df = tf.groupBy($"tok".as("dtok"))
         .agg(countDistinct($"doc_id").as("d"))
-      val n = docs.count()
+      // corpus size rides inside the lazy plan (broadcast 1-row agg), not
+      // as an eager count() — no extra scan per invocation
+      val nDocs = docs.agg(count(one).cast("double").as("__n"))
       val wTop = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
       tf.join(df, $"tok" === $"dtok")
+        .crossJoin(broadcast(nDocs))
         .select($"doc_id", $"tok",
           (($"f".cast("double") / $"ntok") *
-            log(lit(n.toDouble) / $"d")).as("tfidf"))
+            log($"__n" / $"d")).as("tfidf"))
         .withColumn("rn", row_number().over(wTop))
         .filter($"rn" === 1)
         .select($"doc_id", $"tok".as("top_term"),
@@ -165,19 +168,12 @@ object Extras4 {
          |WHERE victim IS NULL""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val docs = t(spark, dir).documents
-      val sh = docs.select($"doc_id", TextOps.tokens($"text").as("tk"))
-        .select($"doc_id",
-          explode(array_distinct(TextOps.shingles($"tk", 3))).as("s"))
-        .select($"doc_id", TextOps.hashMod($"s").as("h")).distinct()
-      val sizes = sh.groupBy($"doc_id").agg(count(one).as("n"))
-      val a = sh.select($"doc_id".as("da"), $"h")
-      val b = sh.select($"doc_id".as("db"), $"h".as("h2"))
-      val victims = a.join(b, $"h" === $"h2" && $"da" < $"db")
-        .groupBy($"da", $"db").agg(count(one).as("shared"))
-        .join(sizes.select($"doc_id".as("ka"), $"n".as("na")), $"da" === $"ka")
-        .join(sizes.select($"doc_id".as("kb"), $"n".as("nb")), $"db" === $"kb")
-        .filter($"shared".cast("double") / ($"na" + $"nb" - $"shared") >= 0.5)
-        .select($"db".as("victim")).distinct()
+      val victims = graft.operators.Dedup
+        .jaccardPairs(
+          graft.operators.Dedup.shingleHashes(docs, "doc_id", "text"),
+          "doc_id")
+        .filter($"jaccard" >= 0.5)
+        .select($"id_b".as("victim")).distinct()
       docs.join(victims, $"doc_id" === $"victim", "left_anti")
         .select($"doc_id", $"lang", $"n_chars")
     }

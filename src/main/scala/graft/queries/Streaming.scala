@@ -71,7 +71,12 @@ object Streaming {
          |FROM sess GROUP BY user_id, sid""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val src = Streams.fileStream(spark, dir, "events")
+      // floor event time to ms BEFORE sessionizing so gap comparisons
+      // happen at the same precision as the oracle's epoch_ms arithmetic
+      // (µs-precision session_window vs ms-precision oracle would split
+      // differently for gaps within 1ms of the 30-minute boundary)
       val agg = src
+        .withColumn("ts", timestamp_millis(unix_millis($"ts")))
         .withWatermark("ts", "10 minutes")
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(count(one).as("n_events"), dsum($"value").as("val_sum"))
@@ -112,7 +117,13 @@ object Streaming {
             Iterator((uid, n, mx, s.doubleValue))
         }
         .toDF("user_id", "n_events", "max_value", "val_sum")
+      // the sink accumulates one running-total row per user per
+      // micro-batch; keep only the final one (max n_events — strictly
+      // increasing per user), so the result is batch-count agnostic
       Streams.runToMemory(out, "append")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"max_value", $"val_sum")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.max_value", $"s.val_sum")
     }
   )
 }

@@ -40,15 +40,10 @@ object Text {
        |            i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
        |        FROM toks WHERE len(tk) >= 3))""".stripMargin
 
-  // Spark-side distinct 3-gram shingle hashes per doc.
-  private def shingleHashes(d: org.apache.spark.sql.DataFrame) = {
-    import d.sparkSession.implicits._
-    d.select($"doc_id", TextOps.tokens($"text").as("tk"))
-      .select($"doc_id",
-        explode(array_distinct(TextOps.shingles($"tk", 3))).as("sh"))
-      .select($"doc_id", TextOps.hashMod($"sh").as("h"))
-      .distinct()
-  }
+  // Spark-side distinct 3-gram shingle hashes per doc (operators.Dedup
+  // is the single source of truth for the pipeline).
+  private def shingleHashes(d: org.apache.spark.sql.DataFrame) =
+    Dedup.shingleHashes(d, "doc_id", "text")
 
   val all: Seq[Qry] = Seq(
 
@@ -189,20 +184,10 @@ object Text {
          |WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5e0"""
         .stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val sh = shingleHashes(docs(spark, dir))
-      val sizes = sh.groupBy($"doc_id").agg(count(one).as("n"))
-      val a = sh.select($"doc_id".as("da"), $"h")
-      val b = sh.select($"doc_id".as("db"), $"h".as("h2"))
-      val pairs = a.join(b, $"h" === $"h2" && $"da" < $"db")
-        .groupBy($"da", $"db").agg(count(one).as("shared"))
-      pairs
-        .join(sizes.select($"doc_id".as("ka"), $"n".as("n_a")), $"da" === $"ka")
-        .join(sizes.select($"doc_id".as("kb"), $"n".as("n_b")), $"db" === $"kb")
-        .select($"da".as("doc_a"), $"db".as("doc_b"), $"shared",
-          $"n_a", $"n_b",
-          ($"shared".cast("double") / ($"n_a" + $"n_b" - $"shared"))
-            .as("jaccard"))
+      Dedup.jaccardPairs(shingleHashes(docs(spark, dir)), "doc_id")
         .filter($"jaccard" >= 0.5)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"shared",
+          $"n_a", $"n_b", $"jaccard")
     },
 
     // ---- MinHash + LSH near-duplicate candidates -----------------------

@@ -25,6 +25,26 @@ object Streams {
 
   private val nameCounter = new AtomicInteger(0)
 
+  // The file source requires a DIRECTORY; fixtures are single files.
+  // Expose each file through a cached temp dir holding a symlink (zero
+  // copy, one dir per distinct source file per JVM — repeated queries
+  // reuse it instead of leaking dirs). Both dir and link are registered
+  // for exit-time deletion (link first: deleteOnExit runs LIFO, and a
+  // non-empty dir cannot be removed).
+  private val linkDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[streaming] def linkDir(path: String, name: String): String =
+    linkDirs.computeIfAbsent(path, { p =>
+      val d = java.nio.file.Files.createTempDirectory(s"graft_${name}_")
+      val link = d.resolve(s"$name.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(p).toAbsolutePath)
+      d.toFile.deleteOnExit()
+      link.toFile.deleteOnExit()
+      d.toString
+    })
+
   /** Read one fixture table as a file stream (schema from the batch
     * footer). `events.ts` gets the same nanos→µs treatment as
     * sources.Tables: raw nanos kept in `ts_ns`, µs TimestampType in `ts`.
@@ -33,15 +53,9 @@ object Streams {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
-    // The file source requires a directory; fixtures are single files.
-    // Expose the file through a per-run temp dir (symlink, zero copy).
-    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_${name}_")
-    streamDir.toFile.deleteOnExit()
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve(s"$name.parquet"),
-      java.nio.file.Paths.get(path).toAbsolutePath)
+    val streamDir = Streams.linkDir(path, name)
     val schema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val raw = spark.readStream.schema(schema).parquet(streamDir)
     if (name == "events")
       raw.withColumn("ts_ns", col("ts"))
         .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
