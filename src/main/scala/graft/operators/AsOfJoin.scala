@@ -38,14 +38,20 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       carry: Seq[(String, String)],
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
 
     val lCols = left.columns.toSeq
     val keyL = keys.map(_._1)
     val tCol = "__asof_t"; val sideCol = "__asof_side"; val rCol = "__asof_r"
+    val rtField = "__asof_rt"
     val tieCols = rightTieBreak.indices.map(i => s"__asof_tie$i")
 
-    val payload = struct(carry.map { case (c, out) => col(c).as(out) }: _*)
+    // the matched right time rides inside the payload so a tolerance can
+    // null out matches that are too far in the past
+    val payload = struct(
+      (carry.map { case (c, out) => col(c).as(out) } :+
+        col(rightTime).as(rtField)): _*)
     // Right rows are re-keyed to the left's column names so one window
     // partitioning covers both sides; non-key left columns become typed
     // nulls (never read back — right rows are filtered out at the end).
@@ -73,10 +79,42 @@ object AsOfJoin {
         tieCols.map(col(_).asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lPart.unionByName(rPart)
+    val carried = lPart.unionByName(rPart)
       .withColumn(rCol, last(col(rCol), ignoreNulls = true).over(w))
       .filter(col(sideCol) === 1)
-      .select(lCols.map(col) ++
-        carry.map { case (_, out) => col(rCol).getField(out).as(out) }: _*)
+    // tolerance: a match older than `tolerance` time units is no match
+    // (numeric time columns only — epoch ms/ns/µs)
+    val inRange = tolerance match {
+      case Some(tol) =>
+        col(rCol).isNotNull &&
+          col(tCol) - col(rCol).getField(rtField) <= tol
+      case None => col(rCol).isNotNull
+    }
+    carried.select(lCols.map(col) ++
+      carry.map { case (_, out) =>
+        when(inRange, col(rCol).getField(out)).otherwise(lit(null))
+          .as(out) }: _*)
+  }
+
+  /** Forward as-of join: for every left row, the EARLIEST right row with
+    * time >= the left time, per key. Implemented by running `backward`
+    * over negated time axes (numeric time columns only); among right rows
+    * at the same (key, time), the largest tiebreak wins, matching
+    * `backward`'s convention. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      carry: Seq[(String, String)],
+      rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
+    val nl = "__asof_negl"; val nr = "__asof_negr"
+    backward(
+        left.withColumn(nl, -col(leftTime)),
+        right.withColumn(nr, -col(rightTime)),
+        keys, nl, nr, carry, rightTieBreak, tolerance)
+      .drop(nl)
   }
 }

@@ -70,6 +70,40 @@ object TimeSeries {
           ($"ms" - $"click_ms").as("gap_ms"))
     },
 
+    // ---- forward as-of join: next click at/after each error ------------
+    Qry(
+      "q73_asof_forward",
+      s"""WITH e AS ($eventsMsSql)
+         |SELECT event_id, user_id, ts, value,
+         |  click_id, click_value, click_ms - ms AS wait_ms
+         |FROM (
+         |  SELECT err.*, c.event_id AS click_id, c.ms AS click_ms,
+         |    c.value AS click_value,
+         |    row_number() OVER (PARTITION BY err.event_id
+         |                       ORDER BY c.ms ASC, c.event_id DESC) AS rn
+         |  FROM (SELECT * FROM e WHERE event_type = 'error') err
+         |  LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+         |    ON err.user_id = c.user_id AND c.ms >= err.ms)
+         |WHERE rn = 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = t(spark, dir).events
+        .select($"event_id", $"user_id", $"ts", unix_millis($"ts").as("ms"),
+          $"event_type", $"value")
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id", $"user_id", $"ts", $"ms", $"value")
+      val clicks = ev.filter($"event_type" === "click")
+      AsOfJoin.forward(
+          errors, clicks,
+          keys = Seq("user_id" -> "user_id"),
+          leftTime = "ms", rightTime = "ms",
+          carry = Seq("event_id" -> "click_id", "ms" -> "click_ms",
+            "value" -> "click_value"),
+          rightTieBreak = Seq("event_id"))
+        .select($"event_id", $"user_id", $"ts", $"value",
+          $"click_id", $"click_value",
+          ($"click_ms" - $"ms").as("wait_ms"))
+    },
+
     // ---- VWAP per symbol per period (reference's flagship analytic) ----
     // price*qty ≡ l_extendedprice; symbol ≡ l_suppkey; period ≡ month.
     Qry(

@@ -36,6 +36,31 @@ class AsOfJoinSpec extends SparkTestBase {
       carry = Seq("rv" -> "rv"))
     assert(out.count() == 4 && out.filter($"rv".isNotNull).count() == 0)
   }
+
+  test("as-of tolerance nulls matches older than the window") {
+    val out = AsOfJoin.backward(left, right,
+      keys = Seq("k" -> "k"), leftTime = "t", rightTime = "rt",
+      carry = Seq("rv" -> "rv"), rightTieBreak = Seq("rv"),
+      tolerance = Some(10L))
+      .orderBy("k", "t").collect()
+    // l1@100 matches r-100 (gap 0 ≤ 10); l2@200's latest is r-150
+    // (gap 50 > 10) → nulled; l3@150 matches r-equal (gap 0)
+    assert(out.map(r => (r.getString(2), r.getString(3))).toSeq ==
+      Seq(("l1", "r-100"), ("l2", null), ("l3", "r-equal"), ("l4", null)))
+  }
+
+  test("forward as-of picks earliest right row at or after left time") {
+    val out = AsOfJoin.forward(left, right,
+      keys = Seq("k" -> "k"), leftTime = "t", rightTime = "rt",
+      carry = Seq("rv" -> "rv", "rt" -> "matched_t"),
+      rightTieBreak = Seq("rv"))
+      .orderBy("k", "t").collect()
+    assert(out.map(r => (r.getString(2), r.getString(3))).toSeq == Seq(
+      ("l1", "r-100"),   // 100 >= 100 qualifies
+      ("l2", null),      // nothing at/after 200
+      ("l3", "r-equal"), // 150 >= 150
+      ("l4", null)))     // no key-3 right rows
+  }
 }
 
 class RangeJoinSpec extends SparkTestBase {
