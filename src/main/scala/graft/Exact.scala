@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
   * Floating-point SUM/AVG are order-dependent, and Spark's partial
   * aggregation order differs run-to-run and engine-to-engine, so a raw
   * `sum(double)` can never hash-match a DuckDB oracle bit-for-bit. The fix:
-  * route every money-valued aggregate through an exact DECIMAL(18,6)
+  * route every money-valued aggregate through an exact DECIMAL(28,6)
   * accumulator (order-independent; see `Money` below for the chosen
   * scale), then cast the final value back to
   * DOUBLE (a single deterministic rounding). Any *row-local* double
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
   *
   * This also scales: decimal hash-aggregation is codegen'd and
   * partial-aggregated map-side exactly like double sums; at 100 TB a
-  * DECIMAL(18,6) sum promoted to DECIMAL(28,6) holds ~1e22 before
+  * DECIMAL(28,6) sum promoted to DECIMAL(38,6) holds ~1e32 before
   * overflow.
   */
 object Exact {
@@ -28,7 +28,11 @@ object Exact {
   // every such product is exactly representable and the double→decimal cast
   // never lands on a rounding midpoint (where Spark's HALF_UP-on-shortest-
   // repr and DuckDB's binary-scaled rounding disagree).
-  val Money: DecimalType = DecimalType(18, 6)
+  // Precision 28 (not 18): the double→decimal cast NULLs on overflow in
+  // non-ANSI Spark, which would silently drop any |value| ≥ 1e12 from a
+  // sum; precision 28 raises the per-value bound to 1e22 while keeping
+  // the same scale-6 rounding behavior on both engines.
+  val Money: DecimalType = DecimalType(28, 6)
 
   /** Exact order-independent sum of a double expression, as DOUBLE. */
   def dsum(c: Column): Column = sum(c.cast(Money)).cast(DoubleType)
@@ -40,7 +44,7 @@ object Exact {
   /** The matching DuckDB-side SQL fragments (kept next to the Scala so the
     * two can never drift). */
   def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+    s"CAST(SUM(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
   def davgSql(expr: String): String =
     s"(${dsumSql(expr)} / COUNT($expr))"
 }

@@ -17,8 +17,11 @@ object GraftFunctions {
   private def fn(name: String, usage: String,
       builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    // 3-arg ExpressionInfo is (className, db, name) — passing usage as the
+    // third arg would register the usage sentence as the function NAME in
+    // DESCRIBE FUNCTION output; usage lives in the Scaladoc instead
     (FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions", name, usage),
+      new ExpressionInfo(s"graft.functions.$name", null, name),
       builder)
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo,

@@ -94,13 +94,15 @@ abstract class LeDecode(val width: Int) extends BinaryExpression with Serializab
   override def nullSafeEval(bytes: Any, off: Any): Any = {
     val arr = bytes.asInstanceOf[Array[Byte]]
     val o = off.asInstanceOf[Int]
-    if (o < 0 || o + width > arr.length) null
+    // `o > length - width`, NOT `o + width > length`: the addition can
+    // overflow Int for offsets near Int.MaxValue and wrap "in bounds"
+    if (o < 0 || o > arr.length - width) null
     else get(java.nio.ByteBuffer.wrap(arr, o, width)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN))
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (b, o) =>
-      s"""if ($o < 0 || $o + $width > $b.length) {
+      s"""if ($o < 0 || $o > $b.length - $width) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = java.nio.ByteBuffer.wrap($b, $o, $width)

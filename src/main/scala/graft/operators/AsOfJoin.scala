@@ -52,10 +52,15 @@ object AsOfJoin {
     val payload = struct(
       (carry.map { case (c, out) => col(c).as(out) } :+
         col(rightTime).as(rtField)): _*)
+    // Equi-join semantics: right rows with NULL keys can never match, so
+    // drop them up front (Window.partitionBy would otherwise group NULL
+    // with NULL and fabricate matches the SQL oracles don't produce).
+    val rightNonNull = keys.map { case (_, rk) => col(rk).isNotNull }
+      .reduce(_ && _)
     // Right rows are re-keyed to the left's column names so one window
     // partitioning covers both sides; non-key left columns become typed
     // nulls (never read back — right rows are filtered out at the end).
-    val rPart = right.select(
+    val rPart = right.filter(rightNonNull).select(
       keys.map { case (lk, rk) => col(rk).as(lk) } ++
         lCols.filterNot(keyL.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++

@@ -40,15 +40,21 @@ object Dedup {
     * one shared-shingle equi-join + set-size joins. Columns:
     * id_a, id_b, shared, n_a, n_b, jaccard. Callers threshold/rename. */
   def jaccardPairs(sh: DataFrame, idCol: String): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val a = sh.select(col(idCol).as("id_a"), col("h"))
-    val b = sh.select(col(idCol).as("id_b"), col("h").as("__h2"))
+    // set sizes ride along as a window count over the same pass instead
+    // of a separate aggregate + two re-joins: the (expensive) shingle
+    // pipeline is evaluated twice (self-join sides) instead of three
+    // times, and two shuffles disappear
+    val withN = sh.withColumn("__n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))))
+    val a = withN.select(col(idCol).as("id_a"), col("h"),
+      col("__n").as("n_a"))
+    val b = withN.select(col(idCol).as("id_b"), col("h").as("__h2"),
+      col("__n").as("n_b"))
     a.join(b, col("h") === col("__h2") && col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col(idCol).as("__ka"), col("__n").as("n_a")),
-        col("id_a") === col("__ka"))
-      .join(sizes.select(col(idCol).as("__kb"), col("__n").as("n_b")),
-        col("id_b") === col("__kb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"),
         (col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
@@ -68,6 +74,10 @@ object Dedup {
     */
   def lshCandidatePairs(sig: DataFrame, idCol: String, bands: Int,
       rows: Int): DataFrame = {
+    require(bands > 0 && rows > 0,
+      s"bands ($bands) and rows ($rows) must be positive")
+    require(sig.columns.contains(s"m${bands * rows - 1}"),
+      s"signature needs ${bands * rows} min-hash columns (bands*rows)")
     val banded = sig.select(col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band_idx"),

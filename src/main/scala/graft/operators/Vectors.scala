@@ -54,8 +54,11 @@ object Vectors {
     transform(sequence(lit(0), lit(dim - 1)), i => hyperplaneComponent(j, i))
 
   /** Sign-random-projection LSH bucket id from `nPlanes` hyperplanes. */
-  def srpBucket(v: Column, nPlanes: Int, dim: Int = 64): Column =
+  def srpBucket(v: Column, nPlanes: Int, dim: Int = 64): Column = {
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"nPlanes ($nPlanes) must be in [1, 63]: 1L << j wraps mod 64")
     (0 until nPlanes).map { j =>
       when(dot(v, hyperplane(j, dim)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 }

@@ -313,7 +313,7 @@ object Relational {
       "q16_window_running",
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  row_number() OVER w AS rn,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_spend,
@@ -339,9 +339,9 @@ object Relational {
     Qry(
       "q17_moving_avg",
       """SELECT user_id, event_id, ms, value,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS mov_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS mov_sum,
         |  COUNT(*) OVER w AS mov_n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
         |    / (COUNT(*) OVER w) AS mov_avg
         |FROM (SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value
         |      FROM events)

@@ -90,7 +90,7 @@ object Streaming {
     // ---- custom per-key streaming state (flatMapGroupsWithState) -------
     // The reference's per-consumer running aggregates (§2.2 #10, #12;
     // CAS-max §2.3 #19) done as managed keyed state. The decimal sum
-    // reproduces Exact.dsum semantics (per-value DECIMAL(18,6) HALF_UP,
+    // reproduces Exact.dsum semantics (per-value DECIMAL(28,6) HALF_UP,
     // order-independent) so the oracle matches bit-for-bit.
     Qry(
       "q46_stream_stateful",

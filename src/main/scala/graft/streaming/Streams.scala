@@ -63,13 +63,20 @@ object Streams {
   }
 
   /** Start `df` into an in-memory table, process everything available,
-    * stop, and return the materialized result. */
+    * stop, and return the materialized result. The memory-sink temp view
+    * is dropped before returning (its rows are re-wrapped as a local
+    * relation — same driver-resident data the sink already held, without
+    * pinning one sink table per invocation for the session lifetime). */
   def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
     val spark = df.sparkSession
     val table = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = df.writeStream.outputMode(outputMode)
       .format("memory").queryName(table).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(table)
+    val sink = spark.table(table)
+    val rows = sink.collectAsList()
+    val out = spark.createDataFrame(rows, sink.schema)
+    spark.catalog.dropTempView(table)
+    out
   }
 }
