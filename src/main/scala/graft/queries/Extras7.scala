@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
 import graft.Exact._
+import graft.operators.{ConnectedComponents, Dedup}
+import graft.operators.TextOps.{TokenReDuck, P}
 import graft.sources.Tables
 
 /** Seventh coverage wave: last-observation-carried-forward gap filling
@@ -52,6 +54,46 @@ object Extras7 {
           last($"nv", ignoreNulls = true).over(running).as("filled"),
           first($"value").over(running).as("first_seen"),
           nth_value($"value", 3).over(full).as("third_value"))
+    },
+
+    // ---- duplicate clusters: connected components over near-dup pairs -
+    Qry(
+      "q74_dup_clusters",
+      s"""WITH RECURSIVE toks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '$TokenReDuck'),
+         |                t -> len(t) > 0) AS tk
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |    CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) % $P AS h
+         |  FROM (SELECT doc_id,
+         |          unnest(list_distinct(list_transform(range(len(tk) - 2),
+         |            i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
+         |        FROM toks WHERE len(tk) >= 3)),
+         |szn AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY doc_id) AS n, h
+         |        FROM sh),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared,
+         |    MAX(a.n) AS na, MAX(b.n) AS nb
+         |  FROM szn a JOIN szn b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges0 AS (SELECT da, db FROM pairs
+         |           WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5e0),
+         |edges AS (SELECT da AS a, db AS b FROM edges0
+         |          UNION SELECT db, da FROM edges0),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS member, MIN(dst) AS component
+         |FROM reach GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val pairs = Dedup.jaccardPairs(
+          Dedup.shingleHashes(t(spark, dir).documents, "doc_id", "text"),
+          "doc_id")
+        .filter($"jaccard" >= 0.5)
+        .select($"id_a", $"id_b")
+      ConnectedComponents.minLabel(pairs, "id_a", "id_b")
+        .select($"id".as("member"), $"component")
     },
 
     // ---- GROUPING markers on rollup ------------------------------------

@@ -99,6 +99,23 @@ class SessionizeSpec extends SparkTestBase {
   }
 }
 
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("min-label propagation converges on chains, stars, and islands") {
+    // chain 1-2-3-4-5 (needs >1 iteration), star 10-{11,12,13},
+    // isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (13L, 10L), (20L, 21L))
+      .toDF("a", "b")
+    val cc = ConnectedComponents.minLabel(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+  }
+}
+
 class TextOpsSpec extends SparkTestBase {
   import spark.implicits._
 
