@@ -25,9 +25,15 @@ object ConnectedComponents {
     */
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
       maxIterations: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: `edges` may be an arbitrarily
+    // expensive upstream pipeline (e.g. the full near-dup Jaccard join),
+    // and the loop references it in every iteration's join AND its
+    // convergence count — without the checkpoint it re-executes each time
+    // (measured 200s+ vs ~4s on the 10x dedup graph)
     val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
+      .localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false

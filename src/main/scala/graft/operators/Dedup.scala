@@ -38,7 +38,14 @@ object Dedup {
 
   /** Exact Jaccard pairs (id_a < id_b) from per-id shingle-hash sets:
     * one shared-shingle equi-join + set-size joins. Columns:
-    * id_a, id_b, shared, n_a, n_b, jaccard. Callers threshold/rename. */
+    * id_a, id_b, shared, n_a, n_b, jaccard. Callers threshold/rename.
+    *
+    * Scale note: the join fans out quadratically in a shingle's document
+    * frequency. The fixtures top out at df=25, so no cap is applied here;
+    * at web scale, drop shingles with df above a few hundred first
+    * (ubiquitous boilerplate n-grams carry no near-dup signal and those
+    * hot keys dominate the shuffle) — a one-line filter on a df aggregate
+    * of `sh`, mirrored in any oracle. */
   def jaccardPairs(sh: DataFrame, idCol: String): DataFrame = {
     // set sizes ride along as a window count over the same pass instead
     // of a separate aggregate + two re-joins: the (expensive) shingle
