@@ -69,4 +69,29 @@ object TextOps {
     * oracle SQL can embed the same constants. */
   def aParam(i: Int): Long = (999983L * (i + 1)) % P
   def bParam(i: Int): Long = (1000003L * (i + 1)) % P
+
+  // ---- canonical DuckDB oracle fragments ------------------------------
+  // Single source for every query whose oracle needs the tokenizer /
+  // shingle-hash pipeline — hand-copied variants drift (a tokenizer or
+  // hash change that misses one copy silently breaks that oracle).
+
+  /** DuckDB twin of hashMod. */
+  def oracleHashSql(e: String): String =
+    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT) % $P"
+
+  /** DuckDB twin of `tokens` as a CTE over `documents` (extra columns
+    * lang/text are carried for the queries that need them). */
+  val oracleToksCte: String =
+    s"""toks AS (SELECT doc_id, lang, text,
+       |  list_filter(string_split_regex(lower(text), '$TokenReDuck'),
+       |              t -> len(t) > 0) AS tk
+       |  FROM documents)""".stripMargin
+
+  /** DuckDB twin of `Dedup.shingleHashes(_, "doc_id", "text", 3)`. */
+  val oracleSh3Cte: String =
+    s"""sh AS (SELECT DISTINCT doc_id, ${oracleHashSql("sh")} AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_distinct(list_transform(range(len(tk) - 2),
+       |            i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
+       |        FROM toks WHERE len(tk) >= 3))""".stripMargin
 }

@@ -91,7 +91,8 @@ object Extras2 {
     Qry(
       "q58_unpivot",
       """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |  ty AS (SELECT DISTINCT event_type FROM events),
+        |  ty AS (SELECT * FROM (VALUES ('click'), ('error'), ('purchase'),
+        |         ('signup'), ('view')) AS t(event_type)),
         |  c AS (SELECT user_id, event_type, COUNT(*) AS n
         |        FROM events GROUP BY 1, 2)
         |SELECT u.user_id, ty.event_type, COALESCE(c.n, 0) AS n

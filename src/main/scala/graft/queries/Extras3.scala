@@ -79,24 +79,47 @@ object Extras3 {
     },
 
     // ---- statistical aggregates (variance family + correlation) --------
+    // Built-in stddev/corr merge per-partition moments in partition order
+    // (order-dependent floats), which can't hash-match another engine.
+    // Instead: order-independent decimal sums of x, x², y², xy, then the
+    // SAME double-arithmetic moment formulas on both sides — bit-exact.
     Qry(
       "q62_stats",
-      """SELECT l_returnflag,
-        |  round(stddev_samp(l_quantity), 4) AS qty_sd,
-        |  round(var_samp(l_quantity), 4) AS qty_var,
-        |  round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
-        |  round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_cov
-        |FROM lineitem GROUP BY 1""".stripMargin) { (spark, dir) =>
+      s"""WITH m AS (SELECT l_returnflag,
+         |    CAST(COUNT(*) AS DOUBLE) AS n,
+         |    ${dsumSql("l_quantity")} AS sb,
+         |    ${dsumSql("l_quantity * l_quantity")} AS sbb,
+         |    ${dsumSql("l_extendedprice")} AS sa,
+         |    ${dsumSql("l_extendedprice * l_extendedprice")} AS saa,
+         |    ${dsumSql("l_extendedprice * l_quantity")} AS sab
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag,
+         |  round(sqrt((sbb - sb * sb / n) / (n - 1e0)), 4) AS qty_sd,
+         |  round((sbb - sb * sb / n) / (n - 1e0), 4) AS qty_var,
+         |  round((sab - sa * sb / n)
+         |    / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n)), 6)
+         |    AS price_qty_corr,
+         |  round((sab - sa * sb / n) / (n - 1e0), 2) AS price_qty_cov
+         |FROM m""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      t(spark, dir).lineitem
+      val m = t(spark, dir).lineitem
         .groupBy($"l_returnflag")
-        .agg(
-          round(stddev_samp($"l_quantity"), 4).as("qty_sd"),
-          round(var_samp($"l_quantity"), 4).as("qty_var"),
-          round(corr($"l_extendedprice", $"l_quantity"), 6)
-            .as("price_qty_corr"),
-          round(covar_samp($"l_extendedprice", $"l_quantity"), 2)
-            .as("price_qty_cov"))
+        .agg(count(one).cast("double").as("n"),
+          dsum($"l_quantity").as("sb"),
+          dsum($"l_quantity" * $"l_quantity").as("sbb"),
+          dsum($"l_extendedprice").as("sa"),
+          dsum($"l_extendedprice" * $"l_extendedprice").as("saa"),
+          dsum($"l_extendedprice" * $"l_quantity").as("sab"))
+      m.select($"l_returnflag",
+        round(sqrt(($"sbb" - $"sb" * $"sb" / $"n") / ($"n" - 1.0)), 4)
+          .as("qty_sd"),
+        round(($"sbb" - $"sb" * $"sb" / $"n") / ($"n" - 1.0), 4)
+          .as("qty_var"),
+        round(($"sab" - $"sa" * $"sb" / $"n")
+          / sqrt(($"saa" - $"sa" * $"sa" / $"n")
+            * ($"sbb" - $"sb" * $"sb" / $"n")), 6).as("price_qty_corr"),
+        round(($"sab" - $"sa" * $"sb" / $"n") / ($"n" - 1.0), 2)
+          .as("price_qty_cov"))
     }
   )
 }

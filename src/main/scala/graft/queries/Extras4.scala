@@ -73,10 +73,7 @@ object Extras4 {
     // ---- TF-IDF: top term per doc (log arithmetic parity) --------------
     Qry(
       "q64_tfidf",
-      s"""WITH toks AS (SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '$TokenReDuck'),
-         |                t -> len(t) > 0) AS tk
-         |  FROM documents),
+      s"""WITH ${TextOps.oracleToksCte},
          |tf AS (SELECT doc_id, tok, COUNT(*) AS f,
          |    len(any_value(tk)) AS ntok
          |  FROM (SELECT doc_id, tk, unnest(tk) AS tok FROM toks)
@@ -118,10 +115,7 @@ object Extras4 {
     // ---- corpus quality filter (training-data selection) ---------------
     Qry(
       "q65_corpus_filter",
-      s"""WITH toks AS (SELECT doc_id, lang, text,
-         |    list_filter(string_split_regex(lower(text), '$TokenReDuck'),
-         |                t -> len(t) > 0) AS tk
-         |  FROM documents)
+      s"""WITH ${TextOps.oracleToksCte}
          |SELECT lang, COUNT(*) AS n_kept,
          |  SUM(CAST(len(tk) AS BIGINT)) AS tok_budget
          |FROM toks
@@ -143,17 +137,8 @@ object Extras4 {
     // ---- greedy near-dup removal (keep lowest doc_id of each pair) -----
     Qry(
       "q66_neardup_dedup",
-      s"""WITH toks AS (SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '$TokenReDuck'),
-         |                t -> len(t) > 0) AS tk
-         |  FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |    CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT)
-         |      % ${TextOps.P} AS h
-         |  FROM (SELECT doc_id,
-         |          unnest(list_distinct(list_transform(range(len(tk) - 2),
-         |            i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
-         |        FROM toks WHERE len(tk) >= 3)),
+      s"""WITH ${TextOps.oracleToksCte},
+         |${TextOps.oracleSh3Cte},
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |drop_list AS (
          |  SELECT DISTINCT b.doc_id AS victim

@@ -59,16 +59,8 @@ object Extras7 {
     // ---- duplicate clusters: connected components over near-dup pairs -
     Qry(
       "q74_dup_clusters",
-      s"""WITH RECURSIVE toks AS (SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '$TokenReDuck'),
-         |                t -> len(t) > 0) AS tk
-         |  FROM documents),
-         |sh AS (SELECT DISTINCT doc_id,
-         |    CAST(('0x' || substring(md5(sh), 1, 15)) AS BIGINT) % $P AS h
-         |  FROM (SELECT doc_id,
-         |          unnest(list_distinct(list_transform(range(len(tk) - 2),
-         |            i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
-         |        FROM toks WHERE len(tk) >= 3)),
+      s"""WITH RECURSIVE ${graft.operators.TextOps.oracleToksCte},
+         |${graft.operators.TextOps.oracleSh3Cte},
          |szn AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY doc_id) AS n, h
          |        FROM sh),
          |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared,

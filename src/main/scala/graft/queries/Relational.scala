@@ -454,7 +454,9 @@ object Relational {
         |      FROM events)
         |GROUP BY event_type""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val schema = StructType(Seq(StructField("k", IntegerType)))
+      // LongType, matching the oracle's TRY_CAST(... AS BIGINT): an
+      // IntegerType field would null out k values beyond Int range
+      val schema = StructType(Seq(StructField("k", LongType)))
       t(spark, dir).events
         .select($"event_type",
           from_json($"props", schema).getField("k").cast(LongType).as("k"))

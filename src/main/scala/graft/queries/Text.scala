@@ -25,20 +25,10 @@ object Text {
 
   private val K = 16; private val B = 4; private val R = 4
 
-  // ---- shared DuckDB CTE fragments ------------------------------------
-  private val toksCte =
-    s"""toks AS (SELECT doc_id, lang, text,
-       |  list_filter(string_split_regex(lower(text), '$TokenReDuck'),
-       |              t -> len(t) > 0) AS tk
-       |  FROM documents)""".stripMargin
-  private def hashSql(e: String) =
-    s"CAST(('0x' || substring(md5($e), 1, 15)) AS BIGINT) % $P"
-  private val sh3Cte =
-    s"""sh AS (SELECT DISTINCT doc_id, ${hashSql("sh")} AS h
-       |  FROM (SELECT doc_id,
-       |          unnest(list_distinct(list_transform(range(len(tk) - 2),
-       |            i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
-       |        FROM toks WHERE len(tk) >= 3))""".stripMargin
+  // ---- shared DuckDB CTE fragments (canonical copies in TextOps) ------
+  private val toksCte = TextOps.oracleToksCte
+  private def hashSql(e: String) = TextOps.oracleHashSql(e)
+  private val sh3Cte = TextOps.oracleSh3Cte
 
   // Spark-side distinct 3-gram shingle hashes per doc (operators.Dedup
   // is the single source of truth for the pipeline).

@@ -185,10 +185,10 @@ object TimeSeries {
          |    value,
          |    row_number() OVER (PARTITION BY event_type,
          |        time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
-         |      ORDER BY ts, event_id) AS rna,
+         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rna,
          |    row_number() OVER (PARTITION BY event_type,
          |        time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
-         |      ORDER BY ts DESC, event_id DESC) AS rnd
+         |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rnd
          |  FROM events)
          |SELECT event_type, bucket,
          |  MAX(CASE WHEN rna = 1 THEN value END) AS open,

@@ -42,7 +42,13 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_pass = n_fail = 0
-    names = sorted(p.name for p in out_dir.iterdir() if p.is_dir())
+    dir_names = {p.name for p in out_dir.iterdir() if p.is_dir()}
+    # a query that THREW during Verify has an oracle entry but no output
+    # dir — that must be a FAIL, not a silent omission
+    for missing in sorted(set(oracle) - dir_names):
+        print(f"FAIL {missing}: no output written (query threw in Verify)")
+        n_fail += 1
+    names = sorted(dir_names)
     for name in names:
         got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         got_cols = [c.lower() for c in got_rel.columns]
