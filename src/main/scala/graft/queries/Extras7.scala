@@ -5,8 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
 import graft.Exact._
-import graft.operators.{ConnectedComponents, Dedup}
-import graft.operators.TextOps.{TokenReDuck, P}
+import graft.operators.{ConnectedComponents, Dedup, TextOps}
 import graft.sources.Tables
 
 /** Seventh coverage wave: last-observation-carried-forward gap filling
@@ -54,6 +53,44 @@ object Extras7 {
           last($"nv", ignoreNulls = true).over(running).as("filled"),
           first($"value").over(running).as("first_seen"),
           nth_value($"value", 3).over(full).as("third_value"))
+    },
+
+    // ---- deterministic hash sampling (reproducible pipeline sampling) --
+    // Random sampling isn't reproducible across engines/runs; hashing
+    // content into [0,P) and thresholding is — the standard deterministic
+    // sampling technique for training-data pipelines (same doc always
+    // lands in the same split).
+    Qry(
+      "q75_hash_sample",
+      s"""SELECT doc_id, lang,
+         |  ${graft.operators.TextOps.oracleHashSql("text")} AS bucket
+         |FROM documents
+         |WHERE ${graft.operators.TextOps.oracleHashSql("text")}
+         |  < ${TextOps.P / 10}""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir).documents
+        .withColumn("bucket", TextOps.hashMod($"text"))
+        .filter($"bucket" < TextOps.P / 10)
+        .select($"doc_id", $"lang", $"bucket")
+    },
+
+    // ---- stratified deterministic sample: fixed quota per language -----
+    Qry(
+      "q76_stratified_sample",
+      s"""SELECT lang, doc_id, rn FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${graft.operators.TextOps.oracleHashSql("text")},
+         |               doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 10""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"lang")
+        .orderBy(TextOps.hashMod($"text"), $"doc_id")
+      t(spark, dir).documents
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"lang", $"doc_id", $"rn")
     },
 
     // ---- duplicate clusters: connected components over near-dup pairs -
