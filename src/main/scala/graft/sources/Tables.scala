@@ -25,21 +25,19 @@ final class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = load("orders")
   def lineitem: DataFrame = load("lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as a raw LONG
-    * (`legacy.parquet.nanosAsLong`) and derive the µs TimestampType column
-    * the rest of the engine uses, keeping the exact nanos in `ts_ns`
-    * (SURVEY.md §7.4 "nanosecond timestamps"). Integer `DIV` — a double
-    * division would lose precision above 2^53 ns. DuckDB's matching
-    * conversion is `CAST(ts AS TIMESTAMP)` (ns → µs truncation).
-    */
+  /** `events.ts` is parquet TIMESTAMP(NANOS) in the driver fixtures,
+    * which Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). We
+    * read nanos as a raw LONG (`legacy.parquet.nanosAsLong`) and derive
+    * the µs TimestampType column the rest of the engine uses, keeping
+    * the exact nanos in `ts_ns` (SURVEY.md §7.4). Integer `DIV` — a
+    * double division would lose precision above 2^53 ns. DuckDB's
+    * matching conversion is `CAST(ts AS TIMESTAMP)` (ns → µs
+    * truncation). Tables whose `ts` is already µs TimestampType (e.g.
+    * re-exported copies) are handled uniformly: `ts_ns` is then derived
+    * from the µs value. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load("events")
-      .withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts_ns DIV 1000")))
+    Tables.normalizeEventTime(load("events"))
   }
 
   def documents: DataFrame = load("documents")
@@ -59,4 +57,19 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Normalize an events-shaped frame to (`ts` µs TimestampType,
+    * `ts_ns` epoch-nanos LongType) regardless of the source's physical
+    * timestamp precision. */
+  def normalizeEventTime(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanosAsLong path
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case _ => // µs TimestampType or TIMESTAMP_NTZ (re-exported copies)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+    }
+  }
 }

@@ -56,9 +56,7 @@ object Streams {
     val streamDir = Streams.linkDir(path, name)
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(streamDir)
-    if (name == "events")
-      raw.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    if (name == "events") graft.sources.Tables.normalizeEventTime(raw)
     else raw
   }
 
