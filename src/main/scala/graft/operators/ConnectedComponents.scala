@@ -42,18 +42,20 @@ object ConnectedComponents {
       val neighborMin = sym
         .join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("component")).as("nmin"))
+      // checkpoint BEFORE the convergence count: counting first would
+      // evaluate the join once for the count and once again for the
+      // checkpoint (also cuts lineage so iteration i+1 doesn't re-plan i)
       val next = labels
         .join(neighborMin, col("id") === col("a"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .filter(col("n.component") =!= col("o.component"))
         .count()
-      labels = next.select(col("id"), col("component"))
-      // cut the growing lineage so iteration i+1 doesn't re-plan i plans
-      labels = labels.localCheckpoint(eager = true)
+      labels = next
       converged = changed == 0
       i += 1
     }
