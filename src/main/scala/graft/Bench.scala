@@ -22,7 +22,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failures (-1 sentinels) are excluded — summing them would make a
+    // failing round report a BETTER total than a clean one
+    val total = results.map(_._2).filter(_ >= 0).sum
     // streaming ingest throughput (the reference's headline metric:
     // msgs/sec through the buffer — here rows/sec through a full
     // file-stream -> keyed-aggregation -> sink micro-batch pipeline)

@@ -68,7 +68,7 @@ object Graft {
     def minhashCandidates(idCol: String, textCol: String,
         k: Int = 16, bands: Int = 4): DataFrame = {
       require(bands > 0 && k % bands == 0,
-        s"k ($k) must divide evenly into bands ($bands)")
+        s"k ($k) must be a positive multiple of bands ($bands)")
       val sig = Dedup.minhashSignatures(
         Dedup.shingleHashes(df, idCol, textCol), idCol, "h", k)
       Dedup.lshCandidatePairs(sig, idCol, bands, k / bands)

@@ -16,14 +16,23 @@ object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def build(appName: String = "graft"): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val builder = SparkSession.builder()
+    // only default the master when nothing supplied one — hardcoding it
+    // would silently override spark-submit's --master on a real cluster
+    if (sys.props.get("spark.master").isEmpty &&
+        sys.env.get("SPARK_MASTER").isEmpty)
+      builder.master(s"local[$cpus]")
+    val s = builder
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // set at session build rather than mid-flight by the events loader:
+      // the fixtures' TIMESTAMP(NANOS) columns need it, and flipping a
+      // session-global flag inside a table getter is action-at-a-distance
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

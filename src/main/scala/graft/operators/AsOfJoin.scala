@@ -52,11 +52,14 @@ object AsOfJoin {
     val payload = struct(
       (carry.map { case (c, out) => col(c).as(out) } :+
         col(rightTime).as(rtField)): _*)
-    // Equi-join semantics: right rows with NULL keys can never match, so
-    // drop them up front (Window.partitionBy would otherwise group NULL
-    // with NULL and fabricate matches the SQL oracles don't produce).
-    val rightNonNull = keys.map { case (_, rk) => col(rk).isNotNull }
-      .reduce(_ && _)
+    require(keys.nonEmpty, "as-of join requires at least one equi-key")
+    // Equi/ordering semantics: right rows with NULL keys OR a NULL time
+    // can never match (SQL: NULL = x and NULL <= x are both unknown), so
+    // drop them up front — Window.partitionBy groups NULL keys together
+    // and NULLS-FIRST ordering would otherwise carry a NULL-time row's
+    // payload onto left rows that have no real match.
+    val rightNonNull = (keys.map { case (_, rk) => col(rk).isNotNull } :+
+      col(rightTime).isNotNull).reduce(_ && _)
     // Right rows are re-keyed to the left's column names so one window
     // partitioning covers both sides; non-key left columns become typed
     // nulls (never read back — right rows are filtered out at the end).

@@ -59,6 +59,12 @@ object ConnectedComponents {
       converged = changed == 0
       i += 1
     }
+    // silent truncation would return WRONG labels with no signal —
+    // diameter-heavy graphs must fail loudly, not corrupt downstream dedup
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIterations " +
+          "iterations; raise maxIterations (graph diameter exceeds it)")
     labels
   }
 }

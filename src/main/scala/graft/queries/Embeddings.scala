@@ -66,20 +66,10 @@ object Embeddings {
          |        ORDER BY cosine DESC, vec_id) AS rn FROM pairs)
          |WHERE rn <= 5""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val n = emb(spark, dir)
-        .select($"vec_id", Vectors.toDouble($"embedding").as("v"))
-        .withColumn("nr", Vectors.norm($"v"))
-      val q = n.filter($"vec_id" < 10)
-        .select($"vec_id".as("qid"), $"v".as("qv"), $"nr".as("qnr"))
-      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"vec_id")
-      n.crossJoin(broadcast(q))
-        .filter($"vec_id" =!= $"qid")
-        .select($"qid", $"vec_id",
-          Vectors.cosine(Vectors.dot($"qv", $"v"), $"qnr", $"nr").as("cosine"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 5)
-        .select($"qid", $"vec_id".as("neighbor_id"), $"rn".as("rank"),
-          $"cosine")
+      import graft.Graft._
+      val e = emb(spark, dir)
+      e.cosineTopK(e.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+        .select($"query_id".as("qid"), $"neighbor_id", $"rank", $"cosine")
     },
 
     // ---- IVF: nearest-centroid assignment ------------------------------

@@ -105,7 +105,7 @@ object Extras2 {
         .groupBy($"user_id")
         .pivot("event_type", types)
         .agg(count(one))
-        .na.fill(0L)
+        .na.fill(0L, types) // not the group key
         .unpivot(Array($"user_id"), types.map(col).toArray,
           "event_type", "n")
     }

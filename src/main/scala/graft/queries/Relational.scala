@@ -441,7 +441,9 @@ object Relational {
         .groupBy($"user_id")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(one))
-        .na.fill(0L)
+        // fill only the pivoted columns — a blanket fill would also
+        // rewrite a NULL group key to 0
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
     },
 
     // ---- JSON extraction (events.props) --------------------------------
@@ -450,7 +452,7 @@ object Relational {
       """SELECT event_type,
         |  SUM(k) AS k_sum, COUNT(k) AS k_n, MAX(k) AS k_max, MIN(k) AS k_min
         |FROM (SELECT event_type,
-        |        TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type""".stripMargin) { (spark, dir) =>
       import spark.implicits._

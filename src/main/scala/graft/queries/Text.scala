@@ -262,7 +262,8 @@ object Text {
         .select(bit_count($"fa".bitwiseXOR($"fb")).cast(LongType)
           .as("hamming"), ($"ca" * $"cb").as("w"))
       val same = fpc.select(lit(0L).as("hamming"),
-        ($"c" * ($"c" - 1) / 2).cast(LongType).as("w")).filter($"w" > 0)
+        // integral DIV: double `/` rounds once c*(c-1) exceeds 2^53
+        expr("c * (c - 1) DIV 2").as("w")).filter($"w" > 0)
       cross.unionByName(same)
         .groupBy($"hamming").agg(sum($"w").as("n_pairs"))
     },

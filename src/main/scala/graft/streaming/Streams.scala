@@ -68,13 +68,15 @@ object Streams {
   def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
     val spark = df.sparkSession
     val table = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream.outputMode(outputMode)
-      .format("memory").queryName(table).start()
-    try q.processAllAvailable() finally q.stop()
-    val sink = spark.table(table)
-    val rows = sink.collectAsList()
-    val out = spark.createDataFrame(rows, sink.schema)
-    spark.catalog.dropTempView(table)
-    out
+    try {
+      val q = df.writeStream.outputMode(outputMode)
+        .format("memory").queryName(table).start()
+      try q.processAllAvailable() finally q.stop()
+      val sink = spark.table(table)
+      spark.createDataFrame(sink.collectAsList(), sink.schema)
+    } finally {
+      // also on failure — orphaned sink tables pin rows in the driver
+      spark.catalog.dropTempView(table)
+    }
   }
 }

@@ -22,6 +22,16 @@ class EdgeSemanticsSpec extends SparkTestBase {
     assert(out("null-key") == null) // NULL never equals NULL
   }
 
+  test("as-of join ignores right rows with NULL time") {
+    val left = Seq((1L, 100L, "l")).toDF("k", "t", "lv")
+    val right = Seq((1L, Option.empty[Long], "null-time"))
+      .toDF("k", "rt", "rv")
+    val out = AsOfJoin.backward(left, right,
+      keys = Seq("k" -> "k"), leftTime = "t", rightTime = "rt",
+      carry = Seq("rv" -> "rv")).head()
+    assert(out.getString(3) == null) // NULL <= t is unknown → no match
+  }
+
   test("update output mode emits only changed aggregate rows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]

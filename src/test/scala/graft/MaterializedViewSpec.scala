@@ -61,8 +61,12 @@ class MaterializedViewSpec extends SparkTestBase {
       .write.mode("append").parquet(dir)
     val merged = spark.read.option("mergeSchema", "true").parquet(dir)
     assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    // address columns by name — merged column ORDER depends on file
+    // listing order and is not stable
     val rows = merged.orderBy("id").collect()
-    assert(rows(0).getString(1) == "a" && rows(0).isNullAt(2))
-    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 3.5)
+    assert(rows(0).getAs[String]("name") == "a" &&
+      rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("name")) &&
+      rows(1).getAs[Double]("score") == 3.5)
   }
 }

@@ -43,9 +43,13 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     n_pass = n_fail = 0
     dir_names = {p.name for p in out_dir.iterdir() if p.is_dir()}
-    # a query that THREW during Verify has an oracle entry but no output
-    # dir — that must be a FAIL, not a silent omission
-    for missing in sorted(set(oracle) - dir_names):
+    # a query that THREW during Verify leaves no output dir — that must
+    # be a FAIL, not a silent omission; the manifest covers rows-only
+    # queries that have no oracle entry
+    manifest = out_dir / "queries.json"
+    expected = set(json.loads(manifest.read_text())) if manifest.exists() \
+        else set(oracle)
+    for missing in sorted(expected - dir_names):
         print(f"FAIL {missing}: no output written (query threw in Verify)")
         n_fail += 1
     names = sorted(dir_names)
@@ -54,7 +58,13 @@ def main():
         got_cols = [c.lower() for c in got_rel.columns]
         got = got_rel.fetchall()
         if name not in oracle:
-            print(f"ROWS-ONLY {name}: rows={len(got)}")
+            # rows-only contract (SparkEntry): result must be non-empty
+            if got:
+                print(f"ROWS-ONLY {name}: rows={len(got)} PASS")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+                n_fail += 1
             continue
         try:
             exp_rel = con.sql(oracle[name])
