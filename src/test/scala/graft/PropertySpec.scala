@@ -1,0 +1,66 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{Sessionize, TextOps}
+
+/** ScalaCheck property tests (SURVEY.md §5.2.3) — invariants the
+  * reference never asserted, checked over generated inputs. Uses the
+  * ScalaCheck API directly (fixed seed via the default RNG + bounded
+  * sizes keep runtime sane on a shared Spark session). */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def check(p: Prop, tests: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(tests), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: sessionization is a partition (conservation + bounds)") {
+    val rowsGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(1L, 4L), Gen.choose(0L, 5000L)))
+    check(Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("k", "t")
+      val out = Sessionize.byGap(df, Seq("k"), "t", gapMs = 500L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val conserved = out.length == rows.length
+      val withinGap = out.groupBy(r => (r._1, r._3)).forall {
+        case (_, sess) =>
+          val ts = sess.map(_._2).sorted
+          ts.zip(ts.tail).forall { case (a, b) => b - a <= 500L }
+      }
+      // session ids are 1..K contiguous per key
+      val contiguous = out.groupBy(_._1).forall { case (_, rs) =>
+        val ids = rs.map(_._3).distinct.sorted.toList
+        ids == (1L to ids.length).toList
+      }
+      conserved && withinGap && contiguous
+    }, tests = 15)
+  }
+
+  test("property: fingerprint is injective-ish and permutation-sensitive") {
+    val tokGen = Gen.listOfN(6,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    check(Prop.forAll(tokGen, tokGen) { (a, b) =>
+      val Seq(fa, fb) = Seq(a, b).map(_.mkString(" "))
+        .toDF("text").select(TextOps.docFingerprint($"text"))
+        .as[Long].collect().toSeq
+      // equal token sequences → equal fingerprints; the converse holds
+      // with overwhelming probability for these tiny vocabularies
+      if (a == b) fa == fb
+      else fa != fb || a == b
+    }, tests = 15)
+  }
+
+  test("property: hashMod stays in [0, P) and is stable") {
+    val sGen = Gen.alphaNumStr.map(_.take(40))
+    check(Prop.forAll(Gen.listOfN(20, sGen)) { ss =>
+      val hs = ss.toDF("s").select(TextOps.hashMod($"s"))
+        .as[Long].collect()
+      val hs2 = ss.toDF("s").select(TextOps.hashMod($"s"))
+        .as[Long].collect()
+      hs.forall(h => h >= 0 && h < TextOps.P) && hs.sameElements(hs2)
+    }, tests = 10)
+  }
+}
