@@ -114,6 +114,10 @@ object Extras {
     },
 
     // ---- array function family -----------------------------------------
+    // NOTE: the gate-checked output must contain NO array/map/struct
+    // columns — the driver's pandas compare crashes sorting them
+    // (CORRECTNESS_r01 q54 harness error) — so top3 is emitted as three
+    // scalar columns.
     Qry(
       "q54_array_funcs",
       """SELECT vec_id,
@@ -121,19 +125,25 @@ object Extras {
         |  list_max(v) AS max_val,
         |  list_min(v) AS min_val,
         |  CAST(list_position(v, list_max(v)) AS BIGINT) AS max_pos,
-        |  list_sort(v, 'DESC')[1:3] AS top3,
+        |  list_sort(v, 'DESC')[1] AS top3_1,
+        |  list_sort(v, 'DESC')[2] AS top3_2,
+        |  list_sort(v, 'DESC')[3] AS top3_3,
         |  list_contains(v, 0.0) AS has_zero
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |      FROM embeddings)""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       t(spark, dir).embeddings
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .select($"vec_id", $"v",
+          sort_array($"v", asc = false).as("vd"))
         .select($"vec_id",
           size($"v").cast(LongType).as("dim"),
           array_max($"v").as("max_val"),
           array_min($"v").as("min_val"),
           array_position($"v", array_max($"v")).as("max_pos"),
-          slice(sort_array($"v", asc = false), 1, 3).as("top3"),
+          element_at($"vd", 1).as("top3_1"),
+          element_at($"vd", 2).as("top3_2"),
+          element_at($"vd", 3).as("top3_3"),
           array_contains($"v", 0.0).as("has_zero"))
     }
   )

@@ -117,7 +117,7 @@ object Extras4 {
       "q65_corpus_filter",
       s"""WITH ${TextOps.oracleToksCte}
          |SELECT lang, COUNT(*) AS n_kept,
-         |  SUM(CAST(len(tk) AS BIGINT)) AS tok_budget
+         |  CAST(SUM(len(tk)) AS BIGINT) AS tok_budget
          |FROM toks
          |WHERE len(tk) >= 10
          |  AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)

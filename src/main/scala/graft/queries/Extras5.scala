@@ -21,9 +21,9 @@ object Extras5 {
       "q67_map_funcs",
       """SELECT event_type,
         |  COUNT(*) AS n,
-        |  SUM(CAST(len(json_keys(props)) AS BIGINT)) AS total_keys,
-        |  SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
-        |      THEN 1 ELSE 0 END) AS with_k,
+        |  CAST(SUM(len(json_keys(props))) AS BIGINT) AS total_keys,
+        |  CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS with_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._

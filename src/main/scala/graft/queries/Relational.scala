@@ -450,7 +450,8 @@ object Relational {
     Qry(
       "q22_json_props",
       """SELECT event_type,
-        |  SUM(k) AS k_sum, COUNT(k) AS k_n, MAX(k) AS k_max, MIN(k) AS k_min
+        |  CAST(SUM(k) AS BIGINT) AS k_sum,
+        |  COUNT(k) AS k_n, MAX(k) AS k_max, MIN(k) AS k_min
         |FROM (SELECT event_type,
         |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)

@@ -54,7 +54,7 @@ object Text {
       "q33_token_stats",
       s"""WITH $toksCte
          |SELECT lang, COUNT(*) AS n_docs,
-         |  SUM(len(tk)) AS tok_sum,
+         |  CAST(SUM(len(tk)) AS BIGINT) AS tok_sum,
          |  CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS tok_avg,
          |  CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS chars_avg
          |FROM toks GROUP BY 1""".stripMargin) { (spark, dir) =>

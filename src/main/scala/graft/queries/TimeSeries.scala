@@ -228,9 +228,10 @@ object TimeSeries {
          |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
          |  sess AS (
          |    SELECT user_id, ms, value,
-         |      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |      CAST(SUM(new_s) OVER (PARTITION BY user_id
+         |        ORDER BY ms, event_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |        AS session_id
+         |        AS BIGINT) AS session_id
          |    FROM flags)
          |SELECT user_id, session_id, COUNT(*) AS n_events,
          |  MIN(ms) AS start_ms, MAX(ms) AS end_ms,

@@ -22,8 +22,8 @@ object Wire {
       "q47_wire_roundtrip",
       s"""SELECT l_returnflag,
          |  COUNT(*) AS n,
-         |  SUM(l_orderkey) AS key_sum,
-         |  SUM(l_linenumber) AS line_sum,
+         |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+         |  CAST(SUM(l_linenumber) AS BIGINT) AS line_sum,
          |  ${dsumSql("l_extendedprice")} AS price_sum
          |FROM lineitem GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
