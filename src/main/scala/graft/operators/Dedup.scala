@@ -36,24 +36,40 @@ object Dedup {
       .select(col(idCol), TextOps.hashMod(col("__sh")).as("h"))
       .distinct()
 
+  /** Hot-shingle document-frequency cap. The shared-shingle join fans
+    * out quadratically in a shingle's document frequency, so a single
+    * boilerplate n-gram appearing in 10^6 documents would put 10^12 rows
+    * through the shuffle. Ubiquitous shingles carry no near-dup signal;
+    * dropping them bounds the per-key fanout at dfCap² while leaving
+    * discriminative shingles untouched. 256 is far above the fixtures'
+    * max df (25) — results are identical there — and far below where the
+    * fanout hurts. */
+  val DefaultDfCap: Int = 256
+
   /** Exact Jaccard pairs (id_a < id_b) from per-id shingle-hash sets:
     * one shared-shingle equi-join + set-size joins. Columns:
     * id_a, id_b, shared, n_a, n_b, jaccard. Callers threshold/rename.
     *
-    * Scale note: the join fans out quadratically in a shingle's document
-    * frequency. The fixtures top out at df=25, so no cap is applied here;
-    * at web scale, drop shingles with df above a few hundred first
-    * (ubiquitous boilerplate n-grams carry no near-dup signal and those
-    * hot keys dominate the shuffle) — a one-line filter on a df aggregate
-    * of `sh`, mirrored in any oracle. */
-  def jaccardPairs(sh: DataFrame, idCol: String): DataFrame = {
+    * Shingles with document frequency > dfCap are dropped FIRST (set
+    * sizes and jaccard are computed over the capped shingle space, so
+    * the semantics stay internally consistent); dfCap <= 0 disables the
+    * cap. Oracle twin: TextOps.oracleShCappedCte. */
+  def jaccardPairs(sh: DataFrame, idCol: String,
+      dfCap: Int = DefaultDfCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped =
+      if (dfCap > 0)
+        // window count over h: one extra shuffle, but it lands on the
+        // same key the self-join below shuffles on
+        sh.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+          .filter(col("__df") <= dfCap).drop("__df")
+      else sh
     // set sizes ride along as a window count over the same pass instead
     // of a separate aggregate + two re-joins: the (expensive) shingle
     // pipeline is evaluated twice (self-join sides) instead of three
     // times, and two shuffles disappear
-    val withN = sh.withColumn("__n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idCol))))
+    val withN = capped.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col(idCol))))
     val a = withN.select(col(idCol).as("id_a"), col("h"),
       col("__n").as("n_a"))
     val b = withN.select(col(idCol).as("id_b"), col("h").as("__h2"),

@@ -94,4 +94,11 @@ object TextOps {
        |          unnest(list_distinct(list_transform(range(len(tk) - 2),
        |            i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
        |        FROM toks WHERE len(tk) >= 3))""".stripMargin
+
+  /** DuckDB twin of the df-cap inside `Dedup.jaccardPairs`: `shc` is
+    * `sh` minus shingles whose document frequency exceeds `cap`. */
+  def oracleShCappedCte(cap: Int): String =
+    s"""shc AS (SELECT doc_id, h FROM (
+       |  SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM sh)
+       |  WHERE df <= $cap)""".stripMargin
 }

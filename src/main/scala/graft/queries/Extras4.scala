@@ -139,10 +139,11 @@ object Extras4 {
       "q66_neardup_dedup",
       s"""WITH ${TextOps.oracleToksCte},
          |${TextOps.oracleSh3Cte},
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |${TextOps.oracleShCappedCte(graft.operators.Dedup.DefaultDfCap)},
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
          |drop_list AS (
          |  SELECT DISTINCT b.doc_id AS victim
-         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
          |    JOIN sizes sa ON a.doc_id = sa.doc_id
          |    JOIN sizes sb ON b.doc_id = sb.doc_id
          |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n

@@ -17,6 +17,11 @@ object Extras5 {
   val all: Seq[Qry] = Seq(
 
     // ---- map functions over JSON-decoded props -------------------------
+    // Path extraction (get_json_object / json_object_keys), NOT
+    // from_json into MapType: materializing a full map per row to read
+    // one key and a key count is the per-row-parser anti-pattern — at
+    // 100 TB the map never needs to exist. Parity with the DuckDB oracle
+    // probed on events.props (clean single-key JSON objects, no nulls).
     Qry(
       "q67_map_funcs",
       """SELECT event_type,
@@ -27,15 +32,16 @@ object Extras5 {
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val m = from_json($"props", MapType(StringType, StringType))
       t(spark, dir).events
-        .select($"event_type", m.as("pm"))
+        .select($"event_type",
+          size(expr("json_object_keys(props)")).cast(LongType).as("nk"),
+          get_json_object($"props", "$.k").as("kv"))
         .groupBy($"event_type")
         .agg(count(one).as("n"),
-          sum(size(map_keys($"pm")).cast(LongType)).as("total_keys"),
-          sum(when(element_at($"pm", "k").isNotNull, 1).otherwise(0))
+          sum($"nk").as("total_keys"),
+          sum(when($"kv".isNotNull, 1).otherwise(0))
             .cast(LongType).as("with_k"),
-          max(element_at($"pm", "k").cast(LongType)).as("max_k"))
+          max($"kv".cast(LongType)).as("max_k"))
     },
 
     // ---- math function family ------------------------------------------

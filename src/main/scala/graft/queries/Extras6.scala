@@ -20,19 +20,45 @@ object Extras6 {
     // Supplier ids differ only in trailing digits, so small Levenshtein
     // radii produce real candidate sets — the entity-resolution shape of
     // dedup (vs. the content-hash shapes in q32/q36-q38).
+    //
+    // Candidates come from PassJoin-style segment blocking (Li et al.,
+    // VLDB 2011), NOT an all-pairs product: each name is cut into 3
+    // fixed 6-char segments and only pairs sharing a segment — an
+    // EQUI-JOIN on (segment index, segment text) — are scored. For
+    // equal-length strings, substitution distance <= 2 touches at most 2
+    // of the 3 segments, so every such pair survives blocking
+    // (pigeonhole); the oracle mirrors the identical blocking, so the
+    // two sides agree by construction. Per-block fanout is bounded by
+    // block size, never O(n²) over the table.
     Qry(
       "q69_fuzzy_match",
-      """SELECT dist, COUNT(*) AS n_pairs
-        |FROM (
-        |  SELECT levenshtein(a.s_name, b.s_name) AS dist
-        |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey)
+      """WITH seg AS (
+        |  SELECT s_suppkey AS k, s_name AS nm, i AS si,
+        |    substring(s_name, CAST(i*6+1 AS INTEGER), 6) AS sv
+        |  FROM supplier, (SELECT unnest([0,1,2]) AS i)),
+        |cand AS (
+        |  SELECT DISTINCT a.k AS ka, b.k AS kb, a.nm AS na, b.nm AS nb
+        |  FROM seg a JOIN seg b
+        |    ON a.si = b.si AND a.sv = b.sv AND a.k < b.k)
+        |SELECT levenshtein(na, nb) AS dist, COUNT(*) AS n_pairs
+        |FROM cand
+        |WHERE levenshtein(na, nb) <= 2
         |GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val s = t(spark, dir).supplier
-      val a = s.select($"s_suppkey".as("ka"), $"s_name".as("na"))
-      val b = s.select($"s_suppkey".as("kb"), $"s_name".as("nb"))
-      a.join(b, $"ka" < $"kb")
+      val seg = s.select($"s_suppkey".as("k"), $"s_name".as("nm"),
+          explode(array((0 until 3).map { i =>
+            struct(lit(i).as("si"),
+              substring($"s_name", i * 6 + 1, 6).as("sv"))
+          }: _*)).as("b"))
+        .select($"k", $"nm", $"b.si".as("si"), $"b.sv".as("sv"))
+      val a = seg.select($"k".as("ka"), $"nm".as("na"), $"si", $"sv")
+      val b = seg.select($"k".as("kb"), $"nm".as("nb"),
+        $"si".as("si2"), $"sv".as("sv2"))
+      a.join(b, $"si" === $"si2" && $"sv" === $"sv2" && $"ka" < $"kb")
+        .select($"ka", $"kb", $"na", $"nb").distinct()
         .select(levenshtein($"na", $"nb").as("dist"))
+        .filter($"dist" <= 2)
         .groupBy($"dist").agg(count(one).as("n_pairs"))
     },
 

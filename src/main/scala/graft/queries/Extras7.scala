@@ -98,8 +98,10 @@ object Extras7 {
       "q74_dup_clusters",
       s"""WITH RECURSIVE ${graft.operators.TextOps.oracleToksCte},
          |${graft.operators.TextOps.oracleSh3Cte},
+         |${graft.operators.TextOps.oracleShCappedCte(
+             graft.operators.Dedup.DefaultDfCap)},
          |szn AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY doc_id) AS n, h
-         |        FROM sh),
+         |        FROM shc),
          |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared,
          |    MAX(a.n) AS na, MAX(b.n) AS nb
          |  FROM szn a JOIN szn b ON a.h = b.h AND a.doc_id < b.doc_id

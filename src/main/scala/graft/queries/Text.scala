@@ -161,9 +161,10 @@ object Text {
       "q36_ngram_jaccard",
       s"""WITH $toksCte,
          |$sh3Cte,
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |${TextOps.oracleShCappedCte(Dedup.DefaultDfCap)},
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
          |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
-         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |          FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT da AS doc_a, db AS doc_b, shared,
          |  sa.n AS n_a, sb.n AS n_b,
@@ -227,7 +228,14 @@ object Text {
         .withColumn("est_jaccard", $"n_match".cast("double") / K)
     },
 
-    // ---- SimHash pairwise hamming-distance histogram -------------------
+    // ---- SimHash near-duplicate histogram (hamming <= 3) ----------------
+    // Hamming-LSH banding (Manku/Jain/Sarma, WWW 2007): the 31-bit
+    // fingerprint is cut into 4 bands (8+8+8+7 bits); a pair within
+    // hamming distance 3 has its <= 3 differing bits in at most 3 bands,
+    // so it matches at least one band EXACTLY (pigeonhole) — candidate
+    // generation is an equi-join on (band index, band value), complete
+    // for d <= 3, never an all-pairs product. The oracle states the same
+    // result declaratively (thresholded all-pairs is exact at oracle SF).
     Qry(
       "q38_simhash", {
         val bitSums = (0 until 31).map(j =>
@@ -239,10 +247,18 @@ object Text {
            |th AS (SELECT DISTINCT doc_id, ${hashSql("tok")} AS h
            |       FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)),
            |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY 1),
-           |fp AS (SELECT doc_id, CAST($fpSum AS BIGINT) AS simhash FROM bits)
-           |SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming,
-           |  COUNT(*) AS n_pairs
-           |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+           |fp AS (SELECT doc_id, CAST($fpSum AS BIGINT) AS simhash FROM bits),
+           |fpc AS (SELECT simhash, COUNT(*) AS c FROM fp GROUP BY 1),
+           |cross_pairs AS (
+           |  SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming,
+           |    a.c * b.c AS w
+           |  FROM fpc a JOIN fpc b ON a.simhash < b.simhash
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |same_pairs AS (
+           |  SELECT 0 AS hamming, c * (c - 1) // 2 AS w FROM fpc WHERE c > 1)
+           |SELECT CAST(hamming AS BIGINT) AS hamming,
+           |  CAST(SUM(w) AS BIGINT) AS n_pairs
+           |FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs)
            |GROUP BY 1""".stripMargin
       }) { (spark, dir) =>
       import spark.implicits._
@@ -252,15 +268,29 @@ object Text {
         .select($"doc_id", TextOps.hashMod($"tok").as("h")).distinct()
       val fp = Dedup.simhash(th, "doc_id", "h")
       // Multiplicity compression: group identical fingerprints first so
-      // the quadratic stage runs over DISTINCT fingerprints weighted by
-      // their counts (at scale, near-dup corpora collapse heavily here);
+      // banding runs over DISTINCT fingerprints weighted by their counts
+      // (at scale, near-dup corpora collapse heavily here);
       // same-fingerprint doc pairs contribute c·(c−1)/2 at hamming 0.
       val fpc = fp.groupBy($"simhash").agg(count(one).as("c"))
-      val a = fpc.select($"simhash".as("fa"), $"c".as("ca"))
-      val b = fpc.select($"simhash".as("fb"), $"c".as("cb"))
-      val cross = a.join(b, $"fa" < $"fb")
+      // 4 bands over bits [0,8) [8,16) [16,24) [24,31)
+      val bandDefs = Seq((0, 8), (8, 8), (16, 8), (24, 7))
+      val banded = fpc.select($"simhash", $"c",
+          explode(array(bandDefs.zipWithIndex.map { case ((off, w), i) =>
+            struct(lit(i).as("bi"),
+              shiftright($"simhash", off).bitwiseAND(lit((1L << w) - 1))
+                .as("bv"))
+          }: _*)).as("b"))
+        .select($"simhash", $"c", $"b.bi".as("bi"), $"b.bv".as("bv"))
+      val a = banded.select($"simhash".as("fa"), $"c".as("ca"), $"bi", $"bv")
+      val b = banded.select($"simhash".as("fb"), $"c".as("cb"),
+        $"bi".as("bi2"), $"bv".as("bv2"))
+      // a pair can match in several bands — distinct before weighting
+      val cross = a.join(b, $"bi" === $"bi2" && $"bv" === $"bv2" &&
+          $"fa" < $"fb")
+        .select($"fa", $"fb", $"ca", $"cb").distinct()
         .select(bit_count($"fa".bitwiseXOR($"fb")).cast(LongType)
           .as("hamming"), ($"ca" * $"cb").as("w"))
+        .filter($"hamming" <= 3)
       val same = fpc.select(lit(0L).as("hamming"),
         // integral DIV: double `/` rounds once c*(c-1) exceeds 2^53
         expr("c * (c - 1) DIV 2").as("w")).filter($"w" > 0)
