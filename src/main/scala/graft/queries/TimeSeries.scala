@@ -223,7 +223,7 @@ object TimeSeries {
          |  flags AS (
          |    SELECT user_id, event_id, ms, value,
          |      CASE WHEN lag(ms) OVER w IS NULL
-         |             OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END
+         |             OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END
          |        AS new_s
          |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
          |  sess AS (

@@ -22,28 +22,42 @@ object Wire {
       "q47_wire_roundtrip",
       s"""SELECT l_returnflag,
          |  COUNT(*) AS n,
-         |  CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
-         |  CAST(SUM(l_linenumber) AS BIGINT) AS line_sum,
-         |  ${dsumSql("l_extendedprice")} AS price_sum
+         |  CAST(SUM(l_suppkey) AS BIGINT) AS sym_sum,
+         |  ${dsumSql("l_extendedprice")} AS price_sum,
+         |  CAST(SUM(l_linenumber) AS BIGINT) AS qty_sum,
+         |  CAST(MAX(epoch_ms(l_shipdate) * 1000000) AS BIGINT) AS ts_max,
+         |  MAX(ascii(l_returnflag)) AS ex_max
          |FROM lineitem GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       GraftFunctions.register(spark)
-      // record layout: [orderkey u64 @0][extendedprice f64 @8][linenumber u32 @16]
+      // The reference's full 5-field record (/root/reference/src/main.rs:46-62):
+      // [symbol_id u32 @0][price f64 @4][quantity u32 @12]
+      // [timestamp u64 ns @16][exchange_id u8 @24] — 25 bytes packed.
+      // symbol←suppkey, price←extendedprice, quantity←linenumber,
+      // timestamp←shipdate epoch-ns, exchange←ascii(returnflag).
       Tables(spark, dir).lineitem
         .select($"l_returnflag",
           concat(
-            expr("le_encode_u64(l_orderkey)"),
+            expr("le_encode_u32(CAST(l_suppkey AS INT))"),
             expr("le_encode_f64(l_extendedprice)"),
-            expr("le_encode_u32(l_linenumber)")).as("rec"))
+            expr("le_encode_u32(l_linenumber)"),
+            // l_shipdate is TIMESTAMP_NTZ; session tz is UTC, so the
+            // cast is the identity instant mapping
+            expr("le_encode_u64(unix_millis(CAST(l_shipdate AS TIMESTAMP)) * 1000000)"),
+            expr("le_encode_u8(ascii(l_returnflag))")).as("rec"))
         .select($"l_returnflag",
-          expr("le_u64(rec, 0)").as("l_orderkey"),
-          expr("le_f64(rec, 8)").as("l_extendedprice"),
-          expr("le_u32(rec, 16)").as("l_linenumber"))
+          expr("le_u32(rec, 0)").as("symbol_id"),
+          expr("le_f64(rec, 4)").as("price"),
+          expr("le_u32(rec, 12)").as("quantity"),
+          expr("le_u64(rec, 16)").as("ts_ns"),
+          expr("le_u8(rec, 24)").as("exchange_id"))
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum($"l_orderkey").as("key_sum"),
-          sum($"l_linenumber").as("line_sum"),
-          dsum($"l_extendedprice").as("price_sum"))
+          sum($"symbol_id").as("sym_sum"),
+          dsum($"price").as("price_sum"),
+          sum($"quantity").as("qty_sum"),
+          max($"ts_ns").as("ts_max"),
+          max($"exchange_id").as("ex_max"))
     }
   )
 }

@@ -83,19 +83,20 @@ class RangeJoinSpec extends SparkTestBase {
 class SessionizeSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("gap strictly greater than threshold starts a new session") {
+  test("gap reaching the threshold starts a new session (session_window)") {
     val df = Seq(
-      (1L, 0L), (1L, 1_000L), (1L, 2_000L),  // session 1
-      (1L, 3_001L),                          // gap 1001 > 1000 → session 2
-      (1L, 4_001L),                          // gap exactly 1000 → stays
+      (1L, 0L), (1L, 999L),                  // session 1
+      (1L, 2_000L),                          // gap 1001 >= 1000 → session 2
+      (1L, 3_000L),                          // gap exactly 1000 → session 3
+      (1L, 3_999L),                          // gap 999 < 1000 → stays
       (2L, 0L))                              // separate key
       .toDF("k", "t")
     val out = Sessionize.byGap(df, Seq("k"), "t", gapMs = 1_000L)
       .orderBy("k", "t")
       .select($"k", $"t", $"session_id").as[(Long, Long, Long)].collect()
     assert(out.toSeq == Seq(
-      (1L, 0L, 1L), (1L, 1_000L, 1L), (1L, 2_000L, 1L),
-      (1L, 3_001L, 2L), (1L, 4_001L, 2L), (2L, 0L, 1L)))
+      (1L, 0L, 1L), (1L, 999L, 1L), (1L, 2_000L, 2L),
+      (1L, 3_000L, 3L), (1L, 3_999L, 3L), (2L, 0L, 1L)))
   }
 }
 

@@ -28,7 +28,7 @@ class PropertySpec extends SparkTestBase {
       val withinGap = out.groupBy(r => (r._1, r._3)).forall {
         case (_, sess) =>
           val ts = sess.map(_._2).sorted
-          ts.zip(ts.tail).forall { case (a, b) => b - a <= 500L }
+          ts.zip(ts.tail).forall { case (a, b) => b - a < 500L }
       }
       // session ids are 1..K contiguous per key
       val contiguous = out.groupBy(_._1).forall { case (_, rs) =>
