@@ -37,7 +37,36 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("count")).head().getLong(0)
       n / ((System.nanoTime() - t0) / 1e9)
     } catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_rows_per_sec":$ingestRate,"sf":"$sfDir"}""")
+    // per-batch ingest latency percentiles — the reference's headline
+    // metric is write/read micro-latency P50–P99.99
+    // (/root/reference/src/tests/integration_test.rs:541-551, :565-720).
+    // The Spark analog of one buffer "operation" is one micro-batch
+    // trigger: split the events fixture into many files, admit one per
+    // trigger, and read triggerExecution durations from query progress.
+    val latJson = try {
+      import org.apache.spark.sql.functions.col
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lat_")
+      tmp.toFile.deleteOnExit()
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      ev.repartition(48).write.mode("overwrite").parquet(tmp.toString)
+      val src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp.toString)
+      val agg = src.groupBy(col("event_type")).count()
+      val q = agg.writeStream.outputMode("complete")
+        .format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+      val lat = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(_.durationMs.get("triggerExecution").toDouble)
+        .sorted
+      def pct(p: Double): Double =
+        if (lat.isEmpty) -1.0
+        else lat(math.min(lat.length - 1, math.ceil(p * lat.length).toInt - 1)
+          .max(0))
+      s""","ingest_latency_ms":{"p50":${pct(0.50)},"p90":${pct(0.90)},"p99":${pct(0.99)},"p999":${pct(0.999)},"p9999":${pct(0.9999)},"batches":${lat.length}}"""
+    } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_rows_per_sec":$ingestRate$latJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
