@@ -61,4 +61,18 @@ object Vectors {
       when(dot(v, hyperplane(j, dim)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Banded SRP bucket: band `band` hashes planes
+    * `[band*planesPerBand, (band+1)*planesPerBand)` into one id. Two
+    * vectors are LSH candidates when any band collides — more bands →
+    * higher recall, more planes per band → fewer false candidates
+    * (the cosine analog of MinHash banding). */
+  def srpBandBucket(v: Column, band: Int, planesPerBand: Int,
+      dim: Int = 64): Column = {
+    require(planesPerBand >= 1 && planesPerBand <= 63)
+    (0 until planesPerBand).map { p =>
+      when(dot(v, hyperplane(band * planesPerBand + p, dim)) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 }

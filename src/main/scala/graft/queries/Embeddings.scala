@@ -32,6 +32,19 @@ object Embeddings {
   private val nCte =
     "n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nr FROM e)"
 
+  /** DuckDB twin of `Vectors.dot(v, Vectors.hyperplane(j))` — generated
+    * from the same Weyl constants so the two sides cannot drift. */
+  private def planeSqlFor(j: Int): String =
+    s"""list_reduce(list_prepend(0.0e0, list_transform(range(64),
+       |      i -> v[i+1] * ((($j*64 + i) * 2654435761 % 1000003)
+       |        / 1000003.0e0 - 0.5e0))),
+       |      (acc, x) -> acc + x)""".stripMargin
+
+  // q77 near-dup banding parameters (shared Spark/oracle)
+  private val NdBands = 4
+  private val NdPlanesPerBand = 8
+  private val NdThreshold = 0.42
+
   val all: Seq[Qry] = Seq(
 
     // ---- norm statistics per label -------------------------------------
@@ -127,6 +140,74 @@ object Embeddings {
         .groupBy($"bucket")
         .agg(count(one).as("n_vectors"),
           (count(one) * (count(one) - 1) / 2).as("n_candidate_pairs"))
+    },
+
+    // ---- embedding-cosine near-duplicate removal -----------------------
+    // The vector-space member of the dedup family (exact q32, Jaccard
+    // q36, MinHash q37, SimHash q38): candidates from banded SRP-LSH
+    // (any-band collision), exact cosine only within candidates, greedy
+    // keep-lowest-id removal. At 100 TB the banded equi-join bounds the
+    // pair stage exactly like q37's MinHash bands — no corpus×corpus
+    // product anywhere; vectors are re-joined by id for scoring rather
+    // than carried through the band explode. The fixture has no planted
+    // duplicates (max pairwise cosine ≈ 0.5), so the threshold sits where
+    // the fixture has signal; it is a parameter, not a semantic.
+    Qry(
+      "q77_embed_neardup", {
+        val bandSelects = (0 until NdBands).map { b =>
+          val bits = (0 until NdPlanesPerBand).map { p =>
+            s"CASE WHEN ${planeSqlFor(b * NdPlanesPerBand + p)} > 0 " +
+              s"THEN ${1L << p} ELSE 0 END"
+          }.mkString("\n      + ")
+          s"SELECT vec_id, $b AS b, CAST($bits AS BIGINT) AS bk FROM e"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $eCte, $nCte,
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
+           |  FROM bands a JOIN bands c
+           |    ON a.b = c.b AND a.bk = c.bk AND a.vec_id < c.vec_id),
+           |pairs AS (SELECT ia, ib,
+           |    list_dot_product(na.v, nb.v) / (na.nr * nb.nr) AS cos
+           |  FROM cand JOIN n na ON ia = na.vec_id
+           |    JOIN n nb ON ib = nb.vec_id),
+           |victims AS (SELECT DISTINCT ib FROM pairs WHERE cos > $NdThreshold)
+           |SELECT label, COUNT(*) AS n_vecs,
+           |  CAST(SUM(CASE WHEN v.ib IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dropped,
+           |  CAST(COUNT(*) - SUM(CASE WHEN v.ib IS NOT NULL THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_kept
+           |FROM e LEFT JOIN victims v ON e.vec_id = v.ib
+           |GROUP BY 1""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val e = emb(spark, dir)
+        .select($"vec_id", $"label", Vectors.toDouble($"embedding").as("v"))
+      val n = e.select($"vec_id", $"v", Vectors.norm($"v").as("nr"))
+      val bands = e.select($"vec_id",
+          explode(array((0 until NdBands).map { b =>
+            struct(lit(b).as("b"),
+              Vectors.srpBandBucket($"v", b, NdPlanesPerBand).as("bk"))
+          }: _*)).as("s"))
+        .select($"vec_id", $"s.b".as("b"), $"s.bk".as("bk"))
+      val cand = bands.as("a")
+        .join(bands.as("c"),
+          $"a.b" === $"c.b" && $"a.bk" === $"c.bk" &&
+            $"a.vec_id" < $"c.vec_id")
+        .select($"a.vec_id".as("ia"), $"c.vec_id".as("ib")).distinct()
+      val victims = cand
+        .join(n.select($"vec_id".as("ia"), $"v".as("va"), $"nr".as("na")),
+          "ia")
+        .join(n.select($"vec_id".as("ib"), $"v".as("vb"), $"nr".as("nb")),
+          "ib")
+        .filter(Vectors.cosine(Vectors.dot($"va", $"vb"), $"na", $"nb")
+          > NdThreshold)
+        .select($"ib").distinct()
+      e.join(broadcast(victims.withColumn("__hit", one)),
+          e("vec_id") === victims("ib"), "left")
+        .groupBy($"label")
+        .agg(count(one).as("n_vecs"),
+          sum(when($"__hit".isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+          sum(when($"__hit".isNull, 1L).otherwise(0L)).as("n_kept"))
     }
   )
 }

@@ -21,41 +21,59 @@ object Extras6 {
     // radii produce real candidate sets — the entity-resolution shape of
     // dedup (vs. the content-hash shapes in q32/q36-q38).
     //
-    // Candidates come from PassJoin-style segment blocking (Li et al.,
-    // VLDB 2011), NOT an all-pairs product: each name is cut into 3
-    // fixed 6-char segments and only pairs sharing a segment — an
-    // EQUI-JOIN on (segment index, segment text) — are scored. For
-    // equal-length strings, substitution distance <= 2 touches at most 2
-    // of the 3 segments, so every such pair survives blocking
-    // (pigeonhole); the oracle mirrors the identical blocking, so the
-    // two sides agree by construction. Per-block fanout is bounded by
-    // block size, never O(n²) over the table.
+    // Candidates come from DELETION-NEIGHBORHOOD blocking (the SymSpell
+    // scheme): each name emits every variant reachable by deleting <= d=2
+    // characters (identity, 1-deletion, 2-deletion; duplicates collapse
+    // heavily on repetitive strings). If lev(A,B) <= 2 then deleting the
+    // edited positions from each side reaches a COMMON variant, so every
+    // qualifying pair shares a variant key — candidate generation is an
+    // EQUI-JOIN on the variant, COMPLETE for Levenshtein (subs + indels),
+    // then exact levenshtein verifies. Unlike positional-segment or
+    // rare-q-gram blocking — which this fixture defeats (the constant
+    // "Supplier#0…" region makes those blocks span the whole table) —
+    // block sizes here are bounded by how many strings are locally
+    // similar (max block 271 at sf0.1), independent of corpus size: the
+    // per-string variant count is O(L^d) and candidates scale with the
+    // true near-pair count, not n². Assumes non-empty strings (a
+    // 0-length name would make sequence(1, length) descend).
     Qry(
       "q69_fuzzy_match",
-      """WITH seg AS (
-        |  SELECT s_suppkey AS k, s_name AS nm, i AS si,
-        |    substring(s_name, CAST(i*6+1 AS INTEGER), 6) AS sv
-        |  FROM supplier, (SELECT unnest([0,1,2]) AS i)),
-        |cand AS (
-        |  SELECT DISTINCT a.k AS ka, b.k AS kb, a.nm AS na, b.nm AS nb
-        |  FROM seg a JOIN seg b
-        |    ON a.si = b.si AND a.sv = b.sv AND a.k < b.k)
+      """WITH s AS (SELECT s_suppkey AS k, s_name AS nm,
+        |    len(s_name) AS L FROM supplier),
+        |v AS (SELECT k, nm, unnest(list_distinct(
+        |    [nm] ||
+        |    list_transform(range(1, L+1),
+        |      i -> substr(nm,1,i-1) || substr(nm,i+1,100)) ||
+        |    flatten(list_transform(range(1, L), i ->
+        |      list_transform(range(i+1, L+1), j ->
+        |        substr(nm,1,i-1) || substr(nm,i+1,j-i-1)
+        |          || substr(nm,j+1,100)))))) AS var
+        |  FROM s),
+        |cand AS (SELECT DISTINCT a.k AS ka, b.k AS kb,
+        |    a.nm AS na, b.nm AS nb
+        |  FROM v a JOIN v b ON a.var = b.var AND a.k < b.k)
         |SELECT levenshtein(na, nb) AS dist, COUNT(*) AS n_pairs
         |FROM cand
         |WHERE levenshtein(na, nb) <= 2
         |GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val s = t(spark, dir).supplier
-      val seg = s.select($"s_suppkey".as("k"), $"s_name".as("nm"),
-          explode(array((0 until 3).map { i =>
-            struct(lit(i).as("si"),
-              substring($"s_name", i * 6 + 1, 6).as("sv"))
-          }: _*)).as("b"))
-        .select($"k", $"nm", $"b.si".as("si"), $"b.sv".as("sv"))
-      val a = seg.select($"k".as("ka"), $"nm".as("na"), $"si", $"sv")
-      val b = seg.select($"k".as("kb"), $"nm".as("nb"),
-        $"si".as("si2"), $"sv".as("sv2"))
-      a.join(b, $"si" === $"si2" && $"sv" === $"sv2" && $"ka" < $"kb")
+      val v = s.select($"s_suppkey".as("k"), $"s_name".as("nm"),
+        explode(array_distinct(expr(
+          """concat(
+            |  array(s_name),
+            |  transform(sequence(1, length(s_name)), i ->
+            |    concat(substring(s_name, 1, i-1),
+            |           substring(s_name, i+1, 100))),
+            |  flatten(transform(sequence(1, length(s_name) - 1), i ->
+            |    transform(sequence(i+1, length(s_name)), j ->
+            |      concat(substring(s_name, 1, i-1),
+            |             substring(s_name, i+1, j-i-1),
+            |             substring(s_name, j+1, 100))))))""".stripMargin)))
+          .as("var"))
+      val a = v.select($"k".as("ka"), $"nm".as("na"), $"var")
+      val b = v.select($"k".as("kb"), $"nm".as("nb"), $"var".as("var2"))
+      a.join(b, $"var" === $"var2" && $"ka" < $"kb")
         .select($"ka", $"kb", $"na", $"nb").distinct()
         .select(levenshtein($"na", $"nb").as("dist"))
         .filter($"dist" <= 2)

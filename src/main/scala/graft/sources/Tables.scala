@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class Tables(spark: SparkSession, dir: String) {
   private def load(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.withMinParallelism(spark,
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame = load("region")
   def nation: DataFrame = load("nation")
@@ -57,6 +58,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Map-side parallelism floor. A single small parquet file is one scan
+    * partition (one row group), so every per-row expression downstream —
+    * shingling, variant generation, vector arithmetic — would run on one
+    * core until the first shuffle. When the scan yields fewer partitions
+    * than the session's parallelism, redistribute once (explicit
+    * partition count, so AQE does not coalesce it back); at cluster
+    * scale scans already exceed defaultParallelism and this is the
+    * identity — no shuffle is ever added to a big read. Filters and
+    * column pruning still reach the scan: Catalyst pushes both through
+    * Repartition nodes. */
+  def withMinParallelism(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Normalize an events-shaped frame to (`ts` µs TimestampType,
     * `ts_ns` epoch-nanos LongType) regardless of the source's physical
