@@ -25,6 +25,11 @@ object Text {
 
   private val K = 16; private val B = 4; private val R = 4
 
+  // BPE-ish pre-tokenizer (shared Spark/oracle; see q78)
+  private val BpeTok =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+"""
+  private val BpeTokSql = BpeTok.replace("'", "''")
+
   // ---- shared DuckDB CTE fragments (canonical copies in TextOps) ------
   private val toksCte = TextOps.oracleToksCte
   private def hashSql(e: String) = TextOps.oracleHashSql(e)
@@ -66,6 +71,35 @@ object Text {
         .agg(count(one).as("n_docs"), sum($"nt").as("tok_sum"),
           (sum($"nt").cast("double") / count(one)).as("tok_avg"),
           (sum($"nc").cast("double") / count(one)).as("chars_avg"))
+    },
+
+    // ---- BPE-style subword pre-tokenization count ----------------------
+    // The GPT-2 pre-tokenizer regex family (contractions, space-prefixed
+    // letter/digit/symbol runs, whitespace runs), minus the trailing
+    // lookahead RE2 cannot express. Whitespace is an EXPLICIT class —
+    // Java's \s includes \x0B, RE2's does not — and the one pattern
+    // constant feeds both engines (quote-doubled into the oracle), so
+    // the two sides cannot drift. A per-row codegen'd regex scan + one
+    // hash agg: embarrassingly parallel at any scale.
+    Qry(
+      "q78_bpe_tokens",
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(regexp_extract_all(text, '$BpeTokSql'))
+         |    ) AS BIGINT) AS bpe_sum,
+         |  ROUND(CAST(SUM(len(regexp_extract_all(text, '$BpeTokSql'))
+         |    ) AS DOUBLE) / COUNT(*), 6) AS bpe_avg,
+         |  CAST(MAX(len(regexp_extract_all(text, '$BpeTokSql'))
+         |    ) AS BIGINT) AS bpe_max
+         |FROM documents GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      docs(spark, dir)
+        .select($"lang",
+          size(regexp_extract_all($"text", lit(BpeTok), lit(0)))
+            .cast(LongType).as("nb"))
+        .groupBy($"lang")
+        .agg(count(one).as("n_docs"), sum($"nb").as("bpe_sum"),
+          round(sum($"nb").cast("double") / count(one), 6).as("bpe_avg"),
+          max($"nb").as("bpe_max"))
     },
 
     // ---- quality scoring ------------------------------------------------
