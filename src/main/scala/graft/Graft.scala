@@ -74,6 +74,25 @@ object Graft {
       Dedup.lshCandidatePairs(sig, idCol, bands, k / bands)
     }
 
+    /** Edit-distance fuzzy-match pairs (lev <= maxDist) via SymSpell
+      * deletion-variant blocking (see operators.Dedup). */
+    def fuzzyMatchPairs(idCol: String, strCol: String,
+        maxDist: Int = 2): DataFrame =
+      Dedup.editDistancePairs(df, idCol, strCol, maxDist)
+
+    /** Embedding-cosine near-duplicate pairs via banded SRP-LSH
+      * candidates + exact cosine (see operators.Dedup). `vecCol` must be
+      * array<double> (use Vectors.toDouble for float embeddings). */
+    def embedNearDupPairs(idCol: String, vecCol: String,
+        threshold: Double, bands: Int = 4,
+        planesPerBand: Int = 8): DataFrame =
+      Dedup.cosineNearDupPairs(df, idCol, vecCol, bands, planesPerBand,
+        threshold)
+
+    /** BPE-style pre-token count appended as column `bpe_tokens`. */
+    def withBpeTokenCount(textCol: String): DataFrame =
+      df.withColumn("bpe_tokens", TextOps.bpeTokenCount(col(textCol)))
+
     /** Exact cosine top-k: for each row of `queries`, the k nearest rows
       * of this DataFrame by cosine over `vecCol` (both must share the id
       * and vector column names). Queries are broadcast. */

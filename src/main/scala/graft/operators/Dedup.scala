@@ -116,6 +116,91 @@ object Dedup {
       .select(col("ida"), col("idb")).distinct()
   }
 
+  /** Deletion-neighborhood variants (the SymSpell blocking key): every
+    * string reachable from `strCol` by deleting up to `d` characters
+    * (d <= 2), one row per (id, distinct variant). If lev(A,B) <= d then
+    * deleting the edited positions from each side reaches a common
+    * variant, so candidate generation for an edit-distance join is an
+    * EQUI-JOIN on the variant — complete for Levenshtein (substitutions
+    * AND indels), with block sizes bounded by local string similarity
+    * rather than corpus size (positional-segment and rare-q-gram
+    * blocking both degenerate to all-pairs on constant-prefix
+    * identifier corpora). Per-string variant count is O(L^d); assumes
+    * non-empty strings. */
+  def deletionVariants(df: DataFrame, idCol: String, strCol: String,
+      d: Int = 2): DataFrame = {
+    require(d == 1 || d == 2, s"d ($d) must be 1 or 2")
+    val s = strCol
+    val del1 =
+      s"""transform(sequence(1, length($s)), i ->
+         |  concat(substring($s, 1, i-1), substring($s, i+1, 100)))"""
+        .stripMargin
+    val del2 =
+      s"""flatten(transform(sequence(1, length($s) - 1), i ->
+         |  transform(sequence(i+1, length($s)), j ->
+         |    concat(substring($s, 1, i-1), substring($s, i+1, j-i-1),
+         |           substring($s, j+1, 100)))))""".stripMargin
+    val variants =
+      if (d == 1) s"concat(array($s), $del1)"
+      else s"concat(array($s), $del1, $del2)"
+    df.select(col(idCol), col(strCol),
+      explode(array_distinct(expr(variants))).as("var"))
+  }
+
+  /** Edit-distance pairs (id_a < id_b, lev <= maxDist) via
+    * deletion-variant blocking. Columns: id_a, id_b, s_a, s_b, dist. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 2): DataFrame = {
+    val v = deletionVariants(df, idCol, strCol, maxDist)
+    val a = v.select(col(idCol).as("id_a"), col(strCol).as("s_a"), col("var"))
+    val b = v.select(col(idCol).as("id_b"), col(strCol).as("s_b"),
+      col("var").as("var2"))
+    a.join(b, col("var") === col("var2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b")).distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Banded SRP-LSH candidate pairs (id_a < id_b) over a double-array
+    * vector column: any-band bucket collision (bands × planesPerBand
+    * hyperplanes; more bands → higher recall). The cosine analog of
+    * `lshCandidatePairs`. */
+  def srpCandidatePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      bands: Int, planesPerBand: Int): DataFrame = {
+    val banded = vecs.select(col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("bi"),
+          Vectors.srpBandBucket(col(vecCol), b, planesPerBand).as("bv"))
+      }: _*)).as("s"))
+      .select(col(idCol), col("s.bi").as("bi"), col("s.bv").as("bv"))
+    val a = banded.select(col(idCol).as("id_a"), col("bi"), col("bv"))
+    val b = banded.select(col(idCol).as("id_b"), col("bi").as("bi2"),
+      col("bv").as("bv2"))
+    a.join(b, col("bi") === col("bi2") && col("bv") === col("bv2") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs: banded SRP-LSH candidates,
+    * exact cosine only within candidates (vectors re-joined by id, never
+    * carried through the band explode), thresholded. Columns:
+    * id_a, id_b, cosine. */
+  def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      bands: Int, planesPerBand: Int, threshold: Double): DataFrame = {
+    val n = vecs.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__nr", Vectors.norm(col("__v")))
+    val cand = srpCandidatePairs(vecs, idCol, vecCol, bands, planesPerBand)
+    cand
+      .join(n.select(col(idCol).as("id_a"), col("__v").as("__va"),
+        col("__nr").as("__na")), "id_a")
+      .join(n.select(col(idCol).as("id_b"), col("__v").as("__vb"),
+        col("__nr").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Vectors.cosine(Vectors.dot(col("__va"), col("__vb")),
+          col("__na"), col("__nb")).as("cosine"))
+      .filter(col("cosine") > threshold)
+  }
+
   /** 31-bit SimHash from a set of element hashes (h in [0, 2^31)):
     * bit j of the result is set iff more element hashes have bit j set
     * than clear. One hash aggregate with 31 sum columns, then a single

@@ -40,6 +40,20 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), TokenRe), t => length(t) > 0)
 
+  /** BPE-style pre-tokenizer regex (the GPT-2 family: contractions,
+    * space-prefixed letter/digit/symbol runs, whitespace runs) minus the
+    * trailing lookahead RE2 cannot express. Whitespace is an EXPLICIT
+    * class — Java's \s includes \x0B, RE2's does not. One constant feeds
+    * both engines; quote-double it for SQL (`BpeTokSql`). */
+  val BpeTok: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+"""
+  /** BpeTok escaped for embedding in a single-quoted SQL literal. */
+  val BpeTokSql: String = BpeTok.replace("'", "''")
+
+  /** Count of BPE-style pre-tokens in `text` (LongType). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTok), lit(0))).cast(LongType)
+
   /** 60-bit hash from the md5 hex prefix (identical in DuckDB). */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)

@@ -182,28 +182,13 @@ object Embeddings {
       import spark.implicits._
       val e = emb(spark, dir)
         .select($"vec_id", $"label", Vectors.toDouble($"embedding").as("v"))
-      val n = e.select($"vec_id", $"v", Vectors.norm($"v").as("nr"))
-      val bands = e.select($"vec_id",
-          explode(array((0 until NdBands).map { b =>
-            struct(lit(b).as("b"),
-              Vectors.srpBandBucket($"v", b, NdPlanesPerBand).as("bk"))
-          }: _*)).as("s"))
-        .select($"vec_id", $"s.b".as("b"), $"s.bk".as("bk"))
-      val cand = bands.as("a")
-        .join(bands.as("c"),
-          $"a.b" === $"c.b" && $"a.bk" === $"c.bk" &&
-            $"a.vec_id" < $"c.vec_id")
-        .select($"a.vec_id".as("ia"), $"c.vec_id".as("ib")).distinct()
-      val victims = cand
-        .join(n.select($"vec_id".as("ia"), $"v".as("va"), $"nr".as("na")),
-          "ia")
-        .join(n.select($"vec_id".as("ib"), $"v".as("vb"), $"nr".as("nb")),
-          "ib")
-        .filter(Vectors.cosine(Vectors.dot($"va", $"vb"), $"na", $"nb")
-          > NdThreshold)
-        .select($"ib").distinct()
+      val victims = graft.operators.Dedup
+        .cosineNearDupPairs(e, idCol = "vec_id", vecCol = "v",
+          bands = NdBands, planesPerBand = NdPlanesPerBand,
+          threshold = NdThreshold)
+        .select($"id_b".as("victim")).distinct()
       e.join(broadcast(victims.withColumn("__hit", one)),
-          e("vec_id") === victims("ib"), "left")
+          e("vec_id") === victims("victim"), "left")
         .groupBy($"label")
         .agg(count(one).as("n_vecs"),
           sum(when($"__hit".isNotNull, 1L).otherwise(0L)).as("n_dropped"),

@@ -57,26 +57,9 @@ object Extras6 {
         |WHERE levenshtein(na, nb) <= 2
         |GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val s = t(spark, dir).supplier
-      val v = s.select($"s_suppkey".as("k"), $"s_name".as("nm"),
-        explode(array_distinct(expr(
-          """concat(
-            |  array(s_name),
-            |  transform(sequence(1, length(s_name)), i ->
-            |    concat(substring(s_name, 1, i-1),
-            |           substring(s_name, i+1, 100))),
-            |  flatten(transform(sequence(1, length(s_name) - 1), i ->
-            |    transform(sequence(i+1, length(s_name)), j ->
-            |      concat(substring(s_name, 1, i-1),
-            |             substring(s_name, i+1, j-i-1),
-            |             substring(s_name, j+1, 100))))))""".stripMargin)))
-          .as("var"))
-      val a = v.select($"k".as("ka"), $"nm".as("na"), $"var")
-      val b = v.select($"k".as("kb"), $"nm".as("nb"), $"var".as("var2"))
-      a.join(b, $"var" === $"var2" && $"ka" < $"kb")
-        .select($"ka", $"kb", $"na", $"nb").distinct()
-        .select(levenshtein($"na", $"nb").as("dist"))
-        .filter($"dist" <= 2)
+      graft.operators.Dedup
+        .editDistancePairs(t(spark, dir).supplier,
+          idCol = "s_suppkey", strCol = "s_name", maxDist = 2)
         .groupBy($"dist").agg(count(one).as("n_pairs"))
     },
 

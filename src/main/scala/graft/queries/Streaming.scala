@@ -124,6 +124,52 @@ object Streaming {
         .groupBy($"user_id")
         .agg(max(struct($"n_events", $"max_value", $"val_sum")).as("s"))
         .select($"user_id", $"s.n_events", $"s.max_value", $"s.val_sum")
+    },
+
+    // ---- stream-stream interval join -----------------------------------
+    // Two watermarked streams over the same source (the reference's
+    // consumers correlating records across reads): each error joins the
+    // same user's clicks from the preceding 10 minutes. Inner
+    // stream-stream joins emit pairs eagerly (the watermark only bounds
+    // join STATE, not emission), so a run-to-completion produces the
+    // complete pair set and the batch oracle states the same result.
+    // Both sides are floored to ms BEFORE the join so range boundaries
+    // sit at the same precision as the oracle's epoch_ms arithmetic.
+    Qry(
+      "q79_stream_join",
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value FROM events),
+         |pairs AS (
+         |  SELECT err.user_id, err.ms - c.ms AS gap_ms, c.value AS cv
+         |  FROM (SELECT * FROM e WHERE event_type = 'error') err
+         |  JOIN (SELECT * FROM e WHERE event_type = 'click') c
+         |    ON err.user_id = c.user_id
+         |   AND c.ms >= err.ms - 600000 AND c.ms <= err.ms)
+         |SELECT user_id, COUNT(*) AS n_pairs,
+         |  CAST(SUM(gap_ms) AS BIGINT) AS gap_sum,
+         |  ${dsumSql("cv")} AS click_val_sum
+         |FROM pairs GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      def side(tag: String) =
+        Streams.fileStream(spark, dir, "events")
+          .withColumn("ts", timestamp_millis(unix_millis($"ts")))
+          .withWatermark("ts", "10 minutes")
+      val err = side("e").filter($"event_type" === "error")
+        .select($"user_id", $"ts".as("ts_e"))
+      val clk = side("c").filter($"event_type" === "click")
+        .select($"user_id".as("c_user_id"), $"ts".as("ts_c"),
+          $"value".as("cv"))
+      val joined = err.join(clk,
+        $"user_id" === $"c_user_id" &&
+          $"ts_c" >= $"ts_e" - expr("interval 10 minutes") &&
+          $"ts_c" <= $"ts_e")
+        .select($"user_id",
+          (unix_millis($"ts_e") - unix_millis($"ts_c")).as("gap_ms"),
+          $"cv")
+      Streams.runToMemory(joined, "append")
+        .groupBy($"user_id")
+        .agg(count(one).as("n_pairs"), sum($"gap_ms").as("gap_sum"),
+          dsum($"cv").as("click_val_sum"))
     }
   )
 }

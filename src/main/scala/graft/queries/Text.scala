@@ -25,10 +25,8 @@ object Text {
 
   private val K = 16; private val B = 4; private val R = 4
 
-  // BPE-ish pre-tokenizer (shared Spark/oracle; see q78)
-  private val BpeTok =
-    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+"""
-  private val BpeTokSql = BpeTok.replace("'", "''")
+  // BPE-ish pre-tokenizer (canonical copy in TextOps; see q78)
+  private val BpeTokSql = TextOps.BpeTokSql
 
   // ---- shared DuckDB CTE fragments (canonical copies in TextOps) ------
   private val toksCte = TextOps.oracleToksCte
@@ -93,9 +91,7 @@ object Text {
          |FROM documents GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       docs(spark, dir)
-        .select($"lang",
-          size(regexp_extract_all($"text", lit(BpeTok), lit(0)))
-            .cast(LongType).as("nb"))
+        .select($"lang", TextOps.bpeTokenCount($"text").as("nb"))
         .groupBy($"lang")
         .agg(count(one).as("n_docs"), sum($"nb").as("bpe_sum"),
           round(sum($"nb").cast("double") / count(one), 6).as("bpe_avg"),

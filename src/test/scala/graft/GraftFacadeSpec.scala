@@ -34,4 +34,30 @@ class GraftFacadeSpec extends SparkTestBase {
       .select("neighbor_id").as[Long].collect()
     assert(nn.toSeq == Seq(2L)) // 2 is nearest to 1
   }
+
+  test("facade: fuzzy match, embed near-dup, BPE token count") {
+    val names = Seq((1L, "alpha-node-17"), (2L, "alpha-node-18"),
+      (3L, "omega-zzz-999")).toDF("id", "name")
+    val fm = names.fuzzyMatchPairs("id", "name", maxDist = 2)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fm == Set((1L, 2L, 1)))
+
+    // 64-dim so the SRP hyperplanes see real components
+    def v(seed: Int) = Array.tabulate(64)(i =>
+      math.sin(seed * 97 + i).toFloat)
+    val near = v(1).clone(); near(0) = near(0) + 0.01f
+    val emb = Seq((1L, v(1)), (2L, near), (3L, v(5)))
+      .toDF("id", "vec")
+      .select($"id", $"vec".cast("array<double>").as("vec"))
+    val nd = emb.embedNearDupPairs("id", "vec", threshold = 0.95)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == Set((1L, 2L)))
+
+    val counted = Seq("I'll jump over 2 dogs!").toDF("text")
+      .withBpeTokenCount("text")
+    // I |'ll| jump| over| 2| dogs|! → 7 pre-tokens
+    assert(counted.select("bpe_tokens").as[Long].head() == 7L)
+  }
 }
