@@ -230,9 +230,20 @@ object Relational {
          |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) {
       (spark, dir) =>
         import spark.implicits._
+        // Pre-aggregate on the full key set BEFORE the cube: Expand then
+        // multiplies ~|distinct key combos| rows (15 here), not the fact
+        // table — at 100 TB the cube's 2^k row amplification happens on
+        // an already-reduced relation. Decimal partials keep dsum exact
+        // (decimal addition is associative); the single cast to DOUBLE
+        // still happens once at the end.
         t(spark, dir).orders
+          .groupBy($"o_orderstatus", $"o_orderpriority")
+          .agg(count(one).as("pn"),
+            sum($"o_totalprice".cast(graft.Exact.Money)).as("pt"))
           .cube($"o_orderstatus", $"o_orderpriority")
-          .agg(count(one).as("n_orders"), dsum($"o_totalprice").as("total"))
+          .agg(sum($"pn").as("n_orders"),
+            sum($"pt").cast(org.apache.spark.sql.types.DoubleType)
+              .as("total"))
     },
 
     // ---- grouping sets (SQL entry path) --------------------------------
