@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.operators.{Sessionize, TextOps}
+import graft.operators.{Dedup, Sessionize, TextOps}
 
 /** ScalaCheck property tests (SURVEY.md §5.2.3) — invariants the
   * reference never asserted, checked over generated inputs. Uses the
@@ -51,6 +51,43 @@ class PropertySpec extends SparkTestBase {
       if (a == b) fa == fb
       else fa != fb || a == b
     }, tests = 15)
+  }
+
+  test("property: deletion-variant blocking is complete for lev <= 2") {
+    // apply up to 2 random edits (sub/ins/del) to a base string; the
+    // edited pair must ALWAYS be found by editDistancePairs (SymSpell
+    // completeness), with the dist column equal to true levenshtein
+    val baseGen = Gen.chooseNum(4, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val editGen = Gen.chooseNum(0, 2).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 100),
+        Gen.alphaLowerChar)))
+    check(Prop.forAll(baseGen, editGen) { (base, edits) =>
+      val edited = edits.foldLeft(base) { case (s, (kind, posSeed, ch)) =>
+        if (s.isEmpty) s + ch
+        else {
+          val p = posSeed % s.length
+          kind % 3 match {
+            case 0 => s.updated(p, ch)                         // substitute
+            case 1 => s.substring(0, p) + ch + s.substring(p)  // insert
+            case 2 => s.substring(0, p) + s.substring(p + 1)   // delete
+          }
+        }
+      }
+      if (edited.isEmpty) true // operator documents non-empty input
+      else {
+        val df = Seq((1L, base), (2L, edited)).toDF("id", "s")
+        val found = Dedup.editDistancePairs(df, "id", "s", maxDist = 2)
+          .select($"dist").as[Int].collect().toSeq
+        val expected = df.agg(
+          org.apache.spark.sql.functions.levenshtein(
+            org.apache.spark.sql.functions.min($"s"),
+            org.apache.spark.sql.functions.max($"s"))).as[Int].head()
+        if (expected <= 2 && base != edited) found == Seq(expected)
+        else if (base == edited) found == Seq(0)
+        else found.isEmpty
+      }
+    }, tests = 12)
   }
 
   test("property: hashMod stays in [0, P) and is stable") {
