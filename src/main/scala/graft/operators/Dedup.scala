@@ -131,15 +131,18 @@ object Dedup {
       d: Int = 2): DataFrame = {
     require(d == 1 || d == 2, s"d ($d) must be 1 or 2")
     val s = strCol
+    // tail slices take length($s) as their length bound (never a fixed
+    // constant — a constant would silently truncate long strings and
+    // merge variants that differ beyond it)
     val del1 =
       s"""transform(sequence(1, length($s)), i ->
-         |  concat(substring($s, 1, i-1), substring($s, i+1, 100)))"""
+         |  concat(substring($s, 1, i-1), substring($s, i+1, length($s))))"""
         .stripMargin
     val del2 =
       s"""flatten(transform(sequence(1, length($s) - 1), i ->
          |  transform(sequence(i+1, length($s)), j ->
          |    concat(substring($s, 1, i-1), substring($s, i+1, j-i-1),
-         |           substring($s, j+1, 100)))))""".stripMargin
+         |           substring($s, j+1, length($s))))))""".stripMargin
     val variants =
       if (d == 1) s"concat(array($s), $del1)"
       else s"concat(array($s), $del1, $del2)"

@@ -43,11 +43,11 @@ object Extras6 {
         |v AS (SELECT k, nm, unnest(list_distinct(
         |    [nm] ||
         |    list_transform(range(1, L+1),
-        |      i -> substr(nm,1,i-1) || substr(nm,i+1,100)) ||
+        |      i -> substr(nm,1,i-1) || substr(nm,i+1,L)) ||
         |    flatten(list_transform(range(1, L), i ->
         |      list_transform(range(i+1, L+1), j ->
         |        substr(nm,1,i-1) || substr(nm,i+1,j-i-1)
-        |          || substr(nm,j+1,100)))))) AS var
+        |          || substr(nm,j+1,L)))))) AS var
         |  FROM s),
         |cand AS (SELECT DISTINCT a.k AS ka, b.k AS kb,
         |    a.nm AS na, b.nm AS nb

@@ -150,13 +150,13 @@ object Streaming {
          |  ${dsumSql("cv")} AS click_val_sum
          |FROM pairs GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      def side(tag: String) =
+      def side() =
         Streams.fileStream(spark, dir, "events")
           .withColumn("ts", timestamp_millis(unix_millis($"ts")))
           .withWatermark("ts", "10 minutes")
-      val err = side("e").filter($"event_type" === "error")
+      val err = side().filter($"event_type" === "error")
         .select($"user_id", $"ts".as("ts_e"))
-      val clk = side("c").filter($"event_type" === "click")
+      val clk = side().filter($"event_type" === "click")
         .select($"user_id".as("c_user_id"), $"ts".as("ts_c"),
           $"value".as("cv"))
       val joined = err.join(clk,
