@@ -89,6 +89,22 @@ object Graft {
       Dedup.cosineNearDupPairs(df, idCol, vecCol, bands, planesPerBand,
         threshold)
 
+    /** Per-group OLS fit from decimal-exact moments (see operators.Stats).
+      * Returns keys + `n`, `slope`, `intercept`, `r2`. */
+    def linearFit(x: Column, y: Column, keys: Column*): DataFrame =
+      Stats.linearFit(df, x, y, keys)
+
+    /** Rows deviating > `threshold` population σ from their group mean,
+      * with `z` appended (see operators.Stats). */
+    def zscoreOutliers(keyCol: String, valueCol: String,
+        threshold: Double = 3.0): DataFrame =
+      Stats.zscoreOutliers(df, keyCol, valueCol, threshold)
+
+    /** Finite-kernel EWMA appended as `ewma` (see operators.Stats). */
+    def ewma(keys: Seq[Column], order: Seq[Column], valueCol: String,
+        alpha: Double = 0.5, taps: Int = 5): DataFrame =
+      Stats.ewma(df, keys, order, valueCol, alpha, taps)
+
     /** BPE-style pre-token count appended as column `bpe_tokens`. */
     def withBpeTokenCount(textCol: String): DataFrame =
       df.withColumn("bpe_tokens", TextOps.bpeTokenCount(col(textCol)))

@@ -64,12 +64,24 @@ object TextOps {
   /** Word n-gram shingles (space-joined), empty array when < n tokens.
     * DuckDB twin:
     * `list_transform(range(len(tk)-n+1), i -> array_to_string(tk[i+1:i+n],' '))`
-    */
-  def shingles(tk: Column, n: Int): Column =
-    when(size(tk) >= n,
-      transform(sequence(lit(0), size(tk) - n),
-        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+    *
+    * Built as a zip_with fold (gram_k = gram_{k-1} ⊗ tk shifted by k-1)
+    * so `tk` appears only in ARGUMENT position of the higher-order
+    * functions, never inside a lambda body: after projection collapse an
+    * outer expression captured in a lambda is re-evaluated PER ELEMENT —
+    * the inlined tokenizer ran once per shingle position, measured 40×
+    * slower on the documents fixture (24 s → 0.6 s at sf0.1).
+    * zip_with pads the shorter (shifted) side with null and concat_ws
+    * skips nulls, so tail positions hold partial grams — the final slice
+    * drops those n-1 tails. */
+  def shingles(tk: Column, n: Int): Column = {
+    val grown = (2 to n).foldLeft(tk) { (acc, k) =>
+      zip_with(acc, slice(tk, lit(k), greatest(size(tk) - (k - 1), lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(tk) >= n, slice(grown, lit(1), size(tk) - (n - 1)))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Order-dependent polynomial fold of the token-hash sequence mod P —
     * a whole-document fingerprint (content + order sensitive).
