@@ -36,6 +36,25 @@ object Dedup {
       .select(col(idCol), TextOps.hashMod(col("__sh")).as("h"))
       .distinct()
 
+  /** Distinct character-n-gram hashes per id (the pg_trgm shape): char
+    * n-grams distinguish identifier-like strings whose word shingles are
+    * useless (every "Supplier#..." tokenizes identically). Same (id, h)
+    * contract as `shingleHashes`, so `jaccardPairs` composes directly.
+    * The lambda captures only the raw string column — a per-element
+    * re-read of a row field, not a recomputed expression (cf. the
+    * shingles lambda-capture note). */
+  def charNGramHashes(df: DataFrame, idCol: String, strCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol),
+        explode(array_distinct(expr(
+          s"""CASE WHEN length($strCol) >= $n
+             |THEN transform(sequence(1, length($strCol) - ${n - 1}),
+             |  i -> substring($strCol, i, $n))
+             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
+          .as("__g"))
+      .select(col(idCol), TextOps.hashMod(col("__g")).as("h"))
+      .distinct()
+
   /** Hot-shingle document-frequency cap. The shared-shingle join fans
     * out quadratically in a shingle's document frequency, so a single
     * boilerplate n-gram appearing in 10^6 documents would put 10^12 rows
