@@ -34,14 +34,17 @@ object Streams {
   private val linkDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[streaming] def linkDir(path: String, name: String): String =
-    linkDirs.computeIfAbsent(path, { p =>
+  private[streaming] def linkDir(path: String, name: String,
+      copies: Int = 1): String =
+    linkDirs.computeIfAbsent(s"$path#$copies", { _ =>
       val d = java.nio.file.Files.createTempDirectory(s"graft_${name}_")
-      val link = d.resolve(s"$name.parquet")
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(p).toAbsolutePath)
       d.toFile.deleteOnExit()
-      link.toFile.deleteOnExit()
+      (0 until copies).foreach { i =>
+        val link = d.resolve(s"${name}_$i.parquet")
+        java.nio.file.Files.createSymbolicLink(
+          link, java.nio.file.Paths.get(path).toAbsolutePath)
+        link.toFile.deleteOnExit()
+      }
       d.toString
     })
 
@@ -49,11 +52,19 @@ object Streams {
     * footer). `events.ts` gets the same nanos→µs treatment as
     * sources.Tables: raw nanos kept in `ts_ns`, µs TimestampType in `ts`.
     */
-  def fileStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def fileStream(spark: SparkSession, dir: String, name: String): DataFrame =
+    fileStreamDup(spark, dir, name, copies = 1)
+
+  /** Like `fileStream`, but the source directory exposes `copies`
+    * symlinks to the same fixture file — every record arrives `copies`
+    * times, the at-least-once delivery shape a dedup stage must collapse
+    * back to exactly-once. */
+  def fileStreamDup(spark: SparkSession, dir: String, name: String,
+      copies: Int): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
-    val streamDir = Streams.linkDir(path, name)
+    val streamDir = Streams.linkDir(path, name, copies)
     val schema = spark.read.parquet(path).schema
     val raw = spark.readStream.schema(schema).parquet(streamDir)
     if (name == "events") graft.sources.Tables.normalizeEventTime(raw)
