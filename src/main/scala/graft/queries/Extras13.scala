@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Exact._
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+
+/** Thirteenth coverage wave: equi-depth histograms, per-group mode, and
+  * MinHash-estimate-vs-exact validation (closing the sketch-error-budget
+  * trio opened by q86/q88). */
+object Extras13 {
+
+  private def t(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(spark, dir)
+  private val one = lit(1)
+
+  val all: Seq[Qry] = Seq(
+
+    // ---- equi-depth histogram (deciles) --------------------------------
+    // ntile over a TOTAL order (value, event_id — no tie ambiguity)
+    // partitioned by event_type. Exact equi-depth needs the per-group
+    // sort; the approx path at 100 TB is q88's percentile sketch for
+    // boundaries + a map-side bucket assignment.
+    Qry(
+      "q101_decile_stats",
+      s"""WITH d AS (SELECT event_type, value,
+         |    ntile(10) OVER (PARTITION BY event_type
+         |      ORDER BY value, event_id) AS decile
+         |  FROM events)
+         |SELECT event_type, decile, COUNT(*) AS n,
+         |  MIN(value) AS lo, MAX(value) AS hi,
+         |  ${dsumSql("value")} AS val_sum
+         |FROM d GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val w = Window.partitionBy($"event_type")
+        .orderBy($"value", $"event_id")
+      t(spark, dir).events
+        .select($"event_type", $"event_id", $"value")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy($"event_type", $"decile")
+        .agg(count(one).as("n"), min($"value").as("lo"),
+          max($"value").as("hi"), dsum($"value").as("val_sum"))
+    },
+
+    // ---- per-group mode (most frequent token per language) -------------
+    Qry(
+      "q102_mode_token",
+      s"""WITH ${TextOps.oracleToksCte},
+         |tok AS (SELECT lang, unnest(tk) AS tok FROM toks),
+         |cnt AS (SELECT lang, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+         |r AS (SELECT lang, tok, n, row_number() OVER
+         |    (PARTITION BY lang ORDER BY n DESC, tok) AS rn
+         |  FROM cnt)
+         |SELECT lang, tok AS top_tok, n FROM r WHERE rn = 1""".stripMargin) {
+      (spark, dir) =>
+        import spark.implicits._
+        val w = Window.partitionBy($"lang").orderBy($"n".desc, $"tok")
+        t(spark, dir).documents
+          .select($"lang", explode(TextOps.tokens($"text")).as("tok"))
+          .groupBy($"lang", $"tok").agg(count(one).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"lang", $"tok".as("top_tok"), $"n")
+    },
+
+    // ---- MinHash estimate vs exact Jaccard -----------------------------
+    // For every true near-dup pair (exact J >= 0.5 over the full shingle
+    // space), the K=16 signature-agreement estimate must land within 0.3
+    // of exact (binomial noise for K=16 is σ <= 0.125; the modpow
+    // coefficient family keeps the estimator honest — see
+    // TextOps.aParam). The oracle states the bound as TRUE, so estimator
+    // degradation fails the gate. Only exact J is emitted as a value.
+    Qry(
+      "q103_minhash_estimate", {
+        val K = 16
+        val minCols = (0 until K).map(i =>
+          s"min((h * ${TextOps.aParam(i)} + ${TextOps.bParam(i)}) " +
+            s"% ${TextOps.P}) AS m$i").mkString(", ")
+        s"""WITH ${TextOps.oracleToksCte},
+           |${TextOps.oracleSh3Cte},
+           |sig AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+           |ex AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+           |exact AS (SELECT da, db,
+           |    CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS j
+           |  FROM ex JOIN sizes sa ON da = sa.doc_id
+           |    JOIN sizes sb ON db = sb.doc_id
+           |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
+           |    >= 0.5e0)
+           |SELECT da AS doc_a, db AS doc_b, round(j, 6) AS jaccard,
+           |  CAST(TRUE AS BOOLEAN) AS est_ok
+           |FROM exact""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val K = 16
+      val sh = Dedup.shingleHashes(t(spark, dir).documents,
+        "doc_id", "text")
+      val exact = Dedup.jaccardPairs(sh, "doc_id", dfCap = 0)
+        .filter($"jaccard" >= 0.5)
+        .select($"id_a", $"id_b", $"jaccard")
+      val sig = Dedup.minhashSignatures(sh, "doc_id", "h", K)
+      val sa = sig.select($"doc_id".as("ka") +:
+        (0 until K).map(i => col(s"m$i").as(s"a$i")): _*)
+      val sb = sig.select($"doc_id".as("kb") +:
+        (0 until K).map(i => col(s"m$i").as(s"b$i")): _*)
+      val nMatch = (0 until K).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      exact.join(sa, $"id_a" === $"ka").join(sb, $"id_b" === $"kb")
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
+          round($"jaccard", 6).as("jaccard"),
+          (abs(nMatch.cast("double") / K - $"jaccard") <= 0.3)
+            .as("est_ok"))
+    }
+  )
+}
