@@ -100,4 +100,51 @@ class PropertySpec extends SparkTestBase {
       hs.forall(h => h >= 0 && h < TextOps.P) && hs.sameElements(hs2)
     }, tests = 10)
   }
+
+  test("property: zip_with-fold shingles equal the naive sliding window") {
+    // the fast formulation (argument-position HOFs, see TextOps.shingles)
+    // must be extensionally identical to the obvious Scala one for every
+    // n and token sequence, including the < n boundary
+    val tokGen = Gen.choose(0, 9).flatMap(k => Gen.listOfN(k,
+      Gen.oneOf("a", "bb", "ccc", "d0", "e", "ff")))
+    check(Prop.forAll(tokGen, Gen.choose(1, 4)) { (toks, n) =>
+      val got = Seq(toks.mkString(" ")).toDF("text")
+        .select(TextOps.shingles(TextOps.tokens($"text"), n).as("sh"))
+        .as[Seq[String]].head()
+      val expected =
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n, 1).filter(_.length == n)
+          .map(_.mkString(" ")).toSeq
+      got == expected
+    }, tests = 25)
+  }
+
+  test("property: charNGramHashes emits one hash per distinct n-gram") {
+    val sGen = Gen.choose(0, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf('a', 'b', 'c', '0')).map(_.mkString))
+    check(Prop.forAll(sGen) { s =>
+      val got = Dedup.charNGramHashes(
+          Seq((1L, s)).toDF("id", "s"), "id", "s", 3)
+        .count()
+      val expected =
+        if (s.length < 3) 0L
+        else s.sliding(3, 1).filter(_.length == 3).toSet.size.toLong
+      got == expected
+    }, tests = 25)
+  }
+
+  test("property: MinHash coefficients are large and distinct (no " +
+    "small-preimage order preservation)") {
+    // the round-2 family fix: every a_i must be big enough that even the
+    // smallest wrap window (x < P / a_i) is negligible, and coefficients
+    // must not repeat across the K=16 functions
+    val as = (0 until 16).map(TextOps.aParam)
+    val bs = (0 until 16).map(TextOps.bParam)
+    assert(as.distinct.size == 16 && bs.distinct.size == 16)
+    assert(as.forall(a => a > (1L << 20)),
+      s"small coefficient would preserve order on tiny hashes: $as")
+    // products must not overflow a signed 64-bit long in either engine
+    assert(as.forall(a => a.toDouble * (TextOps.P - 1) < Long.MaxValue))
+    assert(bs.forall(b => b > 0 && b < TextOps.P))
+  }
 }
