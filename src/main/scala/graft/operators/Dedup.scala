@@ -73,16 +73,21 @@ object Dedup {
     * sizes and jaccard are computed over the capped shingle space, so
     * the semantics stay internally consistent); dfCap <= 0 disables the
     * cap. Oracle twin: TextOps.oracleShCappedCte. */
+  /** `sh` minus hashes whose document frequency exceeds `cap` (<= 0
+    * disables). The window count is one extra shuffle, but it lands on
+    * the same key any downstream shared-shingle join shuffles on. */
+  def dfCapped(sh: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (cap > 0)
+      sh.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .filter(col("__df") <= cap).drop("__df")
+    else sh
+  }
+
   def jaccardPairs(sh: DataFrame, idCol: String,
       dfCap: Int = DefaultDfCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped =
-      if (dfCap > 0)
-        // window count over h: one extra shuffle, but it lands on the
-        // same key the self-join below shuffles on
-        sh.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
-          .filter(col("__df") <= dfCap).drop("__df")
-      else sh
+    val capped = dfCapped(sh, dfCap)
     // set sizes ride along as a window count over the same pass instead
     // of a separate aggregate + two re-joins: the (expensive) shingle
     // pipeline is evaluated twice (self-join sides) instead of three

@@ -66,12 +66,16 @@ object Extras13 {
     },
 
     // ---- MinHash estimate vs exact Jaccard -----------------------------
-    // For every true near-dup pair (exact J >= 0.5 over the full shingle
-    // space), the K=16 signature-agreement estimate must land within 0.3
-    // of exact (binomial noise for K=16 is σ <= 0.125; the modpow
-    // coefficient family keeps the estimator honest — see
-    // TextOps.aParam). The oracle states the bound as TRUE, so estimator
-    // degradation fails the gate. Only exact J is emitted as a value.
+    // For every true near-dup pair (exact J >= 0.5), the K=16
+    // signature-agreement estimate must land within 0.3 of exact
+    // (binomial noise for K=16 is σ <= 0.125; the modpow coefficient
+    // family keeps the estimator honest — see TextOps.aParam). The
+    // oracle states the bound as TRUE, so estimator degradation fails
+    // the gate. Only exact J is emitted as a value. BOTH the exact pair
+    // join and the signatures run over the df-CAPPED shingle space —
+    // identical results at fixture scale (max df 25 << 256) and a
+    // bounded join at corpus scale; validating over the same space the
+    // production pipeline hashes is the consistent comparison.
     Qry(
       "q103_minhash_estimate", {
         val K = 16
@@ -80,11 +84,12 @@ object Extras13 {
             s"% ${TextOps.P}) AS m$i").mkString(", ")
         s"""WITH ${TextOps.oracleToksCte},
            |${TextOps.oracleSh3Cte},
-           |sig AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+           |${TextOps.oracleShCappedCte(Dedup.DefaultDfCap)},
+           |sig AS (SELECT doc_id, $minCols FROM shc GROUP BY doc_id),
            |ex AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
-           |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2),
-           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
            |exact AS (SELECT da, db,
            |    CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS j
            |  FROM ex JOIN sizes sa ON da = sa.doc_id
@@ -97,12 +102,13 @@ object Extras13 {
       }) { (spark, dir) =>
       import spark.implicits._
       val K = 16
-      val sh = Dedup.shingleHashes(t(spark, dir).documents,
-        "doc_id", "text")
-      val exact = Dedup.jaccardPairs(sh, "doc_id", dfCap = 0)
+      val shc = Dedup.dfCapped(
+        Dedup.shingleHashes(t(spark, dir).documents, "doc_id", "text"),
+        Dedup.DefaultDfCap)
+      val exact = Dedup.jaccardPairs(shc, "doc_id", dfCap = 0)
         .filter($"jaccard" >= 0.5)
         .select($"id_a", $"id_b", $"jaccard")
-      val sig = Dedup.minhashSignatures(sh, "doc_id", "h", K)
+      val sig = Dedup.minhashSignatures(shc, "doc_id", "h", K)
       val sa = sig.select($"doc_id".as("ka") +:
         (0 until K).map(i => col(s"m$i").as(s"a$i")): _*)
       val sb = sig.select($"doc_id".as("kb") +:
