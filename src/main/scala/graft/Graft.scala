@@ -27,6 +27,16 @@ object Graft {
       AsOfJoin.backward(df, right, keys, leftTime, rightTime, carry,
         rightTieBreak)
 
+    /** Nearest as-of join: closest right row on either side, ties to the
+      * past match; appends carry columns + `asof_gap`
+      * (see operators.AsOfJoin.nearest). */
+    def asofNearest(right: DataFrame, keys: Seq[(String, String)],
+        leftTime: String, rightTime: String,
+        carry: Seq[(String, String)],
+        rightTieBreak: Seq[String] = Nil): DataFrame =
+      AsOfJoin.nearest(df, right, keys, leftTime, rightTime, carry,
+        rightTieBreak)
+
     /** Bucketed interval join (see operators.RangeJoin). */
     def intervalJoin(right: DataFrame, leftKey: String, rightKey: String,
         leftTimeMs: String, rightTimeMs: String,

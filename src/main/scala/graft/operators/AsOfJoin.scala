@@ -125,4 +125,38 @@ object AsOfJoin {
         keys, nl, nr, carry, rightTieBreak, tolerance)
       .drop(nl)
   }
+
+  /** Nearest as-of join (pandas merge_asof direction='nearest'): for
+    * every left row, the right row closest in time on EITHER side, per
+    * key; equidistant candidates resolve to the backward (past) match —
+    * the causality-friendly tie. Composed as backward ∘ forward (two
+    * single-shuffle passes, still zero row amplification); the per-row
+    * side choice is a null-safe CASE on the two matched times (numeric
+    * time columns only). */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      carry: Seq[(String, String)],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val bt = "__asof_bt"; val ft = "__asof_ft"
+    val bCarry = carry.map { case (c, out) => c -> s"__asof_b_$out" }
+    val fCarry = carry.map { case (c, out) => c -> s"__asof_f_$out" }
+    val withB = backward(left, right, keys, leftTime, rightTime,
+      bCarry :+ (rightTime -> bt), rightTieBreak)
+    val withBF = forward(withB, right, keys, leftTime, rightTime,
+      fCarry :+ (rightTime -> ft), rightTieBreak)
+    // backward wins when forward is absent, or when both exist and the
+    // past match is at least as close as the future one
+    val useB = col(ft).isNull || (col(bt).isNotNull &&
+      col(leftTime) - col(bt) <= col(ft) - col(leftTime))
+    withBF.select(left.columns.map(col).toSeq ++
+      carry.map { case (_, out) =>
+        when(useB, col(s"__asof_b_$out")).otherwise(col(s"__asof_f_$out"))
+          .as(out) } :+
+      when(useB, col(leftTime) - col(bt))
+        .otherwise(col(ft) - col(leftTime)).as("asof_gap"): _*)
+  }
 }

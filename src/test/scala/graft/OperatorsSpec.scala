@@ -30,6 +30,28 @@ class AsOfJoinSpec extends SparkTestBase {
         (3L, "l4", null)))     // no right row for key 3 → null carry
   }
 
+  test("nearest as-of picks the closer side, ties to the past match") {
+    // k=1 t=100: past r-100 (gap 0) vs future r-150 → past
+    // k=1 t=200: past r-150 (gap 50), no future → past
+    // k=2 t=150: r-equal gap 0 (tie with itself) → past semantics
+    // k=3 t=50: no right rows at all → null carry, null gap
+    val out = AsOfJoin.nearest(left, right,
+      keys = Seq("k" -> "k"), leftTime = "t", rightTime = "rt",
+      carry = Seq("rv" -> "rv"), rightTieBreak = Seq("rv"))
+      .orderBy("k", "t").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(3),
+      Option(r.get(4)).map(_.toString).orNull)).toSeq ==
+      Seq((1L, "r-100", "0"), (1L, "r-150", "50"),
+        (2L, "r-equal", "0"), (3L, null, null)))
+    // and a future-closer case: left at t=140 for k=1 → r-150 (gap 10)
+    // beats r-100 (gap 40)
+    val single = Seq((1L, 140L, "lx")).toDF("k", "t", "lv")
+    val got = AsOfJoin.nearest(single, right,
+      keys = Seq("k" -> "k"), leftTime = "t", rightTime = "rt",
+      carry = Seq("rv" -> "rv"), rightTieBreak = Seq("rv")).head()
+    assert(got.getString(3) == "r-150" && got.getLong(4) == 10L)
+  }
+
   test("as-of with zero right rows yields all-null carry") {
     val out = AsOfJoin.backward(left, right.filter($"k" === 999),
       keys = Seq("k" -> "k"), leftTime = "t", rightTime = "rt",
