@@ -30,7 +30,7 @@ object Stats {
   /** Per-group OLS fit of `y` on `x`: one decimal-exact moment pass, then
     * closed-form `slope`, `intercept`, `r2` (all unrounded doubles —
     * callers emitting gate-checked output round at a fixed precision).
-    * Groups where x or y is constant yield NaN/null fits, as SQL does. */
+    * Groups where x (or y, for r2) is constant yield null fits. */
   def linearFit(df: DataFrame, x: Column, y: Column,
       keys: Seq[Column]): DataFrame = {
     val m = df.groupBy(keys: _*)
@@ -39,17 +39,22 @@ object Stats {
         dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
         dsum(x * y).as("sxy"))
     // expression trees below are mirrored verbatim in the q81 oracle SQL —
-    // keep the parenthesization identical on any change
+    // keep the parenthesization identical on any change. Degenerate
+    // groups (constant x, constant y) are guarded: ANSI mode (Spark 4
+    // default) turns the 0-denominator division into a runtime error,
+    // so the guard yields SQL-null fits instead of failing the job.
+    val sxxDen = col("n") * col("sxx") - col("sx") * col("sx")
+    val syyDen = col("n") * col("syy") - col("sy") * col("sy")
     m.withColumn("slope",
-        (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")))
+        when(sxxDen =!= 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / sxxDen))
       .withColumn("intercept",
         (col("sy") - col("slope") * col("sx")) / col("n"))
       .withColumn("r2",
-        ((col("n") * col("sxy") - col("sx") * col("sy")) *
-          (col("n") * col("sxy") - col("sx") * col("sy"))) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy"))))
+        when(sxxDen * syyDen =!= 0,
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            (sxxDen * syyDen)))
       .drop("sx", "sy", "sxx", "syy", "sxy")
   }
 
@@ -68,9 +73,14 @@ object Stats {
         sqrt(col("__sxx") / col("__n") -
           (col("__sx") / col("__n")) * (col("__sx") / col("__n")))
           .as("__sigma"))
+    // σ = 0 (constant group) must yield zero outliers, not a
+    // DIVIDE_BY_ZERO job failure under ANSI mode — the when() guard
+    // evaluates the division only when σ > 0, and a null z fails the
+    // threshold filter
     df.join(broadcast(st), col(keyCol) === col("__k"))
-      .filter(abs((v - col("__mu")) / col("__sigma")) > threshold)
-      .withColumn("z", (v - col("__mu")) / col("__sigma"))
+      .withColumn("z",
+        when(col("__sigma") > 0, (v - col("__mu")) / col("__sigma")))
+      .filter(abs(col("z")) > threshold)
       .drop("__k", "__mu", "__sigma")
   }
 

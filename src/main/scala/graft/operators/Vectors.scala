@@ -38,9 +38,11 @@ object Vectors {
       lit(0.0), (acc, x) => acc + x)
 
   /** Cosine similarity; caller supplies precomputed norms to avoid
-    * recomputing them per pair. */
+    * recomputing them per pair. Zero-norm vectors yield SQL null (no
+    * direction → no similarity) rather than an ANSI divide-by-zero
+    * failure; threshold filters then drop them. */
   def cosine(dotAB: Column, normA: Column, normB: Column): Column =
-    dotAB / (normA * normB)
+    when(normA * normB > 0, dotAB / (normA * normB))
 
   /** Deterministic pseudo-random hyperplane component i of plane j, in
     * [-0.5, 0.5): integer Weyl-style mix then scale. Pure integer + one

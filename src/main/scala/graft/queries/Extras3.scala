@@ -110,15 +110,27 @@ object Extras3 {
           dsum($"l_extendedprice").as("sa"),
           dsum($"l_extendedprice" * $"l_extendedprice").as("saa"),
           dsum($"l_extendedprice" * $"l_quantity").as("sab"))
+      // Spark-side when() guards: under ANSI mode (Spark 4 default) a
+      // 1-row group (n-1 = 0) or a constant column (0 variance in the
+      // corr denominator) would fail the JOB with DIVIDE_BY_ZERO; the
+      // guards yield null instead and are value-identical on every
+      // non-degenerate group, so oracle parity is unchanged (DuckDB
+      // returns inf/nan rather than erroring, and no fixture group is
+      // degenerate).
+      val corrDen = sqrt(($"saa" - $"sa" * $"sa" / $"n")
+        * ($"sbb" - $"sb" * $"sb" / $"n"))
       m.select($"l_returnflag",
-        round(sqrt(($"sbb" - $"sb" * $"sb" / $"n") / ($"n" - 1.0)), 4)
+        round(sqrt(when($"n" > 1,
+          ($"sbb" - $"sb" * $"sb" / $"n") / ($"n" - 1.0))), 4)
           .as("qty_sd"),
-        round(($"sbb" - $"sb" * $"sb" / $"n") / ($"n" - 1.0), 4)
+        round(when($"n" > 1,
+          ($"sbb" - $"sb" * $"sb" / $"n") / ($"n" - 1.0)), 4)
           .as("qty_var"),
-        round(($"sab" - $"sa" * $"sb" / $"n")
-          / sqrt(($"saa" - $"sa" * $"sa" / $"n")
-            * ($"sbb" - $"sb" * $"sb" / $"n")), 6).as("price_qty_corr"),
-        round(($"sab" - $"sa" * $"sb" / $"n") / ($"n" - 1.0), 2)
+        round(when(corrDen > 0,
+          ($"sab" - $"sa" * $"sb" / $"n") / corrDen), 6)
+          .as("price_qty_corr"),
+        round(when($"n" > 1,
+          ($"sab" - $"sa" * $"sb" / $"n") / ($"n" - 1.0)), 2)
           .as("price_qty_cov"))
     }
   )
