@@ -72,6 +72,29 @@ object Extras14 {
             rightTieBreak = Seq("event_id"))
           .select($"event_id", $"user_id", $"ms",
             $"near_id", $"near_value", $"asof_gap")
+    },
+
+    // ---- ISO calendar bucketing ----------------------------------------
+    // Calendar roll-ups on the ISO-8601 grid. Dialect bridge: Spark's
+    // dayofweek is 1=Sunday, DuckDB's isodow is 1=Monday — both sides
+    // emit the ISO convention (Monday=1), Spark via (dow+5)%7+1.
+    // weekofyear is ISO week in both engines.
+    Qry(
+      "q105_iso_calendar",
+      """SELECT year(o_orderdate) AS y,
+        |  quarter(o_orderdate) AS q,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY 1, 2, 3, 4""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir).orders
+        .groupBy(year($"o_orderdate").as("y"),
+          quarter($"o_orderdate").as("q"),
+          weekofyear($"o_orderdate").as("iso_week"),
+          (((dayofweek($"o_orderdate") + 5) % 7) + 1).as("iso_dow"))
+        .agg(count(lit(1)).as("n"))
     }
   )
 }
