@@ -84,6 +84,18 @@ object Graft {
       Dedup.lshCandidatePairs(sig, idCol, bands, k / bands)
     }
 
+    /** Character-n-gram (pg_trgm-style) Jaccard pairs at or above
+      * `threshold` — for identifier-like strings whose word shingles
+      * are degenerate. df-capped shared-gram equi-join, never
+      * all-pairs (see operators.Dedup.charNGramHashes). */
+    def charNGramPairs(idCol: String, strCol: String,
+        threshold: Double = 0.5, n: Int = 3,
+        dfCap: Int = 16): DataFrame =
+      Dedup.jaccardPairs(Dedup.charNGramHashes(df, idCol, strCol, n),
+          idCol, dfCap)
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+
     /** Edit-distance fuzzy-match pairs (lev <= maxDist) via SymSpell
       * deletion-variant blocking (see operators.Dedup). */
     def fuzzyMatchPairs(idCol: String, strCol: String,

@@ -60,4 +60,40 @@ class GraftFacadeSpec extends SparkTestBase {
     // I |'ll| jump| over| 2| dogs|! → 7 pre-tokens
     assert(counted.select("bpe_tokens").as[Long].head() == 7L)
   }
+
+  test("round-2 facade additions: stats, nearest as-of, char n-grams") {
+    // linearFit via facade on a perfect line
+    val line = (1 to 50).map(i => (i.toDouble, 3.0 * i - 2.0, 0))
+      .toDF("x", "y", "g")
+    val fit = line.linearFit($"x", $"y", $"g").head()
+    assert(math.abs(fit.getAs[Double]("slope") - 3.0) < 1e-9 &&
+      math.abs(fit.getAs[Double]("intercept") + 2.0) < 1e-9)
+
+    // zscoreOutliers via facade
+    val vals = ((1 to 200).map(i => (i.toLong, "a", 5.0 + (i % 2))) :+
+      ((999L, "a", 500.0))).toDF("id", "k", "v")
+    assert(vals.zscoreOutliers("k", "v").select("id").as[Long]
+      .collect().toSeq == Seq(999L))
+
+    // ewma via facade: taps=2, alpha=0.5
+    val e = Seq((1L, 1, 4.0), (1L, 2, 1.0)).toDF("k", "t", "v")
+      .ewma(Seq($"k"), Seq($"t"), "v", alpha = 0.5, taps = 2)
+    assert(e.select("ewma").as[Double].head() == (1.0 + 0.5 * 4.0) / 1.5)
+
+    // nearest as-of via facade
+    val l = Seq((1L, 100L)).toDF("k", "t")
+    val r = Seq((1L, 90L, "past"), (1L, 104L, "future"))
+      .toDF("k", "rt", "rv")
+    val nearest = l.asofNearest(r, Seq("k" -> "k"), "t", "rt",
+      carry = Seq("rv" -> "rv"), rightTieBreak = Seq("rv")).head()
+    assert(nearest.getString(2) == "future" && nearest.getLong(3) == 4L)
+
+    // char n-gram pairs via facade: trigram-similar identifiers match
+    val ids = Seq((1L, "node-0017"), (2L, "node-0018"), (3L, "xxxxxx"))
+      .toDF("id", "s")
+    val pairs = ids.charNGramPairs("id", "s", threshold = 0.3,
+      dfCap = 16).select("id_a", "id_b")
+      .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
