@@ -20,11 +20,18 @@ object Bench {
         // failures are recorded as -1, not as a bogus time-to-failure
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Keep the JSON line COMPACT: the driver's log capture keeps only the
+    // tail of stdout, and sbt appends a [success] line after us — a 5 KB
+    // line gets truncated mid-JSON and the driver records parsed:null
+    // (observed in rounds 1 and 2). Short keys (q1, q100 — the catalog
+    // prefix is unique) + 3-dp times keep the whole line < ~1.8 KB.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
     // failures (-1 sentinels) are excluded — summing them would make a
     // failing round report a BETTER total than a clean one
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // streaming ingest throughput (the reference's headline metric:
     // msgs/sec through the buffer — here rows/sec through a full
     // file-stream -> keyed-aggregation -> sink micro-batch pipeline)
@@ -66,7 +73,7 @@ object Bench {
           .max(0))
       s""","ingest_latency_ms":{"p50":${pct(0.50)},"p90":${pct(0.90)},"p99":${pct(0.99)},"p999":${pct(0.999)},"p9999":${pct(0.9999)},"batches":${lat.length}}"""
     } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_rows_per_sec":$ingestRate$latJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_rows_per_sec":${math.rint(ingestRate)}$latJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

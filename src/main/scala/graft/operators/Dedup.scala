@@ -65,14 +65,6 @@ object Dedup {
     * fanout hurts. */
   val DefaultDfCap: Int = 256
 
-  /** Exact Jaccard pairs (id_a < id_b) from per-id shingle-hash sets:
-    * one shared-shingle equi-join + set-size joins. Columns:
-    * id_a, id_b, shared, n_a, n_b, jaccard. Callers threshold/rename.
-    *
-    * Shingles with document frequency > dfCap are dropped FIRST (set
-    * sizes and jaccard are computed over the capped shingle space, so
-    * the semantics stay internally consistent); dfCap <= 0 disables the
-    * cap. Oracle twin: TextOps.oracleShCappedCte. */
   /** `sh` minus hashes whose document frequency exceeds `cap` (<= 0
     * disables). The window count is one extra shuffle, but it lands on
     * the same key any downstream shared-shingle join shuffles on. */
@@ -84,6 +76,14 @@ object Dedup {
     else sh
   }
 
+  /** Exact Jaccard pairs (id_a < id_b) from per-id shingle-hash sets:
+    * one shared-shingle equi-join + set-size joins. Columns:
+    * id_a, id_b, shared, n_a, n_b, jaccard. Callers threshold/rename.
+    *
+    * Shingles with document frequency > dfCap are dropped FIRST (set
+    * sizes and jaccard are computed over the capped shingle space, so
+    * the semantics stay internally consistent); dfCap <= 0 disables the
+    * cap. Oracle twin: TextOps.oracleShCappedCte. */
   def jaccardPairs(sh: DataFrame, idCol: String,
       dfCap: Int = DefaultDfCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window

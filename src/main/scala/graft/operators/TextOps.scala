@@ -83,6 +83,35 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Non-overlapping n-token chunks (space-joined), leftover tail < n
+    * dropped; empty array when < n tokens. The C4-style chunking shape:
+    * materializes exactly ⌊L/n⌋ chunks, not the L−n+1 overlapping
+    * shingles. DuckDB twin:
+    * `list_transform(range(0, len(tk)-n+1, n),
+    *   i -> array_to_string(tk[i+1:i+n], ' '))`.
+    *
+    * Built as an `aggregate` fold so `tk` sits in ARGUMENT position (one
+    * evaluation per row even after projection collapse inlines the
+    * tokenizer — cf. the lambda-capture note on `shingles`): the
+    * accumulator carries (finished chunks, current partial window) and
+    * flushes the window every n tokens. */
+  def strideChunks(tk: Column, n: Int): Column = {
+    val emptyArr = array().cast("array<string>")
+    aggregate(
+      tk,
+      struct(emptyArr.as("chunks"), emptyArr.as("cur")),
+      (acc, t) => {
+        val cur2 = concat(acc.getField("cur"), array(t))
+        when(size(cur2) === n,
+          struct(concat(acc.getField("chunks"),
+            array(array_join(cur2, " "))).as("chunks"),
+            emptyArr.as("cur")))
+          .otherwise(struct(acc.getField("chunks").as("chunks"),
+            cur2.as("cur")))
+      },
+      acc => acc.getField("chunks"))
+  }
+
   /** Order-dependent polynomial fold of the token-hash sequence mod P —
     * a whole-document fingerprint (content + order sensitive).
     * DuckDB twin: `list_reduce(list_prepend(0::BIGINT, hashes),

@@ -41,12 +41,9 @@ object Extras12 {
          |GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val chunks = t(spark, dir).documents
-        .select($"doc_id", TextOps.tokens($"text").as("tk"))
-        .filter(size($"tk") >= 8)
         .select($"doc_id",
-          posexplode(TextOps.shingles($"tk", 8)).as(Seq("pos", "chunk")))
-        .filter($"pos" % 8 === 0)
-        .select($"doc_id", $"chunk")
+          explode(TextOps.strideChunks(TextOps.tokens($"text"), 8))
+            .as("chunk"))
       val dup = chunks.groupBy($"chunk")
         .agg(countDistinct($"doc_id").as("df"))
         .filter($"df" > 1)

@@ -77,9 +77,11 @@ object Extras9 {
     // ---- argmin / argmax aggregates ------------------------------------
     // min_by/max_by (DuckDB arg_min/arg_max) with an explicitly UNIQUE
     // ordering value: ties in the raw price would make the picked key
-    // engine-dependent, so the comparand is price·1e9 + key (2-dp money
-    // steps of 1e7 dominate the key range; everything stays an exact
-    // integer below 2^53).
+    // engine-dependent, so the comparand is price·1e9 + key. Uniqueness,
+    // not integer exactness, is what matters: price·1e9 carries ~1 ulp of
+    // product error, but 2-dp money steps of 1e7 dominate the key range
+    // and both engines evaluate the identical IEEE-754 expression, so the
+    // ordering agrees bit-for-bit.
     Qry(
       "q90_argminmax",
       """SELECT o_orderpriority,

@@ -36,7 +36,7 @@ object Streams {
 
   private[streaming] def linkDir(path: String, name: String,
       copies: Int = 1): String =
-    linkDirs.computeIfAbsent(s"$path#$copies", { _ =>
+    linkDirs.computeIfAbsent(s"$path#$name#$copies", { _ =>
       val d = java.nio.file.Files.createTempDirectory(s"graft_${name}_")
       d.toFile.deleteOnExit()
       (0 until copies).foreach { i =>
