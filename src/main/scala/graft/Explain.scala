@@ -13,7 +13,11 @@ object Explain {
     val spark = GraftSession.build("graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     // absorb session warmup so timings reflect the plan, not the JVM
+    // (parquet + noop-writer init included, mirroring Bench)
     spark.range(2000000L).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       println(s"==== $name ====")

@@ -102,9 +102,14 @@ object Extras13 {
       }) { (spark, dir) =>
       import spark.implicits._
       val K = 16
+      // staged once: three consumers below (exact-pair self-join ×2 sides
+      // + signatures) would otherwise each recompute the full
+      // tokenize→shingle→hash pipeline — no ReusedExchange fires across
+      // them (verified on the formatted plan)
       val shc = Dedup.dfCapped(
         Dedup.shingleHashes(t(spark, dir).documents, "doc_id", "text"),
         Dedup.DefaultDfCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exact = Dedup.jaccardPairs(shc, "doc_id", dfCap = 0)
         .filter($"jaccard" >= 0.5)
         .select($"id_a", $"id_b", $"jaccard")

@@ -79,13 +79,22 @@ object Streams {
   def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
     val spark = df.sparkSession
     val table = s"graft_stream_${nameCounter.incrementAndGet()}"
+    // Fixture streams carry a few hundred thousand rows through a handful
+    // of micro-batches; 32 shuffle partitions means 32 state stores each
+    // paying per-batch snapshot/commit file IO for a sliver of state. 8
+    // keeps the run parallel while quartering the fixed state overhead —
+    // scoped to THIS stream only (restored after), so batch queries keep
+    // the session default. A real deployment sizes this to state volume.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       val q = df.writeStream.outputMode(outputMode)
         .format("memory").queryName(table).start()
       try q.processAllAvailable() finally q.stop()
       val sink = spark.table(table)
       spark.createDataFrame(sink.collectAsList(), sink.schema)
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
       // also on failure — orphaned sink tables pin rows in the driver
       spark.catalog.dropTempView(table)
     }
