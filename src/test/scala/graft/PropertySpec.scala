@@ -119,6 +119,22 @@ class PropertySpec extends SparkTestBase {
     }, tests = 25)
   }
 
+  test("property: strideChunks equals every-nth non-overlapping window") {
+    // the aggregate-fold chunker (argument-position tk, L/n materialized
+    // chunks) must match the obvious grouped(n) with the leftover tail
+    // dropped, for every n and token count including the < n boundary
+    val tokGen = Gen.choose(0, 20).flatMap(k => Gen.listOfN(k,
+      Gen.oneOf("a", "bb", "ccc", "d0", "e", "ff")))
+    check(Prop.forAll(tokGen, Gen.choose(1, 5)) { (toks, n) =>
+      val got = Seq(toks.mkString(" ")).toDF("text")
+        .select(TextOps.strideChunks(TextOps.tokens($"text"), n).as("ch"))
+        .as[Seq[String]].head()
+      val expected = toks.grouped(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq
+      got == expected
+    }, tests = 25)
+  }
+
   test("property: charNGramHashes emits one hash per distinct n-gram") {
     val sGen = Gen.choose(0, 12).flatMap(k =>
       Gen.listOfN(k, Gen.oneOf('a', 'b', 'c', '0')).map(_.mkString))
