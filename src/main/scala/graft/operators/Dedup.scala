@@ -95,15 +95,19 @@ object Dedup {
     //
     // ... and then STAGE the result: Catalyst does not recognize the
     // self-join's two sides as the same subtree (no ReusedExchange —
-    // verified on the q36 plan), so without a persist the whole
+    // verified on the q36 plan), so without staging the whole
     // tokenize→shingle→hash→window pipeline runs once PER SIDE.
-    // MEMORY_AND_DISK spills instead of OOMing, and staging the shingle
-    // set before the pair join is the standard cluster-scale MinHash
-    // pipeline shape (the staged set is ~the token stream's size, far
-    // smaller than the join fanout it feeds).
+    // localCheckpoint (lazy, MEMORY_AND_DISK) rather than persist():
+    // persist registers the plan in the session CacheManager, and every
+    // LATER query then pays plan-canonicalization against it during
+    // lookup — measured seconds of driver time on the wide-expression
+    // queries. The checkpoint stays private to this DataFrame. Staging
+    // the shingle set before the pair join is the standard cluster-scale
+    // MinHash pipeline shape (the staged set is ~the token stream's
+    // size, far smaller than the join fanout it feeds).
     val withN = capped.withColumn("__n",
       count(lit(1)).over(Window.partitionBy(col(idCol))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val a = withN.select(col(idCol).as("id_a"), col("h"),
       col("__n").as("n_a"))
     val b = withN.select(col(idCol).as("id_b"), col("h").as("__h2"),
@@ -120,17 +124,18 @@ object Dedup {
   /** MinHash signature per id: K columns m0..m{K-1}, one hash aggregate.
     * Input: (idCol, shingle-hash column `h` with h in [0, P)).
     *
-    * The result is persisted: every LSH consumer reads the signature
-    * table ≥3 times (banding + both verification-join sides), each read
-    * would re-run the upstream shingle pipeline (no ReusedExchange across
-    * self-join sides), and at one short row per document the signature
-    * table is the cheapest frame in the whole pipeline to stage. */
+    * The result is staged via lazy localCheckpoint: every LSH consumer
+    * reads the signature table ≥3 times (banding + both verification-join
+    * sides), each read would re-run the upstream shingle pipeline (no
+    * ReusedExchange across self-join sides), and at one short row per
+    * document the signature table is the cheapest frame in the whole
+    * pipeline to stage. (Checkpoint, not persist — see jaccardPairs.) */
   def minhashSignatures(shingleHashes: DataFrame, idCol: String, h: String,
       k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min((col(h) * aParam(i) + bParam(i)) % P).as(s"m$i"))
     shingleHashes.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
   }
 
   /** LSH candidate pairs (idA < idB) from signatures: B bands of R rows

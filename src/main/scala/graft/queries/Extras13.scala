@@ -105,11 +105,12 @@ object Extras13 {
       // staged once: three consumers below (exact-pair self-join ×2 sides
       // + signatures) would otherwise each recompute the full
       // tokenize→shingle→hash pipeline — no ReusedExchange fires across
-      // them (verified on the formatted plan)
+      // them (verified on the formatted plan). Checkpoint, not persist
+      // (CacheManager lookup taxes every later query — see jaccardPairs).
       val shc = Dedup.dfCapped(
         Dedup.shingleHashes(t(spark, dir).documents, "doc_id", "text"),
         Dedup.DefaultDfCap)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val exact = Dedup.jaccardPairs(shc, "doc_id", dfCap = 0)
         .filter($"jaccard" >= 0.5)
         .select($"id_a", $"id_b", $"jaccard")
