@@ -50,10 +50,12 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point: SQL functions + optimizer rules. */
+/** `spark.sql.extensions` entry point: SQL functions, optimizer rules,
+  * and the native as-of join planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.LeRoundtripElimination)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -18,6 +18,9 @@ object SparkTestBase {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // production sessions (GraftSession) load the extensions; specs for
+      // the injected strategy/rules/functions need them here too
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
