@@ -34,6 +34,10 @@ object GraftSession {
       // session-global flag inside a table getter is action-at-a-distance
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // managed-table writes (bucketed-join fixtures) land in a temp
+      // warehouse, never inside the repo working directory
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
