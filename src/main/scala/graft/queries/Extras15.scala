@@ -226,12 +226,14 @@ object Extras15 {
     // The classic risk metric on the reference's price-stream shape:
     // running max minus current value, maximized per series. Pure window
     // arithmetic on unsummed doubles (max/subtract only — both engines
-    // see bit-identical values), one shuffle on the series key.
+    // see bit-identical values), one shuffle on the series key. The
+    // trailing price tiebreak makes the order TOTAL (the fixtures carry
+    // one (suppkey, shipdate, orderkey, linenumber) collision).
     Qry(
       "q111_drawdown",
       """WITH r AS (SELECT l_suppkey, l_extendedprice,
         |    MAX(l_extendedprice) OVER (PARTITION BY l_suppkey
-        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
         |  FROM lineitem)
         |SELECT l_suppkey, MAX(runmax - l_extendedprice) AS max_drawdown,
@@ -239,7 +241,7 @@ object Extras15 {
         |FROM r GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val w = Window.partitionBy($"l_suppkey")
-        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(spark, dir).lineitem
         .select($"l_suppkey", $"l_shipdate", $"l_orderkey",
