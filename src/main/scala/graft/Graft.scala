@@ -37,6 +37,17 @@ object Graft {
       AsOfJoin.nearest(df, right, keys, leftTime, rightTime, carry,
         rightTieBreak)
 
+    /** Backward as-of join through the NATIVE plan node
+      * (plans.AsOfJoinPlan → AsOfJoinExec: co-partitioned sorted merge,
+      * O(1) state; see operators.NativeAsOf). Same contract as
+      * `asofBackward`; time columns must be LongType. */
+    def asofBackwardNative(right: DataFrame, keys: Seq[(String, String)],
+        leftTime: String, rightTime: String,
+        carry: Seq[(String, String)],
+        rightTieBreak: Seq[String] = Nil): DataFrame =
+      NativeAsOf.backward(df, right, keys, leftTime, rightTime, carry,
+        rightTieBreak)
+
     /** Bucketed interval join (see operators.RangeJoin). */
     def intervalJoin(right: DataFrame, leftKey: String, rightKey: String,
         leftTimeMs: String, rightTimeMs: String,
@@ -130,6 +141,28 @@ object Graft {
     /** BPE-style pre-token count appended as column `bpe_tokens`. */
     def withBpeTokenCount(textCol: String): DataFrame =
       df.withColumn("bpe_tokens", TextOps.bpeTokenCount(col(textCol)))
+
+    /** One row per non-overlapping n-token chunk of `textCol` (C4-style
+      * chunk grain; see TextOps.strideChunks): (idCol, chunk). */
+    def tokenChunks(idCol: String, textCol: String, n: Int = 8): DataFrame =
+      df.select(col(idCol),
+        explode(TextOps.strideChunks(TextOps.tokens(col(textCol)), n))
+          .as("chunk"))
+
+    /** Training-set rows sharing at least one n-token chunk with
+      * `heldOut` (both on `textCol`) — the decontamination sweep as a
+      * hashed-chunk semi-join (see q107). Returns this DataFrame's rows
+      * that ARE contaminated. */
+    def contaminatedBy(heldOut: DataFrame, idCol: String, textCol: String,
+        n: Int = 8): DataFrame = {
+      val mine = df.tokenChunks(idCol, textCol, n)
+        .select(col(idCol), TextOps.hashMod(col("chunk")).as("__h"))
+        .distinct()
+      val theirs = heldOut.tokenChunks(idCol, textCol, n)
+        .select(TextOps.hashMod(col("chunk")).as("__h")).distinct()
+      df.join(mine.join(theirs, Seq("__h"), "left_semi")
+          .select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+    }
 
     /** Exact cosine top-k: for each row of `queries`, the k nearest rows
       * of this DataFrame by cosine over `vecCol` (both must share the id

@@ -95,5 +95,21 @@ class GraftFacadeSpec extends SparkTestBase {
       dfCap = 16).select("id_a", "id_b")
       .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
+
+    // native as-of via facade agrees with the union formulation
+    val nl = Seq((1L, 10L, 7L)).toDF("k", "t", "lv")
+    val nr = Seq((1L, 5L, 0.25)).toDF("k", "t", "rv")
+    val nat = nl.asofBackwardNative(nr, Seq("k" -> "k"), "t", "t",
+      carry = Seq("rv" -> "rv")).head()
+    assert(nat.getDouble(3) == 0.25)
+
+    // token chunks + decontamination via facade
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),        // shares chunk "a..h" with held-out
+      (2L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    val held = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    assert(corpus.tokenChunks("doc_id", "text", 8).count() == 2)
+    assert(corpus.contaminatedBy(held, "doc_id", "text", 8)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 }
