@@ -27,13 +27,15 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // Keep the JSON line COMPACT: the driver's log capture keeps only the
-    // tail of stdout, and sbt appends a [success] line after us — a 5 KB
-    // line gets truncated mid-JSON and the driver records parsed:null
-    // (observed in rounds 1 and 2). Short keys (q1, q100 — the catalog
-    // prefix is unique) + 3-dp times keep the whole line < ~1.8 KB.
+    // tail of stdout (~2 KB), and sbt appends a [success] line after us —
+    // a 5 KB line gets truncated mid-JSON and the driver records
+    // parsed:null (observed in rounds 1 and 2). Short keys (q1, q100 —
+    // the catalog prefix is unique) + 2-dp per-query times keep the whole
+    // line ≤ ~1.7 KB at 135 queries.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def r2(v: Double): Double = math.rint(v * 100) / 100
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
     }.mkString("{", ",", "}")
     // failures (-1 sentinels) are excluded — summing them would make a
     // failing round report a BETTER total than a clean one
