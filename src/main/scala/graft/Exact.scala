@@ -41,10 +41,22 @@ object Exact {
     * double division at the end. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Money-rounded exact sum: round to 2 dp IN DECIMAL SPACE, then cast.
+    * Needed once a scaled sum can exceed 2^53 (≈9e9 money units): the
+    * 6-dp decimal→double cast is correctly-rounded in Spark but
+    * double-rounded (int128→double→/1e6) in DuckDB, one ulp apart. The
+    * decimal round is exact in both engines (HALF_UP == half-away-from-
+    * zero on exact decimals; DuckDB's decimal CAST would TRUNCATE — use
+    * round()), and the 2-dp numerator stays below 2^53 until ~9e13. */
+  def dsum2(c: Column): Column =
+    round(sum(c.cast(Money)), 2).cast(DoubleType)
+
   /** The matching DuckDB-side SQL fragments (kept next to the Scala so the
     * two can never drift). */
   def dsumSql(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+  def dsum2Sql(expr: String): String =
+    s"CAST(round(SUM(CAST($expr AS DECIMAL(28,6))), 2) AS DOUBLE)"
   def davgSql(expr: String): String =
     s"(${dsumSql(expr)} / COUNT($expr))"
 }

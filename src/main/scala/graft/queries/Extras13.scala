@@ -66,22 +66,27 @@ object Extras13 {
     },
 
     // ---- MinHash estimate vs exact Jaccard -----------------------------
-    // For every true near-dup pair (exact J >= 0.5), the K=16
-    // signature-agreement estimate must land within 0.3 of exact
-    // (binomial noise for K=16 is σ <= 0.125; the modpow coefficient
-    // family keeps the estimator honest — see TextOps.aParam). The
-    // oracle states the bound as TRUE, so estimator degradation fails
-    // the gate. Only exact J is emitted as a value. BOTH the exact pair
-    // join and the signatures run over the df-CAPPED shingle space —
-    // identical results at fixture scale (max df 25 << 256) and a
-    // bounded join at corpus scale; validating over the same space the
-    // production pipeline hashes is the consistent comparison.
+    // For every true near-dup pair (exact J >= 0.5), emit the exact
+    // Jaccard AND the K=16 signature-agreement count. Signatures are
+    // deterministic (shared md5 hash + modpow coefficient family — see
+    // TextOps.aParam), so n_match is gate-checked EXACTLY at any scale;
+    // the statistical quality claim (estimate within 0.3 of exact, the
+    // binomial-noise budget for K=16) lives in OperatorsSpec at fixture
+    // scale, where it is a property of the coefficient family rather
+    // than a per-pair oracle assertion — at corpus scale some pair
+    // always sits in the binomial tail (observed at 10x: 1 of 250k
+    // pairs), which is estimator honesty, not a defect. BOTH the exact
+    // pair join and the signatures run over the df-CAPPED shingle space
+    // — identical results at fixture scale (max df 25 << 256) and a
+    // bounded join at corpus scale.
     Qry(
       "q103_minhash_estimate", {
         val K = 16
         val minCols = (0 until K).map(i =>
           s"min((h * ${TextOps.aParam(i)} + ${TextOps.bParam(i)}) " +
             s"% ${TextOps.P}) AS m$i").mkString(", ")
+        val matchSum = (0 until K).map(i =>
+          s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
         s"""WITH ${TextOps.oracleToksCte},
            |${TextOps.oracleSh3Cte},
            |${TextOps.oracleShCappedCte(Dedup.DefaultDfCap)},
@@ -97,8 +102,10 @@ object Extras13 {
            |  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)
            |    >= 0.5e0)
            |SELECT da AS doc_a, db AS doc_b, round(j, 6) AS jaccard,
-           |  CAST(TRUE AS BOOLEAN) AS est_ok
-           |FROM exact""".stripMargin
+           |  CAST($matchSum AS BIGINT) AS n_match
+           |FROM exact
+           |  JOIN sig sa ON da = sa.doc_id
+           |  JOIN sig sb ON db = sb.doc_id""".stripMargin
       }) { (spark, dir) =>
       import spark.implicits._
       val K = 16
@@ -124,8 +131,7 @@ object Extras13 {
       exact.join(sa, $"id_a" === $"ka").join(sb, $"id_b" === $"kb")
         .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
           round($"jaccard", 6).as("jaccard"),
-          (abs(nMatch.cast("double") / K - $"jaccard") <= 0.3)
-            .as("est_ok"))
+          nMatch.cast("long").as("n_match"))
     }
   )
 }

@@ -100,9 +100,15 @@ object Extras16 {
     // intervals, with overlaps collapsed — the island-detection pattern
     // (new island ⇔ start > max prior end). All integer millisecond
     // arithmetic; one shuffle on user_id, two windows sharing it.
+    // Intervals are DISTINCT first: a union is a set operation, and
+    // duplicate (s, e) rows would leave the window order non-total — the
+    // flag window and the cumsum window may then pick DIFFERENT tie
+    // orders (even within one engine they are separate sorts), splitting
+    // islands nondeterministically (observed on the 10x stress replica
+    // where every event has 10 identical copies).
     Qry(
       "q114_interval_union",
-      """WITH iv AS (SELECT user_id,
+      """WITH iv AS (SELECT DISTINCT user_id,
         |    epoch_ms(CAST(ts AS TIMESTAMP)) AS s,
         |    epoch_ms(CAST(ts AS TIMESTAMP)) + 1800000 AS e
         |  FROM events),
@@ -127,6 +133,7 @@ object Extras16 {
       val iv = t(spark, dir).events
         .select($"user_id", unix_millis($"ts").as("s"))
         .withColumn("e", $"s" + gap)
+        .distinct()
       val wPrev = Window.partitionBy($"user_id").orderBy($"s", $"e")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wRun = Window.partitionBy($"user_id").orderBy($"s", $"e")

@@ -74,16 +74,19 @@ object Extras4 {
     Qry(
       "q64_tfidf",
       s"""WITH ${TextOps.oracleToksCte},
-         |tf AS (SELECT doc_id, tok, COUNT(*) AS f,
-         |    len(any_value(tk)) AS ntok
-         |  FROM (SELECT doc_id, tk, unnest(tk) AS tok FROM toks)
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS f
+         |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
          |  GROUP BY doc_id, tok),
+         |nt AS (SELECT doc_id, len(tk) AS ntok FROM toks),
          |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS d FROM tf GROUP BY 1),
          |ndocs AS (SELECT COUNT(*) AS n FROM documents),
-         |scored AS (SELECT doc_id, tf.tok AS tok,
+         |scored AS (SELECT tf.doc_id AS doc_id, tf.tok AS tok,
          |    (CAST(f AS DOUBLE) / ntok)
          |      * ln(CAST(n AS DOUBLE) / d) AS tfidf
-         |  FROM tf, df, ndocs WHERE tf.tok = df.tok)
+         |  FROM tf
+         |    JOIN nt ON tf.doc_id = nt.doc_id
+         |    JOIN df ON tf.tok = df.tok
+         |  CROSS JOIN ndocs)
          |SELECT doc_id, tok AS top_term, round(tfidf, 6) AS score
          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
          |        ORDER BY tfidf DESC, tok) AS rn FROM scored)

@@ -40,13 +40,18 @@ object Relational {
   val all: Seq[Qry] = Seq(
 
     // ---- aggregation over a filtered scan (TPC-H Q1 shape) -------------
+    // Money sums go through Exact.dsum2 (round to 2 dp IN DECIMAL SPACE,
+    // then cast): past ~9e9 money units the 6-dp decimal→double cast is
+    // one ulp apart across engines (Spark correctly-rounded vs DuckDB's
+    // int128→double→/1e6 double-rounding — observed on the 10x stress
+    // replica); the decimal-space round is exact in both.
     Qry(
       "q1_pricing_summary",
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsumSql("l_quantity")} AS sum_qty,
-         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
-         |  ${dsumSql(revenueSql)} AS sum_disc_price,
-         |  ${dsumSql(s"$revenueSql * (1e0 + l_tax)")} AS sum_charge,
+         |  ${dsum2Sql("l_extendedprice")} AS sum_base_price,
+         |  ${dsum2Sql(revenueSql)} AS sum_disc_price,
+         |  ${dsum2Sql(s"$revenueSql * (1e0 + l_tax)")} AS sum_charge,
          |  ${davgSql("l_quantity")} AS avg_qty,
          |  ${davgSql("l_discount")} AS avg_disc,
          |  COUNT(*) AS count_order
@@ -59,10 +64,11 @@ object Relational {
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           dsum($"l_quantity").as("sum_qty"),
-          dsum($"l_extendedprice").as("sum_base_price"),
-          dsum(revenue($"l_extendedprice", $"l_discount")).as("sum_disc_price"),
-          dsum(revenue($"l_extendedprice", $"l_discount") * (lit(1.0) + $"l_tax"))
-            .as("sum_charge"),
+          dsum2($"l_extendedprice").as("sum_base_price"),
+          dsum2(revenue($"l_extendedprice", $"l_discount"))
+            .as("sum_disc_price"),
+          dsum2(revenue($"l_extendedprice", $"l_discount") *
+            (lit(1.0) + $"l_tax")).as("sum_charge"),
           davg($"l_quantity").as("avg_qty"),
           davg($"l_discount").as("avg_disc"),
           count(one).as("count_order"))
