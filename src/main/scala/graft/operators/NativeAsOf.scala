@@ -25,7 +25,54 @@ object NativeAsOf {
       leftTime: String,
       rightTime: String,
       carry: Seq[(String, String)],
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = tolerance match {
+    case Some(tol) =>
+      // ride the matched right time along, then null out carries whose
+      // match is older than the window (rows survive — same contract as
+      // AsOfJoin.backward's tolerance)
+      val rt = "__nat_rt"
+      val joined = backward(left, right, keys, leftTime, rightTime,
+        carry :+ (rightTime -> rt), rightTieBreak, None)
+      val inRange = col(rt).isNotNull && col(leftTime) - col(rt) <= tol
+      joined.select(left.columns.map(col).toSeq ++
+        carry.map { case (_, out) =>
+          org.apache.spark.sql.functions
+            .when(inRange, col(out)).otherwise(
+              org.apache.spark.sql.functions.lit(null)).as(out) }: _*)
+    case None => backwardImpl(left, right, keys, leftTime, rightTime,
+      carry, rightTieBreak)
+  }
+
+  /** Forward as-of join via the native node: earliest right row with
+    * time >= left time, per key; largest tiebreak wins among equal
+    * (key, time) — matching AsOfJoin.forward. Implemented by negating
+    * the (Long) time axes around the backward merge. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      carry: Seq[(String, String)],
+      rightTieBreak: Seq[String] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
+    val nl = "__nat_negl"; val nr = "__nat_negr"
+    backward(
+        left.withColumn(nl, -col(leftTime)),
+        right.withColumn(nr, -col(rightTime)),
+        keys, nl, nr, carry, rightTieBreak, tolerance)
+      .drop(nl)
+  }
+
+  private def backwardImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[(String, String)],
+      leftTime: String,
+      rightTime: String,
+      carry: Seq[(String, String)],
+      rightTieBreak: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one equi-key")
 
     // SQL match semantics: NULL keys / NULL times never match — drop the

@@ -74,6 +74,35 @@ class NativeAsOfSpec extends SparkTestBase {
     assert(nExchanges == 2, s"expected 2 exchanges, plan:\n$plan")
   }
 
+  test("native forward + tolerance agree with the union formulation") {
+    val rng = new scala.util.Random(7)
+    val left = Seq.tabulate(200)(i =>
+      (rng.nextInt(6).toLong, rng.nextInt(40).toLong, i.toLong))
+      .toDF("k", "t", "lv")
+    val right = Seq.tabulate(150)(i =>
+      (rng.nextInt(8).toLong, rng.nextInt(40).toLong, rng.nextDouble(),
+        i.toLong))
+      .toDF("k", "t", "rv", "rid")
+    val a = AsOfJoin.forward(left, right, Seq("k" -> "k"), "t", "t",
+        Seq("rv" -> "rv", "rid" -> "rid"), Seq("rid"),
+        tolerance = Some(5L))
+      .orderBy("k", "t", "lv").collect().toSeq
+    val b = NativeAsOf.forward(left, right, Seq("k" -> "k"), "t", "t",
+        Seq("rv" -> "rv", "rid" -> "rid"), Seq("rid"),
+        tolerance = Some(5L))
+      .orderBy("k", "t", "lv").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val c = AsOfJoin.backward(left, right, Seq("k" -> "k"), "t", "t",
+        Seq("rv" -> "rv", "rid" -> "rid"), Seq("rid"),
+        tolerance = Some(3L))
+      .orderBy("k", "t", "lv").collect().toSeq
+    val d = NativeAsOf.backward(left, right, Seq("k" -> "k"), "t", "t",
+        Seq("rv" -> "rv", "rid" -> "rid"), Seq("rid"),
+        tolerance = Some(3L))
+      .orderBy("k", "t", "lv").collect().toSeq
+    assert(c == d)
+  }
+
   test("native as-of handles shared-lineage sides (self as-of)") {
     // both sides filtered from ONE DataFrame — the analyzer's
     // DeduplicateRelations remaps the right subtree's exprIds; the
