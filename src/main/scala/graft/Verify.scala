@@ -19,6 +19,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // staged dedup/CC blocks are per-query scratch — release them, or
+      // the 143-query session carries them all (see Bench)
+      graft.operators.Staging.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -2,23 +2,47 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Connected components by iterative min-label propagation — turns a
   * near-duplicate PAIR list (q36/q37 output) into duplicate CLUSTERS,
   * the form a dedup pipeline actually materializes (keep one
   * representative per component).
   *
-  * Each iteration: every node adopts the minimum label among itself and
-  * its neighbors; converged when no label changes. Iterations are plain
-  * shuffled joins + aggregations — O(component diameter) rounds, each one
-  * shuffle on the node id. Near-dup graphs are overwhelmingly tiny stars
-  * (diameter ≤ 2-3), so the loop converges in a handful of rounds; the
-  * cap guards pathological chains. For truly adversarial graphs at 100 TB
-  * scale, swap the propagation step for the alternating small-star/
-  * large-star rewrite (same join shape, fewer rounds) — the driver-side
-  * loop itself holds only a changed-row COUNT, never data.
+  * Each round every node adopts the minimum label among itself, its
+  * neighbors' labels, and — via one extra pointer-jumping join — its
+  * current label's label. Plain min-propagation needs O(diameter)
+  * rounds; the label-of-label shortcut halves the remaining distance to
+  * the component minimum each round (path doubling), so convergence is
+  * O(log diameter) — the same round complexity the alternating
+  * small-star/large-star rewrite achieves, with one fewer shuffle per
+  * round on the star-shaped graphs near-dup pipelines actually produce
+  * (diameter ≤ 2-3: both finish in 2-3 rounds, and this shape keeps
+  * every round = one join+window pass over (nodes ∪ edges)).
+  *
+  * Cost model per round: two equi-joins + one aggregate, all shuffled on
+  * the node id, plus one staged materialization. The driver holds only a
+  * per-round label-sum (convergence metric), never data.
+  *
+  * Convergence detection is join-free: labels only ever DECREASE
+  * (`least(old, …)` per node over a fixed node set), so the exact sum of
+  * all labels (DECIMAL(38,0) — overflow-proof at any scale) is strictly
+  * monotone decreasing until the fixpoint; an unchanged sum IS
+  * convergence. The sum rides a trivial aggregate over the just-staged
+  * blocks — not a second execution of the round, and not an accumulator
+  * (task-retry double-counting would make an accumulator sum unreliable
+  * on a real cluster).
+  *
+  * Failure safety at 100 TB: staging goes through [[Staging.stage]] —
+  * executor-local checkpoints by default, reliable checkpoints under
+  * `spark.graft.checkpointDir` so a lost executor degrades to a re-read
+  * instead of killing an hours-long job. Each round releases the
+  * previous round's staged blocks; callers running many queries in one
+  * session release the final frame via [[Staging.sweep]].
   */
 object ConnectedComponents {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** @param edges two-column DataFrame of undirected edges
     * @return (id, component) — component = min node id reachable
@@ -27,38 +51,54 @@ object ConnectedComponents {
       maxIterations: Int = 20): DataFrame = {
     // materialize the edge list ONCE: `edges` may be an arbitrarily
     // expensive upstream pipeline (e.g. the full near-dup Jaccard join),
-    // and the loop references it in every iteration's join AND its
-    // convergence count — without the checkpoint it re-executes each time
-    // (measured 200s+ vs ~4s on the 10x dedup graph)
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // and the loop references it every round — without staging it
+    // re-executes each time (measured 200s+ vs ~4s on the 10x dedup graph)
+    val sym = Staging.stage(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .distinct(),
+      eager = true)
+    var labels = Staging.stage(
+      sym.select(col("a").as("id")).distinct()
+        .withColumn("component", col("id")),
+      eager = true)
+    // coalesce: sum over an EMPTY label set (no edges) is NULL, and the
+    // convergence compare must still terminate
+    val sumCol = coalesce(sum(col("component").cast(DecimalType(38, 0))),
+      lit(0).cast(DecimalType(38, 0)))
+    var prevSum = labels.agg(sumCol).head().getDecimal(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
       val neighborMin = sym
         .join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("component")).as("nmin"))
-      // checkpoint BEFORE the convergence count: counting first would
-      // evaluate the join once for the count and once again for the
-      // checkpoint (also cuts lineage so iteration i+1 doesn't re-plan i)
-      val next = labels
-        .join(neighborMin, col("id") === col("a"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
+      // pointer jumping: my next label is the min of (my label, my
+      // neighbors' labels, my LABEL's label) — the third term shortcuts
+      // chains so rounds scale with log(diameter), not diameter
+      val hop = labels.select(col("id").as("__lid"),
+        col("component").as("__lcomp"))
+      val next = Staging.stage(
+        labels
+          .join(neighborMin, col("id") === col("a"), "left")
+          .join(hop, col("component") === col("__lid"), "left")
+          .select(col("id"),
+            least(col("component"),
+              coalesce(col("nmin"), col("component")),
+              coalesce(col("__lcomp"), col("component"))).as("component")),
+        eager = true)
+      // staged eagerly above, so this aggregate reads the materialized
+      // blocks — it does not re-run the round's joins
+      val nextSum = next.agg(sumCol).head().getDecimal(0)
+      Staging.release(labels) // previous round's blocks
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
+    Staging.release(sym)
+    log.info(s"connected components converged in $i rounds " +
+      s"(maxIterations=$maxIterations)")
     // silent truncation would return WRONG labels with no signal —
     // diameter-heavy graphs must fail loudly, not corrupt downstream dedup
     if (!converged)

@@ -97,17 +97,19 @@ object Dedup {
     // self-join's two sides as the same subtree (no ReusedExchange —
     // verified on the q36 plan), so without staging the whole
     // tokenize→shingle→hash→window pipeline runs once PER SIDE.
-    // localCheckpoint (lazy, MEMORY_AND_DISK) rather than persist():
-    // persist registers the plan in the session CacheManager, and every
-    // LATER query then pays plan-canonicalization against it during
-    // lookup — measured seconds of driver time on the wide-expression
-    // queries. The checkpoint stays private to this DataFrame. Staging
-    // the shingle set before the pair join is the standard cluster-scale
-    // MinHash pipeline shape (the staged set is ~the token stream's
-    // size, far smaller than the join fanout it feeds).
-    val withN = capped.withColumn("__n",
-      count(lit(1)).over(Window.partitionBy(col(idCol))))
-      .localCheckpoint(false)
+    // Staging (Staging.stage: local checkpoint by default, reliable
+    // checkpoint when spark.graft.checkpointDir is set — executor-loss
+    // safety for cluster runs) rather than persist(): persist registers
+    // the plan in the session CacheManager, and every LATER query then
+    // pays plan-canonicalization against it during lookup — measured
+    // seconds of driver time on the wide-expression queries. The staged
+    // frame stays private to this DataFrame; long-lived sessions release
+    // it via Staging.sweep. Staging the shingle set before the pair join
+    // is the standard cluster-scale MinHash pipeline shape (the staged
+    // set is ~the token stream's size, far smaller than the join fanout
+    // it feeds).
+    val withN = Staging.stage(capped.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col(idCol)))), eager = false)
     val a = withN.select(col(idCol).as("id_a"), col("h"),
       col("__n").as("n_a"))
     val b = withN.select(col(idCol).as("id_b"), col("h").as("__h2"),
@@ -124,7 +126,7 @@ object Dedup {
   /** MinHash signature per id: K columns m0..m{K-1}, one hash aggregate.
     * Input: (idCol, shingle-hash column `h` with h in [0, P)).
     *
-    * The result is staged via lazy localCheckpoint: every LSH consumer
+    * The result is staged lazily (Staging.stage): every LSH consumer
     * reads the signature table ≥3 times (banding + both verification-join
     * sides), each read would re-run the upstream shingle pipeline (no
     * ReusedExchange across self-join sides), and at one short row per
@@ -134,8 +136,9 @@ object Dedup {
       k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min((col(h) * aParam(i) + bParam(i)) % P).as(s"m$i"))
-    shingleHashes.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .localCheckpoint(false)
+    Staging.stage(
+      shingleHashes.groupBy(col(idCol)).agg(mins.head, mins.tail: _*),
+      eager = false)
   }
 
   /** LSH candidate pairs (idA < idB) from signatures: B bands of R rows
@@ -216,12 +219,17 @@ object Dedup {
     * `lshCandidatePairs`. */
   def srpCandidatePairs(vecs: DataFrame, idCol: String, vecCol: String,
       bands: Int, planesPerBand: Int): DataFrame = {
-    val banded = vecs.select(col(idCol),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("bi"),
-          Vectors.srpBandBucket(col(vecCol), b, planesPerBand).as("bv"))
-      }: _*)).as("s"))
-      .select(col(idCol), col("s.bi").as("bi"), col("s.bv").as("bv"))
+    // staged: the banding evaluates bands×planes hyperplane dot products
+    // per row, and the self-join's two sides would each recompute it (no
+    // ReusedExchange across self-join sides — see jaccardPairs)
+    val banded = Staging.stage(
+      vecs.select(col(idCol),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("bi"),
+            Vectors.srpBandBucket(col(vecCol), b, planesPerBand).as("bv"))
+        }: _*)).as("s"))
+        .select(col(idCol), col("s.bi").as("bi"), col("s.bv").as("bv")),
+      eager = false)
     val a = banded.select(col(idCol).as("id_a"), col("bi"), col("bv"))
     val b = banded.select(col(idCol).as("id_b"), col("bi").as("bi2"),
       col("bv").as("bv2"))
@@ -236,8 +244,11 @@ object Dedup {
     * id_a, id_b, cosine. */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       bands: Int, planesPerBand: Int, threshold: Double): DataFrame = {
-    val n = vecs.select(col(idCol), col(vecCol).as("__v"))
-      .withColumn("__nr", Vectors.norm(col("__v")))
+    // staged: the (id, vector, norm) table feeds BOTH payload joins below
+    val n = Staging.stage(
+      vecs.select(col(idCol), col(vecCol).as("__v"))
+        .withColumn("__nr", Vectors.norm(col("__v"))),
+      eager = false)
     val cand = srpCandidatePairs(vecs, idCol, vecCol, bands, planesPerBand)
     cand
       .join(n.select(col(idCol).as("id_a"), col("__v").as("__va"),

@@ -112,12 +112,13 @@ object Extras13 {
       // staged once: three consumers below (exact-pair self-join ×2 sides
       // + signatures) would otherwise each recompute the full
       // tokenize→shingle→hash pipeline — no ReusedExchange fires across
-      // them (verified on the formatted plan). Checkpoint, not persist
+      // them (verified on the formatted plan). Staging.stage, not persist
       // (CacheManager lookup taxes every later query — see jaccardPairs).
-      val shc = Dedup.dfCapped(
-        Dedup.shingleHashes(t(spark, dir).documents, "doc_id", "text"),
-        Dedup.DefaultDfCap)
-        .localCheckpoint(false)
+      val shc = graft.operators.Staging.stage(
+        Dedup.dfCapped(
+          Dedup.shingleHashes(t(spark, dir).documents, "doc_id", "text"),
+          Dedup.DefaultDfCap),
+        eager = false)
       val exact = Dedup.jaccardPairs(shc, "doc_id", dfCap = 0)
         .filter($"jaccard" >= 0.5)
         .select($"id_a", $"id_b", $"jaccard")

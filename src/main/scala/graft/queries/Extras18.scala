@@ -169,12 +169,13 @@ object Extras18 {
       def bucket(i: Int, tok: org.apache.spark.sql.Column) =
         TextOps.hashMod(concat(lit(s"cms$i:"), tok)) % 1024
       // staged: the exact count table feeds the sketch rows, the top-10
-      // pick, AND the estimate lookups (checkpoint, not persist — see
+      // pick, AND the estimate lookups (Staging.stage, not persist — see
       // Dedup.jaccardPairs)
-      val cnt = t(spark, dir).documents
-        .select(explode(TextOps.tokens($"text")).as("tok"))
-        .groupBy($"tok").agg(count(one).as("c"))
-        .localCheckpoint(false)
+      val cnt = graft.operators.Staging.stage(
+        t(spark, dir).documents
+          .select(explode(TextOps.tokens($"text")).as("tok"))
+          .groupBy($"tok").agg(count(one).as("c")),
+        eager = false)
       val rows0 = (0 until 4).map(i =>
         cnt.select(lit(i).as("r"), bucket(i, $"tok").as("bkt"), $"c"))
         .reduce(_ unionByName _)

@@ -14,9 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     themselves (or rely on broadcast).
   */
 final class Tables(spark: SparkSession, dir: String) {
-  private def load(name: String): DataFrame =
-    Tables.withMinParallelism(spark,
-      spark.read.parquet(s"$dir/$name.parquet"))
+  private def load(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    Tables.withMinParallelism(spark, spark.read.parquet(path), path)
+  }
 
   def region: DataFrame = load("region")
   def nation: DataFrame = load("nation")
@@ -68,11 +69,23 @@ object Tables {
     * scale scans already exceed defaultParallelism and this is the
     * identity — no shuffle is ever added to a big read. Filters and
     * column pruning still reach the scan: Catalyst pushes both through
-    * Repartition nodes. */
-  def withMinParallelism(spark: SparkSession, df: DataFrame): DataFrame = {
+    * Repartition nodes.
+    *
+    * The scan's partition count comes from `df.rdd`, which compiles a
+    * physical plan — real driver work that every query was paying per
+    * table load. The count is a pure function of (file, session scan
+    * config), both fixed for a JVM's lifetime here, so it is memoized
+    * per path (What's-wrong #4, round-3 VERDICT). */
+  def withMinParallelism(spark: SparkSession, df: DataFrame,
+      cacheKey: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val n = scanParts.computeIfAbsent(cacheKey,
+      _ => Integer.valueOf(df.rdd.getNumPartitions))
+    if (n < target) df.repartition(target) else df
   }
+
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Normalize an events-shaped frame to (`ts` µs TimestampType,
     * `ts_ns` epoch-nanos LongType) regardless of the source's physical

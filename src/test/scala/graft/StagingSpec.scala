@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, Staging}
+
+/** Staging lifecycle: local-checkpoint default, reliable-checkpoint
+  * opt-in (the executor-loss-safe 100 TB mode), and block release. */
+class StagingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("default staging pins blocks; sweep releases them") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val staged = Staging.stage(
+      Seq(1, 2, 3).toDF("x").withColumn("y", col("x") * 2), eager = true)
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    assert(staged.agg(sum($"y")).head().getLong(0) == 12L)
+    Staging.sweep(spark)
+    assert(spark.sparkContext.getPersistentRDDs
+      .values.forall(_.getStorageLevel.useMemory == false))
+  }
+
+  test("release drops only the directly-staged frame") {
+    val a = Staging.stage(Seq(1, 2).toDF("x"), eager = true)
+    val b = Staging.stage(a.withColumn("y", col("x") + 1), eager = true)
+    // releasing a frame DERIVED from b must not touch b's blocks
+    Staging.release(b.filter(col("y") > 0))
+    assert(b.count() == 2)
+    Staging.release(a)
+    Staging.release(b)
+    Staging.sweep(spark)
+  }
+
+  test("configured checkpoint dir switches staging to reliable checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    spark.conf.set(Staging.ConfKey, dir.toString)
+    try {
+      val staged = Staging.stage(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"), eager = true)
+      // the staged plan must be backed by files under the configured dir
+      // setCheckpointDir stores the fully-qualified URI (file:/...)
+      assert(spark.sparkContext.getCheckpointDir
+        .exists(_.contains(dir.toString)))
+      val files = java.nio.file.Files.walk(dir)
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "reliable checkpoint wrote no files")
+      assert(staged.count() == 3)
+
+      // the iterative operator runs green end-to-end in reliable mode
+      val cc = ConnectedComponents
+        .minLabel(Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"),
+          "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally {
+      spark.conf.unset(Staging.ConfKey)
+      Staging.sweep(spark)
+    }
+  }
+}
