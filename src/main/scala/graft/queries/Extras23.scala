@@ -27,60 +27,70 @@ object Extras23 {
     // ---- trailing 50-row rolling correlation ---------------------------
     // corr(quantity, price) over the last 50 observations per series —
     // the rolling-statistics family on one shuffle + one sorted window.
-    // All five moments ride the decimal accumulator inside the frame
-    // (q89's pattern), the closed form is row-local double math, and the
-    // emitted rows are a deterministic 1-in-100 systematic sample of the
-    // series (full output would be row-per-input; the sample keeps the
-    // gate artifact bounded without changing what is computed).
+    // The inputs are 2-dp money, so both axes are quantized to an exact
+    // BIGINT cent grid FIRST (q134's pattern) and all five moments are
+    // plain long sums inside the frame: correlation is scale-invariant,
+    // the integer moments are exact and bounded (|Σy²| ≤ 50·(1.1e7)² ≈
+    // 6e15 ≪ 2^63; closed-form cross terms ≤ ~3e17 ≪ 2^63), and both
+    // engines derive identical doubles from identical integers. This
+    // replaced five DECIMAL(28,6) frame sums — decimal window
+    // aggregation is interpreted (not codegen'd) and was 4x the cost of
+    // the whole rest of the query (round-3 VERDICT: 20.8 s → the long
+    // path benches ~3 s). Emitted rows are a deterministic 1-in-100
+    // systematic sample of the series (full output would be
+    // row-per-input; the sample keeps the gate artifact bounded without
+    // changing what is computed).
     Qry(
       "q133_rolling_corr",
-      s"""WITH r AS (SELECT l_suppkey,
+      s"""WITH g AS (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+         |    l_extendedprice,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS ix,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS iy
+         |  FROM lineitem),
+         |r AS (SELECT l_suppkey,
          |    row_number() OVER w AS rn,
          |    COUNT(*) OVER wf AS n,
-         |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER wf
-         |      AS DOUBLE) AS sx,
-         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) OVER wf
-         |      AS DOUBLE) AS sy,
-         |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
-         |      OVER wf AS DOUBLE) AS sxx,
-         |    CAST(SUM(CAST(l_extendedprice * l_extendedprice
-         |      AS DECIMAL(28,6))) OVER wf AS DOUBLE) AS syy,
-         |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
-         |      OVER wf AS DOUBLE) AS sxy
-         |  FROM lineitem
+         |    CAST(SUM(ix) OVER wf AS BIGINT) AS sx,
+         |    CAST(SUM(iy) OVER wf AS BIGINT) AS sy,
+         |    CAST(SUM(ix * ix) OVER wf AS BIGINT) AS sxx,
+         |    CAST(SUM(iy * iy) OVER wf AS BIGINT) AS syy,
+         |    CAST(SUM(ix * iy) OVER wf AS BIGINT) AS sxy
+         |  FROM g
          |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY $SeriesOrder),
          |    wf AS (PARTITION BY l_suppkey ORDER BY $SeriesOrder
          |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
          |SELECT l_suppkey, rn, CAST(n AS BIGINT) AS n_obs,
          |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-         |    THEN (n * sxy - sx * sy) /
-         |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+         |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
          |    END, 6) AS roll_corr
          |FROM r WHERE rn % 100 = 0""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val wOrd = Window.partitionBy($"l_suppkey")
         .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
       val wf = wOrd.rowsBetween(-49, Window.currentRow)
-      def dsumW(c: org.apache.spark.sql.Column) =
-        sum(c.cast(graft.Exact.Money)).over(wf).cast("double")
       val r = t(spark, dir).lineitem
-        .select($"l_suppkey", $"l_shipdate", $"l_orderkey",
-          $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .select($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber",
+          $"l_extendedprice",
+          round($"l_quantity" * 100).cast("long").as("ix"),
+          round($"l_extendedprice" * 100).cast("long").as("iy"))
         .select($"l_suppkey",
           row_number().over(wOrd).as("rn"),
           count(one).over(wf).as("n"),
-          dsumW($"l_quantity").as("sx"),
-          dsumW($"l_extendedprice").as("sy"),
-          dsumW($"l_quantity" * $"l_quantity").as("sxx"),
-          dsumW($"l_extendedprice" * $"l_extendedprice").as("syy"),
-          dsumW($"l_quantity" * $"l_extendedprice").as("sxy"))
+          sum($"ix").over(wf).as("sx"),
+          sum($"iy").over(wf).as("sy"),
+          sum($"ix" * $"ix").over(wf).as("sxx"),
+          sum($"iy" * $"iy").over(wf).as("syy"),
+          sum($"ix" * $"iy").over(wf).as("sxy"))
       val denx = $"n" * $"sxx" - $"sx" * $"sx"
       val deny = $"n" * $"syy" - $"sy" * $"sy"
       r.filter($"rn" % 100 === 0)
         .select($"l_suppkey", $"rn", $"n".as("n_obs"),
           round(when(denx > 0 && deny > 0,
-            ($"n" * $"sxy" - $"sx" * $"sy") /
-              (sqrt(denx) * sqrt(deny))), 6).as("roll_corr"))
+            ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              (sqrt(denx.cast("double")) * sqrt(deny.cast("double")))), 6)
+            .as("roll_corr"))
     },
 
     // ---- log-return volatility per price series ------------------------

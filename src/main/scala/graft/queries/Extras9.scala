@@ -33,6 +33,9 @@ object Extras9 {
         |FROM lineitem GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       t(spark, dir).lineitem
+        // exact percentile buffers and sorts its group's values — feed it
+        // the two needed columns, not the full 11-column row
+        .select($"l_returnflag", $"l_extendedprice")
         .groupBy($"l_returnflag")
         .agg(
           expr("percentile(l_extendedprice, 0.5)").as("ep50"),
