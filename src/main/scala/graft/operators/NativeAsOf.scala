@@ -32,6 +32,18 @@ object NativeAsOf {
       // match is older than the window (rows survive — same contract as
       // AsOfJoin.backward's tolerance)
       val rt = "__nat_rt"
+      // the post-join select below resolves by BARE name over the joined
+      // frame — collisions between carry outputs, left columns, and the
+      // internal ride-along column would resolve ambiguously or pick the
+      // wrong side; fail loudly instead
+      val outs = carry.map(_._2)
+      require(outs.distinct.size == outs.size,
+        s"duplicate carry output names: $outs")
+      require(!outs.contains(rt) && !left.columns.contains(rt),
+        s"column name $rt is reserved by the as-of tolerance rewrite")
+      require(outs.forall(!left.columns.contains(_)),
+        s"carry output names ${outs.filter(left.columns.contains(_))} " +
+          "collide with left columns; alias the carry outputs")
       val joined = backward(left, right, keys, leftTime, rightTime,
         carry :+ (rightTime -> rt), rightTieBreak, None)
       val inRange = col(rt).isNotNull && col(leftTime) - col(rt) <= tol
@@ -58,6 +70,9 @@ object NativeAsOf {
       rightTieBreak: Seq[String] = Nil,
       tolerance: Option[Long] = None): DataFrame = {
     val nl = "__nat_negl"; val nr = "__nat_negr"
+    require(!left.columns.contains(nl) && !right.columns.contains(nr) &&
+      !carry.exists(c => c._2 == nl || c._2 == nr),
+      s"column names $nl/$nr are reserved by the forward as-of rewrite")
     backward(
         left.withColumn(nl, -col(leftTime)),
         right.withColumn(nr, -col(rightTime)),

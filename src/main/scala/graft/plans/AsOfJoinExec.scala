@@ -100,7 +100,18 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
-          val lT = lTimeProj(l).getLong(0)
+          val lTimeRow = lTimeProj(l)
+          // SQL NULL semantics on the LEFT side: a NULL left time matches
+          // nothing (getLong on a null slot would read 0 — under the
+          // forward direction's negated axis that is the MAXIMUM, and the
+          // row would wrongly consume the whole right key group). NULL
+          // left times sort first within the key group, so skipping the
+          // advance keeps the merge position correct.
+          if (lTimeRow.isNullAt(0)) {
+            numOutputRows += 1
+            return resultProj(joined(l, nullCarry))
+          }
+          val lT = lTimeRow.getLong(0)
           // advance the right side up to (key, time): every right row
           // consumed with the same key becomes the freshest candidate
           var advancing = rHead != null

@@ -54,6 +54,42 @@ class NativeAsOfSpec extends SparkTestBase {
     assert(out.head.getDouble(3) == 0.5 && out.head.getLong(4) == 1L)
   }
 
+  test("native as-of: null LEFT times carry nulls in both directions") {
+    // regression (round-3 ADVICE): the merge read a NULL left time as
+    // long 0 — backward matched it at epoch 0; forward (negated axis)
+    // read it as the group MAXIMUM, consumed the whole right key group,
+    // and poisoned lastCarry for every later left row in the group
+    val left = Seq(
+      (1L, Option.empty[Long], 1L),  // null time, sorts first in group
+      (1L, Option(10L), 2L),
+      (1L, Option.empty[Long], 3L))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, 0.5, 1L), (1L, 20L, 0.9, 2L))
+      .toDF("k", "t", "rv", "rid")
+    val back = nativeImpl(left, right).orderBy("lv").collect()
+    assert(back(0).isNullAt(3) && back(2).isNullAt(3),
+      "null left times must not match")
+    assert(back(1).getDouble(3) == 0.5, "real left time matches t<=10")
+    val fwd = NativeAsOf.forward(left, right, Seq("k" -> "k"), "t", "t",
+      Seq("rv" -> "rv", "rid" -> "rid"), Seq("rid")).orderBy("lv").collect()
+    assert(fwd(0).isNullAt(3) && fwd(2).isNullAt(3),
+      "null left times must not match (forward)")
+    assert(fwd(1).getDouble(3) == 0.9, "real left time matches t>=10")
+  }
+
+  test("native as-of rejects reserved/colliding output names") {
+    val left = Seq((1L, 10L, 1L)).toDF("k", "t", "lv")
+    val right = Seq((1L, 5L, 0.5, 1L)).toDF("k", "t", "rv", "rid")
+    intercept[IllegalArgumentException] {
+      NativeAsOf.backward(left, right, Seq("k" -> "k"), "t", "t",
+        carry = Seq("rv" -> "lv"), tolerance = Some(1L)) // collides w/ left
+    }
+    intercept[IllegalArgumentException] {
+      NativeAsOf.forward(left, right, Seq("k" -> "k"), "t", "t",
+        carry = Seq("rv" -> "__nat_negl")) // reserved internal name
+    }
+  }
+
   test("native as-of: unmatched left rows carry nulls") {
     val left = Seq((1L, 10L, 1L), (2L, 10L, 2L)).toDF("k", "t", "lv")
     val right = Seq((1L, 20L, 0.5, 1L)).toDF("k", "t", "rv", "rid")
