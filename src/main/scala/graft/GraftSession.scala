@@ -16,6 +16,13 @@ object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def build(appName: String = "graft"): SparkSession = {
+    // getOrCreate ignores configs once a session exists — return the live
+    // session up front instead of minting a fresh warehouse temp dir (and
+    // implying a repoint) that getOrCreate would then discard
+    val existing = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .filterNot(_.sparkContext.isStopped)
+    if (existing.isDefined) return existing.get
     val builder = SparkSession.builder()
     // only default the master when nothing supplied one — hardcoding it
     // would silently override spark-submit's --master on a real cluster

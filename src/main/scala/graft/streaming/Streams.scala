@@ -75,8 +75,19 @@ object Streams {
     * stop, and return the materialized result. The memory-sink temp view
     * is dropped before returning (its rows are re-wrapped as a local
     * relation — same driver-resident data the sink already held, without
-    * pinning one sink table per invocation for the session lifetime). */
-  def runToMemory(df: DataFrame, outputMode: String): DataFrame = {
+    * pinning one sink table per invocation for the session lifetime).
+    *
+    * Synchronized: the shuffle-partition override below is session-global
+    * state — two concurrent calls could interleave set/restore and leave
+    * the session on the temporary value. (Batch queries on other threads
+    * of the SAME session would still observe the temporary value while a
+    * stream materializes; the engine's entry points are sequential, so
+    * that exposure is accepted and documented rather than worked around.)
+    */
+  def runToMemory(df: DataFrame, outputMode: String): DataFrame =
+    synchronized { runToMemoryImpl(df, outputMode) }
+
+  private def runToMemoryImpl(df: DataFrame, outputMode: String): DataFrame = {
     val spark = df.sparkSession
     val table = s"graft_stream_${nameCounter.incrementAndGet()}"
     // Fixture streams carry a few hundred thousand rows through a handful
