@@ -219,17 +219,19 @@ object Dedup {
     * `lshCandidatePairs`. */
   def srpCandidatePairs(vecs: DataFrame, idCol: String, vecCol: String,
       bands: Int, planesPerBand: Int): DataFrame = {
-    // staged: the banding evaluates bands×planes hyperplane dot products
-    // per row, and the self-join's two sides would each recompute it (no
-    // ReusedExchange across self-join sides — see jaccardPairs)
-    val banded = Staging.stage(
-      vecs.select(col(idCol),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("bi"),
-            Vectors.srpBandBucket(col(vecCol), b, planesPerBand).as("bv"))
-        }: _*)).as("s"))
-        .select(col(idCol), col("s.bi").as("bi"), col("s.bv").as("bv")),
-      eager = false)
+    // NOT staged, deliberately: a measured A/B (round 4) put the staged
+    // variant at 8x the runtime — the banding is pure per-row codegen'd
+    // arithmetic over a columnar scan, and cutting the plan here trades
+    // "compute the bands twice, fully pipelined" for "materialize +
+    // row-serialize the banded table", which loses badly. Staging pays
+    // off only above an expensive SHUFFLE boundary (cf. jaccardPairs'
+    // windowed shingle pipeline).
+    val banded = vecs.select(col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("bi"),
+          Vectors.srpBandBucket(col(vecCol), b, planesPerBand).as("bv"))
+      }: _*)).as("s"))
+      .select(col(idCol), col("s.bi").as("bi"), col("s.bv").as("bv"))
     val a = banded.select(col(idCol).as("id_a"), col("bi"), col("bv"))
     val b = banded.select(col(idCol).as("id_b"), col("bi").as("bi2"),
       col("bv").as("bv2"))
@@ -244,11 +246,11 @@ object Dedup {
     * id_a, id_b, cosine. */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       bands: Int, planesPerBand: Int, threshold: Double): DataFrame = {
-    // staged: the (id, vector, norm) table feeds BOTH payload joins below
-    val n = Staging.stage(
-      vecs.select(col(idCol), col(vecCol).as("__v"))
-        .withColumn("__nr", Vectors.norm(col("__v"))),
-      eager = false)
+    // not staged — same A/B verdict as srpCandidatePairs: per-row norm
+    // arithmetic recomputed per join side beats materializing the
+    // vectors out of the columnar scan
+    val n = vecs.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__nr", Vectors.norm(col("__v")))
     val cand = srpCandidatePairs(vecs, idCol, vecCol, bands, planesPerBand)
     cand
       .join(n.select(col(idCol).as("id_a"), col("__v").as("__va"),

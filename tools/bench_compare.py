@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Compare a local bench JSON line against BENCH_r02/BENCH_r03 artifacts.
+
+Usage: python3 tools/bench_compare.py <new_bench.json>
+Artifacts store the raw stdout tail (r2's is truncated mid-line), so
+per-query times are regex-extracted and keys normalized to the qN prefix.
+Driver-side tooling only — not part of the Spark library.
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+new = json.loads(Path(sys.argv[1]).read_text())
+nq = {k.split("_")[0]: v for k, v in new["queries"].items()}
+
+
+def load(path):
+    try:
+        tail = json.loads(Path(path).read_text()).get("tail", "")
+    except Exception:
+        return {}
+    return {m.group(1).split("_")[0]: float(m.group(2))
+            for m in re.finditer(r'"(q\d+[a-z_]*)":(-?[0-9.]+)', tail)}
+
+
+r3 = load("BENCH_r03.json")
+r2 = load("BENCH_r02.json")
+
+print(f"total={new['value']}s  n={len(nq)}")
+for ref, label in ((r3, "r3"), (r2, "r2")):
+    common = [k for k in nq if k in ref and nq[k] >= 0 and ref[k] >= 0]
+    if not common:
+        print(f"vs {label}: no comparable queries")
+        continue
+    tn = sum(nq[k] for k in common)
+    tr = sum(ref[k] for k in common)
+    print(f"vs {label}: {len(common)} common, new={tn:.1f}s {label}={tr:.1f}s "
+          f"ratio={tn / tr:.2f}")
+    worst = sorted(common, key=lambda k: nq[k] - ref[k], reverse=True)[:8]
+    for k in worst:
+        print(f"  {k}: {ref[k]:.2f} -> {nq[k]:.2f}")
+print("slowest now:",
+      sorted(nq.items(), key=lambda x: -x[1])[:10])
+for extra in ("ingest_rows_per_sec", "ingest_latency_ms", "lat_exp_ms"):
+    if extra in new:
+        print(extra, "=", new[extra])
