@@ -85,9 +85,17 @@ object Dedup {
     * the semantics stay internally consistent); dfCap <= 0 disables the
     * cap. Oracle twin: TextOps.oracleShCappedCte. */
   def jaccardPairs(sh: DataFrame, idCol: String,
-      dfCap: Int = DefaultDfCap): DataFrame = {
+      dfCap: Int = DefaultDfCap): DataFrame =
+    jaccardPairsFromCounted(countedShingles(dfCapped(sh, dfCap), idCol),
+      idCol)
+
+  /** Staged (id, h, __n) shingle table: `__n` = per-id distinct-shingle
+    * count ridden along as a window count. Callers that ALSO need the
+    * shingle set for other stages (e.g. MinHash signatures, q103) build
+    * this once and share it, instead of letting jaccardPairs re-window
+    * and re-stage internally. */
+  def countedShingles(capped: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val capped = dfCapped(sh, dfCap)
     // set sizes ride along as a window count over the same pass instead
     // of a separate aggregate + two re-joins: the (expensive) shingle
     // pipeline is evaluated twice (self-join sides) instead of three
@@ -108,8 +116,13 @@ object Dedup {
     // is the standard cluster-scale MinHash pipeline shape (the staged
     // set is ~the token stream's size, far smaller than the join fanout
     // it feeds).
-    val withN = Staging.stage(capped.withColumn("__n",
+    Staging.stage(capped.withColumn("__n",
       count(lit(1)).over(Window.partitionBy(col(idCol)))), eager = false)
+  }
+
+  /** The pair join/aggregate half of [[jaccardPairs]], over a
+    * [[countedShingles]] table. */
+  def jaccardPairsFromCounted(withN: DataFrame, idCol: String): DataFrame = {
     val a = withN.select(col(idCol).as("id_a"), col("h"),
       col("__n").as("n_a"))
     val b = withN.select(col(idCol).as("id_b"), col("h").as("__h2"),

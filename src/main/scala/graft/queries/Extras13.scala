@@ -109,17 +109,18 @@ object Extras13 {
       }) { (spark, dir) =>
       import spark.implicits._
       val K = 16
-      // staged once: three consumers below (exact-pair self-join ×2 sides
-      // + signatures) would otherwise each recompute the full
-      // tokenize→shingle→hash pipeline — no ReusedExchange fires across
-      // them (verified on the formatted plan). Staging.stage, not persist
-      // (CacheManager lookup taxes every later query — see jaccardPairs).
-      val shc = graft.operators.Staging.stage(
+      // ONE staged frame feeds every consumer (exact-pair self-join ×2
+      // sides + signatures): the counted shingle table already carries
+      // the per-doc set size, so the exact side skips jaccardPairs'
+      // internal re-window + re-stage, and the signature aggregate
+      // ignores the extra __n column. (Previously shc was staged, then
+      // jaccardPairs staged a second windowed copy on top of it.)
+      val shc = Dedup.countedShingles(
         Dedup.dfCapped(
           Dedup.shingleHashes(t(spark, dir).documents, "doc_id", "text"),
           Dedup.DefaultDfCap),
-        eager = false)
-      val exact = Dedup.jaccardPairs(shc, "doc_id", dfCap = 0)
+        "doc_id")
+      val exact = Dedup.jaccardPairsFromCounted(shc, "doc_id")
         .filter($"jaccard" >= 0.5)
         .select($"id_a", $"id_b", $"jaccard")
       val sig = Dedup.minhashSignatures(shc, "doc_id", "h", K)

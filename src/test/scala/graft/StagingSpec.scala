@@ -31,6 +31,23 @@ class StagingSpec extends SparkTestBase {
     Staging.sweep(spark)
   }
 
+  test("sweep keeps a long session's staged-block registry steady") {
+    // the round-3 failure mode: per-query staged frames left pinned for
+    // the session lifetime; with sweep between "queries" the registry
+    // must not grow
+    Staging.sweep(spark)
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    (1 to 5).foreach { i =>
+      val staged = Staging.stage(
+        spark.range(1000L * i).toDF("x").withColumn("y", col("x") % 7),
+        eager = true)
+      assert(staged.count() == 1000L * i)
+      Staging.sweep(spark)
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+      "staged RDDs accumulated across simulated queries")
+  }
+
   test("configured checkpoint dir switches staging to reliable checkpoints") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_")
     spark.conf.set(Staging.ConfKey, dir.toString)
