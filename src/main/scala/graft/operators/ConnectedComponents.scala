@@ -73,19 +73,28 @@ object ConnectedComponents {
       val neighborMin = sym
         .join(labels, col("b") === col("id"))
         .groupBy(col("a")).agg(min(col("component")).as("nmin"))
+      val propagated = labels
+        .join(neighborMin, col("id") === col("a"), "left")
       // pointer jumping: my next label is the min of (my label, my
       // neighbors' labels, my LABEL's label) — the third term shortcuts
-      // chains so rounds scale with log(diameter), not diameter
-      val hop = labels.select(col("id").as("__lid"),
-        col("component").as("__lcomp"))
+      // chains so rounds scale with log(diameter), not diameter. It is
+      // enabled only from round 3: near-dup graphs are overwhelmingly
+      // diameter-≤3 stars that converge on plain propagation, and the
+      // hop join's two extra exchanges per round would be pure overhead
+      // there; a graph still unconverged by round 3 is exactly the
+      // deep-chain case the shortcut exists for.
+      val withHop =
+        if (i < 2) propagated.withColumn("__lcomp",
+          lit(null).cast(propagated.schema("component").dataType))
+        else propagated.join(
+          labels.select(col("id").as("__lid"),
+            col("component").as("__lcomp")),
+          col("component") === col("__lid"), "left")
       val next = Staging.stage(
-        labels
-          .join(neighborMin, col("id") === col("a"), "left")
-          .join(hop, col("component") === col("__lid"), "left")
-          .select(col("id"),
-            least(col("component"),
-              coalesce(col("nmin"), col("component")),
-              coalesce(col("__lcomp"), col("component"))).as("component")),
+        withHop.select(col("id"),
+          least(col("component"),
+            coalesce(col("nmin"), col("component")),
+            coalesce(col("__lcomp"), col("component"))).as("component")),
         eager = true)
       // staged eagerly above, so this aggregate reads the materialized
       // blocks — it does not re-run the round's joins
