@@ -17,6 +17,11 @@ import graft.operators._
   */
 object Graft {
 
+  /** Release every staged block in the session — call between logical
+    * jobs in a long-lived session (see operators.Staging.sweep). */
+  def sweep(spark: org.apache.spark.sql.SparkSession): Unit =
+    Staging.sweep(spark)
+
   implicit class GraftDataFrame(private val df: DataFrame) extends AnyVal {
 
     /** Backward as-of join (see operators.AsOfJoin). */
@@ -106,6 +111,22 @@ object Graft {
           idCol, dfCap)
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
+
+    /** Duplicate clusters over the near-dup pair graph: (id, component)
+      * with component = min reachable id — the form a dedup pipeline
+      * materializes to keep one representative per cluster (see
+      * operators.ConnectedComponents; q74/q122). Long-lived sessions
+      * release the returned frame's staged blocks via `Graft.sweep`. */
+    def dupClusters(idCol: String, textCol: String,
+        threshold: Double = 0.8, n: Int = 3): DataFrame =
+      ConnectedComponents.minLabel(
+        df.nearDupPairs(idCol, textCol, threshold, n), "id_a", "id_b")
+
+    /** Materialize this frame once and truncate lineage (see
+      * operators.Staging: executor-local by default, reliable under
+      * `spark.graft.checkpointDir` for cluster failure-safety). For
+      * frames consumed by several downstream stages or loops. */
+    def staged(eager: Boolean = false): DataFrame = Staging.stage(df, eager)
 
     /** Edit-distance fuzzy-match pairs (lev <= maxDist) via SymSpell
       * deletion-variant blocking (see operators.Dedup). */

@@ -112,4 +112,23 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(corpus.contaminatedBy(held, "doc_id", "text", 8)
       .select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("round-4 facade additions: dup clusters, staging control") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high today"),
+      (2L, "the quick brown fox jumps high today"),
+      (5L, "the quick brown fox jumps high tonight"),
+      (9L, "entirely different words appear here now then"))
+      .toDF("id", "text")
+    val clusters = docs.dupClusters("id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1-2-5 form one cluster labeled by its min id; 9 is unpaired and
+    // absent from the edge graph
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+
+    val staged = docs.staged(eager = true)
+    assert(staged.count() == 4)
+    Graft.sweep(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
