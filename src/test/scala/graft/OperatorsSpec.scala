@@ -137,6 +137,23 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(Seq(10L, 11L, 12L, 13L).forall(cc(_) == 10L))
     assert(Seq(20L, 21L).forall(cc(_) == 20L))
   }
+
+  test("pointer jumping converges a 40-node chain within default rounds") {
+    // plain min-propagation needs 39 rounds here — past the default cap
+    // of 20; the label-of-label shortcut (enabled from round 3) doubles
+    // progress per round, so convergence is ~2 + log2(39) rounds
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = ConnectedComponents.minLabel(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 40L).forall(cc(_) == 1L))
+  }
+
+  test("an unconverged component fails loudly, never silently truncates") {
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.minLabel(edges, "a", "b", maxIterations = 2)
+    }
+  }
 }
 
 class TextOpsSpec extends SparkTestBase {
