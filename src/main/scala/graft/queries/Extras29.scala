@@ -89,6 +89,53 @@ object Extras29 {
           round($"pv" + ($"nv" - $"pv") *
             (($"di" - $"pdi").cast("double") /
               ($"ndi" - $"pdi").cast("double")), 6).as("v_interp"))
+    },
+
+    // ---- counter increase / rate with reset detection -------------------
+    // The telemetry-counter semantics (PromQL increase()/rate()): per
+    // series, sum the positive deltas; a NEGATIVE delta means the
+    // counter reset and the post-reset value is the contribution. All
+    // delta arithmetic runs in DECIMAL space (2-dp doubles cast exactly;
+    // decimal lag/subtract/sum are exact and order-independent on both
+    // engines — the established dsum discipline), one double division at
+    // the end for the per-second rate. One shuffle on user_id: the lag
+    // window and the aggregate share it.
+    Qry(
+      "q145_counter_rate",
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+        |    CAST(value AS DECIMAL(28,6)) AS v
+        |  FROM events),
+        |d AS (SELECT user_id, ms, v, v - lag(v) OVER w AS dv
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+        |SELECT user_id, COUNT(*) AS n_samples,
+        |  CAST(SUM(CASE WHEN dv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_resets,
+        |  CAST(SUM(CASE WHEN dv IS NULL THEN NULL
+        |    WHEN dv >= 0 THEN dv ELSE v END) AS DOUBLE) AS increase,
+        |  CASE WHEN MAX(ms) > MIN(ms) THEN
+        |    round(CAST(SUM(CASE WHEN dv IS NULL THEN NULL
+        |      WHEN dv >= 0 THEN dv ELSE v END) AS DOUBLE) * 1000
+        |      / (MAX(ms) - MIN(ms)), 6) END AS rate_per_s
+        |FROM d GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val one = lit(1)
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val d = t(spark, dir).events
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+          $"value".cast(Money).as("v"))
+        .select($"user_id", $"ms", $"v",
+          ($"v" - lag($"v", 1).over(w)).as("dv"))
+      val contrib = when($"dv".isNull, lit(null))
+        .when($"dv" >= 0, $"dv").otherwise($"v")
+      val span = max($"ms") - min($"ms")
+      d.groupBy($"user_id")
+        .agg(count(one).as("n_samples"),
+          sum(when($"dv" < 0, 1L).otherwise(0L)).as("n_resets"),
+          sum(contrib).cast("double").as("increase"),
+          when(span > 0,
+            round(sum(contrib).cast("double") * 1000 / span, 6))
+            .as("rate_per_s"))
     }
   )
 }
