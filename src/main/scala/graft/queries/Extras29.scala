@@ -14,6 +14,7 @@ object Extras29 {
 
   private def t(spark: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(spark, dir)
+  private val one = lit(1)
 
   val all: Seq[Qry] = Seq(
 
@@ -119,7 +120,6 @@ object Extras29 {
         |      / (MAX(ms) - MIN(ms)), 6) END AS rate_per_s
         |FROM d GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val one = lit(1)
       val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
       val d = t(spark, dir).events
         .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
@@ -136,6 +136,68 @@ object Extras29 {
           when(span > 0,
             round(sum(contrib).cast("double") * 1000 / span, 6))
             .as("rate_per_s"))
+    },
+
+    // ---- triangle count on the near-dup graph ---------------------------
+    // Duplicate-graph quality diagnostic beyond q95's degree histogram:
+    // triangles measure how clique-like the duplicate clusters are
+    // (boilerplate hubs produce stars — many edges, few triangles; true
+    // re-posts produce cliques). Ordered-edge enumeration — the standard
+    // distributed algorithm: edges are canonical (a < b), so each
+    // triangle a<b<c is counted exactly once by joining (a,b)⋈(b,c) and
+    // closing with (a,c). Two equi-joins over the STAGED pair list, no
+    // wedge ever materialized twice; at corpus scale the pair list (the
+    // blocked near-dup output) is orders smaller than the corpus, and
+    // the join fanout is bounded by the df-capped pair generation
+    // upstream.
+    Qry(
+      "q146_triangle_count",
+      s"""WITH ${graft.operators.TextOps.oracleToksCte},
+         |${graft.operators.TextOps.oracleSh3Cte},
+         |${graft.operators.TextOps.oracleShCappedCte(
+             graft.operators.Dedup.DefaultDfCap)},
+         |szn AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY doc_id) AS n, h
+         |        FROM shc),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared,
+         |    MAX(a.n) AS na, MAX(b.n) AS nb
+         |  FROM szn a JOIN szn b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |e AS (SELECT da, db FROM pairs
+         |      WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5e0),
+         |tri AS (SELECT COUNT(*) AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e1.db = e2.da
+         |    JOIN e e3 ON e3.da = e1.da AND e3.db = e2.db),
+         |deg AS (SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+         |    COUNT(DISTINCT node) AS n_nodes
+         |  FROM (SELECT da AS node FROM e UNION ALL SELECT db FROM e))
+         |SELECT n_nodes, n_edges, CAST(n_triangles AS BIGINT) AS n_triangles
+         |FROM deg, tri""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import graft.operators.{Dedup, Staging}
+      // the pair list is consumed three times (both wedge sides + the
+      // closing join) and once more for the degree stats — staged once;
+      // it sits above the whole shingle-join pipeline (cf. jaccardPairs)
+      val e = Staging.stage(
+        Dedup.jaccardPairs(
+            Dedup.shingleHashes(t(spark, dir).documents, "doc_id", "text"),
+            "doc_id")
+          .filter($"jaccard" >= 0.5)
+          .select($"id_a".as("da"), $"id_b".as("db")),
+        eager = false)
+      val wedges = e.select($"da", $"db")
+        .join(e.select($"da".as("db2"), $"db".as("dc")),
+          $"db" === $"db2")
+        .select($"da", $"db", $"dc")
+      val tri = wedges
+        .join(e.select($"da".as("ta"), $"db".as("tc")),
+          $"da" === $"ta" && $"dc" === $"tc")
+        .agg(count(one).as("n_triangles"))
+      val nodes = e.select($"da".as("node"))
+        .unionAll(e.select($"db".as("node")))
+        .agg(countDistinct($"node").as("n_nodes"))
+      val nEdges = e.agg(count(one).as("n_edges"))
+      nodes.crossJoin(nEdges).crossJoin(tri)
+        .select($"n_nodes", $"n_edges", $"n_triangles")
     }
   )
 }
