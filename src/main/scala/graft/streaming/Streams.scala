@@ -71,6 +71,51 @@ object Streams {
     else raw
   }
 
+  /** Materialize the FIRST `n` records of the UNBOUNDED rate source as a
+    * batch frame of their `value` column (exactly 0..n-1 — the source's
+    * deterministic row index, independent of wall-clock pacing). This is
+    * the catalog's unbounded-non-file-source harness: unlike the file
+    * streams above, the rate source never exhausts, so completion is
+    * "the sink holds n rows", not `processAllAvailable` (which would
+    * wait forever on a source that always has more). The filter
+    * `value < n` bounds the sink exactly; rows past the cutoff are
+    * discarded by the stream itself, so the poll loop terminates as soon
+    * as the first n indices have flowed through. Timestamps are dropped:
+    * they are wall-clock and would make the result nondeterministic.
+    *
+    * Synchronized for the same reason as [[runToMemory]]: the
+    * shuffle-partition override is session-global state. */
+  def boundedRate(spark: SparkSession, n: Long,
+      rowsPerSecond: Int = 50000): DataFrame = synchronized {
+    val table = s"graft_rate_${nameCounter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val src = spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toString)
+        .option("numPartitions", "4")
+        .load()
+        .filter(col("value") < n)
+        .select(col("value"))
+      val q = src.writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000L * 1000 * 1000
+        while (spark.table(table).count() < n) {
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"bounded rate read did not reach $n rows in 120s")
+          Thread.sleep(50)
+        }
+      } finally q.stop()
+      val sink = spark.table(table)
+      spark.createDataFrame(sink.collectAsList(), sink.schema)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.catalog.dropTempView(table)
+    }
+  }
+
   /** Start `df` into an in-memory table, process everything available,
     * stop, and return the materialized result. The memory-sink temp view
     * is dropped before returning (its rows are re-wrapped as a local
