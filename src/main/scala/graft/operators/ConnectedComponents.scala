@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.DecimalType
   * (diameter ≤ 2-3: both finish in 2-3 rounds, and this shape keeps
   * every round = one join+window pass over (nodes ∪ edges)).
   *
-  * Cost model per round: two equi-joins + one aggregate, all shuffled on
+  * Cost model per round: one neighbor equi-join (plus a second hop join
+  * from round 3) unioned with the label table into one min-aggregate on
   * the node id, folded into ONE Spark job — the staged frame is lazy, so
   * the convergence aggregate's action materializes its blocks while
   * computing the sum (eager staging ran two jobs per round, and on small
@@ -106,31 +107,38 @@ object ConnectedComponents {
       var i = 0
       while (!converged && i < maxIterations) {
         val tRound = now()
-        val neighborMin = sym
-          .join(labels, col("b") === col("id"))
-          .groupBy(col("a")).agg(min(col("component")).as("nmin"))
-        val propagated = labels
-          .join(neighborMin, col("id") === col("a"), "left")
-        // pointer jumping: my next label is the min of (my label, my
-        // neighbors' labels, my LABEL's label) — the third term shortcuts
-        // chains so rounds scale with log(diameter), not diameter. It is
-        // enabled only from round 3: near-dup graphs are overwhelmingly
-        // diameter-≤3 stars that converge on plain propagation, and the
-        // hop join's two extra exchanges per round would be pure overhead
-        // there; a graph still unconverged by round 3 is exactly the
-        // deep-chain case the shortcut exists for.
-        val withHop =
-          if (i < 2) propagated.withColumn("__lcomp",
-            lit(null).cast(propagated.schema("component").dataType))
-          else propagated.join(
-            labels.select(col("id").as("__lid"),
-              col("component").as("__lcomp")),
-            col("component") === col("__lid"), "left")
+        // Union formulation: component_next(id) = min over three label
+        // CANDIDATE streams, folded by ONE partial-aggregable groupBy —
+        //   own:      (id, my label)
+        //   neighbor: (id, label of each neighbor)    [1 equi-join]
+        //   hop:      (id, label of my label)         [1 equi-join, i>=2]
+        // Identical semantics to least(own, neighborMin, labelOfLabel),
+        // but the old left-join that re-attached neighborMin to labels —
+        // a full extra exchange of the label table per round — is gone:
+        // the union feeds the min-aggregate directly and map-side partial
+        // aggregation collapses candidates before the single exchange.
+        val neighbor = sym.join(labels, col("b") === col("id"))
+          .select(col("a").as("id"), col("component"))
+        // pointer jumping: the hop stream shortcuts chains so rounds
+        // scale with log(diameter), not diameter. Enabled only from
+        // round 3: near-dup graphs are overwhelmingly diameter-≤3 stars
+        // that converge on plain propagation, and the hop join's extra
+        // exchange per round would be pure overhead there; a graph still
+        // unconverged by round 3 is exactly the deep-chain case the
+        // shortcut exists for. Inner join is safe: every component value
+        // IS a node id present in labels (labels start as id=component
+        // and only adopt other nodes' ids).
+        val candidates =
+          if (i < 2) labels.unionByName(neighbor)
+          else labels.unionByName(neighbor).unionByName(
+            labels.select(col("component").as("__k"), col("id"))
+              .join(labels.select(col("id").as("__k2"),
+                col("component").as("__lcomp")),
+                col("__k") === col("__k2"))
+              .select(col("id"), col("__lcomp").as("component")))
         val next = Staging.stage(
-          withHop.select(col("id"),
-            least(col("component"),
-              coalesce(col("nmin"), col("component")),
-              coalesce(col("__lcomp"), col("component"))).as("component")),
+          candidates.groupBy(col("id"))
+            .agg(min(col("component")).as("component")),
           eager = false)
         // one action per round: computes the round's joins, persists the
         // staged blocks as a side effect of that same computation, and
