@@ -95,13 +95,17 @@ object Dedup {
     * this once and share it, instead of letting jaccardPairs re-window
     * and re-stage internally. */
   def countedShingles(capped: DataFrame, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // set sizes ride along as a window count over the same pass instead
-    // of a separate aggregate + two re-joins: the (expensive) shingle
-    // pipeline is evaluated twice (self-join sides) instead of three
-    // times, and two shuffles disappear
+    // set sizes attach via aggregate + equi-join on the id, NOT a window
+    // count over an id-partitioning: the window form shuffles AND sorts
+    // the full shingle table on the id, while the aggregate collapses
+    // map-side to one row per id — a few bytes per DOCUMENT crossing the
+    // wire — and AQE turns the re-attach join into a broadcast whenever
+    // the per-id size table is small. At corpus scale the join degrades
+    // to a sort-merge no worse than the window's exchange+sort; locally
+    // it removes the sort of the widest table in the pipeline (measured
+    // ~0.4 s on every shared-shingle query).
     //
-    // ... and then STAGE the result: Catalyst does not recognize the
+    // ... then STAGE the result: Catalyst does not recognize the
     // self-join's two sides as the same subtree (no ReusedExchange —
     // verified on the q36 plan), so without staging the whole
     // tokenize→shingle→hash→window pipeline runs once PER SIDE.
@@ -116,8 +120,15 @@ object Dedup {
     // is the standard cluster-scale MinHash pipeline shape (the staged
     // set is ~the token stream's size, far smaller than the join fanout
     // it feeds).
-    Staging.stage(capped.withColumn("__n",
-      count(lit(1)).over(Window.partitionBy(col(idCol)))), eager = false)
+    // The STAGED frame is `capped` itself (the expensive
+    // tokenize→shingle→hash→window pipeline); both the row side and the
+    // size-aggregate side of the re-attach join read the one staged
+    // leaf, and the join is left lazy — per consumer it costs a staged-
+    // block scan + a map-side-collapsed tiny aggregate + an (AQE)
+    // broadcast join, with no pipeline re-execution anywhere.
+    val staged = Staging.stage(capped, eager = false)
+    staged.join(
+      staged.groupBy(col(idCol)).agg(count(lit(1)).as("__n")), idCol)
   }
 
   /** The pair join/aggregate half of [[jaccardPairs]], over a
