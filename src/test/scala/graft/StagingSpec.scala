@@ -10,14 +10,18 @@ class StagingSpec extends SparkTestBase {
   import spark.implicits._
 
   test("default staging pins blocks; sweep releases them") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val staged = Staging.stage(
       Seq(1, 2, 3).toDF("x").withColumn("y", col("x") * 2), eager = true)
-    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty)
     assert(staged.agg(sum($"y")).head().getLong(0) == 12L)
     Staging.sweep(spark)
-    assert(spark.sparkContext.getPersistentRDDs
-      .values.forall(_.getStorageLevel.useMemory == false))
+    // sweep is scoped to module-staged ids: OUR blocks are gone, but a
+    // user cache()d frame from elsewhere in the shared session survives
+    val after = spark.sparkContext.getPersistentRDDs
+    assert(added.forall(id =>
+      !after.contains(id) || !after(id).getStorageLevel.useMemory))
   }
 
   test("release drops only the directly-staged frame") {
