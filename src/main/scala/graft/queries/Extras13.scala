@@ -56,13 +56,19 @@ object Extras13 {
          |SELECT lang, tok AS top_tok, n FROM r WHERE rn = 1""".stripMargin) {
       (spark, dir) =>
         import spark.implicits._
-        val w = Window.partitionBy($"lang").orderBy($"n".desc, $"tok")
+        // mode = min_by over the (-n, tok) ordering struct: identical
+        // tie-break to ORDER BY n DESC, tok (highest count, then
+        // lexicographically smallest token) but partial-aggregable — a
+        // Window.partitionBy(lang) here would sort the whole (lang, tok,
+        // n) table on 5 tasks (one per language) at corpus scale, while
+        // min_by folds map-side and exchanges one row per group
         t(spark, dir).documents
           .select($"lang", explode(TextOps.tokens($"text")).as("tok"))
           .groupBy($"lang", $"tok").agg(count(one).as("n"))
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
-          .select($"lang", $"tok".as("top_tok"), $"n")
+          .groupBy($"lang")
+          .agg(min_by(struct($"tok", $"n"), struct((-$"n").as("nn"), $"tok"))
+            .as("m"))
+          .select($"lang", $"m.tok".as("top_tok"), $"m.n".as("n"))
     },
 
     // ---- MinHash estimate vs exact Jaccard -----------------------------
