@@ -31,4 +31,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // GraftSession sets spark.cleaner.periodicGC.interval=1min so the
+  // ContextCleaner actually frees shuffle/broadcast state during a
+  // long session — but ContextCleaner triggers that via System.gc(),
+  // which by default is a stop-the-world FULL GC every minute (seconds
+  // of pause at larger heaps, landing on whatever query is running).
+  // This flag makes explicit GC a CONCURRENT G1 cycle: reference
+  // queues still drain, the pause disappears.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )
