@@ -66,15 +66,30 @@ object Dedup {
   val DefaultDfCap: Int = 256
 
   /** `sh` minus hashes whose document frequency exceeds `cap` (<= 0
-    * disables). The window count is one extra shuffle, but it lands on
-    * the same key any downstream shared-shingle join shuffles on. */
-  def dfCapped(sh: DataFrame, cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    if (cap > 0)
-      sh.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
-        .filter(col("__df") <= cap).drop("__df")
-    else sh
-  }
+    * disables).
+    *
+    * Shape: stage the (id, h) table once, aggregate document frequencies
+    * per h (map-side partial count — a few bytes per DISTINCT shingle
+    * cross the wire), and semi-join the rare-shingle keys back. NOT a
+    * `count() OVER (PARTITION BY h)` window: the window form hashes the
+    * full shingle table on h and SORTS each partition — and a hot
+    * shingle (the exact pathology the cap exists for: one boilerplate
+    * n-gram in 10^6 documents) puts its entire group into ONE window
+    * partition, a single-task straggler at corpus scale. The aggregate
+    * form collapses hot keys map-side; the semi-join is a plain hash
+    * join, no sort anywhere. Staging (not a self-reference) keeps the
+    * expensive tokenize→shingle→hash→distinct pipeline from running
+    * twice (once per join side — Catalyst has no ReusedExchange across
+    * self-join sides). */
+  def dfCapped(sh: DataFrame, cap: Int): DataFrame =
+    if (cap > 0) {
+      val staged = Staging.stage(sh, eager = false)
+      val rare = staged.groupBy(col("h"))
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap)
+        .select(col("h"))
+      staged.join(rare, Seq("h"), "left_semi")
+    } else sh
 
   /** Exact Jaccard pairs (id_a < id_b) from per-id shingle-hash sets:
     * one shared-shingle equi-join + set-size joins. Columns:
@@ -86,49 +101,48 @@ object Dedup {
     * cap. Oracle twin: TextOps.oracleShCappedCte. */
   def jaccardPairs(sh: DataFrame, idCol: String,
       dfCap: Int = DefaultDfCap): DataFrame =
-    jaccardPairsFromCounted(countedShingles(dfCapped(sh, dfCap), idCol),
-      idCol)
+    jaccardPairsFromCounted(countedShingles(sh, idCol, dfCap), idCol)
 
-  /** Staged (id, h, __n) shingle table: `__n` = per-id distinct-shingle
-    * count ridden along as a window count. Callers that ALSO need the
+  /** (id, h, __n) shingle table over the df-capped shingle space:
+    * `__n` = per-id distinct-shingle count. Callers that ALSO need the
     * shingle set for other stages (e.g. MinHash signatures, q103) build
-    * this once and share it, instead of letting jaccardPairs re-window
-    * and re-stage internally. */
-  def countedShingles(capped: DataFrame, idCol: String): DataFrame = {
-    // set sizes attach via aggregate + equi-join on the id, NOT a window
-    // count over an id-partitioning: the window form shuffles AND sorts
-    // the full shingle table on the id, while the aggregate collapses
-    // map-side to one row per id — a few bytes per DOCUMENT crossing the
-    // wire — and AQE turns the re-attach join into a broadcast whenever
-    // the per-id size table is small. At corpus scale the join degrades
-    // to a sort-merge no worse than the window's exchange+sort; locally
-    // it removes the sort of the widest table in the pipeline (measured
-    // ~0.4 s on every shared-shingle query).
-    //
-    // ... then STAGE the result: Catalyst does not recognize the
-    // self-join's two sides as the same subtree (no ReusedExchange —
-    // verified on the q36 plan), so without staging the whole
-    // tokenize→shingle→hash→window pipeline runs once PER SIDE.
-    // Staging (Staging.stage: local checkpoint by default, reliable
-    // checkpoint when spark.graft.checkpointDir is set — executor-loss
-    // safety for cluster runs) rather than persist(): persist registers
-    // the plan in the session CacheManager, and every LATER query then
-    // pays plan-canonicalization against it during lookup — measured
-    // seconds of driver time on the wide-expression queries. The staged
-    // frame stays private to this DataFrame; long-lived sessions release
-    // it via Staging.sweep. Staging the shingle set before the pair join
-    // is the standard cluster-scale MinHash pipeline shape (the staged
-    // set is ~the token stream's size, far smaller than the join fanout
-    // it feeds).
-    // The STAGED frame is `capped` itself (the expensive
-    // tokenize→shingle→hash→window pipeline); both the row side and the
-    // size-aggregate side of the re-attach join read the one staged
-    // leaf, and the join is left lazy — per consumer it costs a staged-
-    // block scan + a map-side-collapsed tiny aggregate + an (AQE)
-    // broadcast join, with no pipeline re-execution anywhere.
-    val staged = Staging.stage(capped, eager = false)
-    staged.join(
-      staged.groupBy(col(idCol)).agg(count(lit(1)).as("__n")), idCol)
+    * this once and share it, instead of letting jaccardPairs re-derive
+    * it internally.
+    *
+    * ONE staged leaf carries the whole chain: `sh` — the expensive
+    * tokenize→shingle→hash→distinct pipeline — is staged
+    * (Staging.stage: local checkpoint by default, reliable checkpoint
+    * when spark.graft.checkpointDir is set — executor-loss safety for
+    * cluster runs), and everything above it stays LAZY: the df-cap
+    * semi-join (see [[dfCapped]] for why an aggregate + semi-join, never
+    * an h-partitioned window), the per-id size aggregate (map-side
+    * collapsed to one row per id), and the size re-attach join (AQE
+    * broadcasts it when small). Consumers referencing the result more
+    * than once (the pair self-join's two sides) re-run only these cheap
+    * hash joins over staged blocks — never the tokenize pipeline.
+    * A measured A/B rejected checkpointing the capped table a second
+    * time (two checkpoint writes cost more than the lazy tail's repeat
+    * scans: family bench total 32.8 -> 37.0 s).
+    *
+    * Staging rather than persist(): persist registers the plan in the
+    * session CacheManager, and every LATER query then pays
+    * plan-canonicalization against it during lookup — measured seconds
+    * of driver time on the wide-expression queries. The staged frame
+    * stays private to this DataFrame; long-lived sessions release it
+    * via Staging.sweep. */
+  def countedShingles(sh: DataFrame, idCol: String,
+      cap: Int = DefaultDfCap): DataFrame = {
+    val leaf = Staging.stage(sh, eager = false)
+    val capped =
+      if (cap > 0) {
+        val rare = leaf.groupBy(col("h"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .select(col("h"))
+        leaf.join(rare, Seq("h"), "left_semi")
+      } else leaf
+    capped.join(
+      capped.groupBy(col(idCol)).agg(count(lit(1)).as("__n")), idCol)
   }
 
   /** The pair join/aggregate half of [[jaccardPairs]], over a

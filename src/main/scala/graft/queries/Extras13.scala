@@ -115,16 +115,12 @@ object Extras13 {
       }) { (spark, dir) =>
       import spark.implicits._
       val K = 16
-      // ONE staged frame feeds every consumer (exact-pair self-join ×2
-      // sides + signatures): the counted shingle table already carries
-      // the per-doc set size, so the exact side skips jaccardPairs'
-      // internal re-window + re-stage, and the signature aggregate
-      // ignores the extra __n column. (Previously shc was staged, then
-      // jaccardPairs staged a second windowed copy on top of it.)
+      // ONE staged leaf feeds every consumer (exact-pair self-join ×2
+      // sides + signatures): countedShingles stages the raw shingle
+      // pipeline once and keeps the df-cap semi-join + size attach lazy
+      // above it; the signature aggregate ignores the extra __n column.
       val shc = Dedup.countedShingles(
-        Dedup.dfCapped(
-          Dedup.shingleHashes(t(spark, dir).documents, "doc_id", "text"),
-          Dedup.DefaultDfCap),
+        Dedup.shingleHashes(t(spark, dir).documents, "doc_id", "text"),
         "doc_id")
       val exact = Dedup.jaccardPairsFromCounted(shc, "doc_id")
         .filter($"jaccard" >= 0.5)
