@@ -20,6 +20,34 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // JMH-style warmup ITERATION: run the whole catalog once against the
+    // smallest fixture before timing anything. Whole-stage-codegen JIT for
+    // each pipeline family otherwise lands on its lexicographically FIRST
+    // member at the target SF (measured: q103 carries the tokenize→shingle
+    // chain's ~3-5 s, q122 the CC loop's — both read 2-3x their
+    // steady-state cost in rounds 3-4 benches). Codegen caches key on the
+    // generated source, not the input path, so a tiny-SF pass warms the
+    // exact code the timed loop runs. Failures are ignored (the timed
+    // loop, not warmup, is the record of what runs); staged blocks are
+    // swept per query exactly as in the timed loop. Skippable for local
+    // iteration via SPARK_GRAFT_WARM=0; the driver keeps the default ON.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARM", "1") != "0") {
+      val warmDir = new java.io.File(sfDir).getParentFile match {
+        case null => None
+        case p =>
+          val d = new java.io.File(p, "sf0.001")
+          if (d.isDirectory && d.getPath != new java.io.File(sfDir).getPath)
+            Some(d.getPath)
+          else None
+      }
+      warmDir.foreach { wd =>
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+          try fn(spark, wd).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          graft.operators.Staging.sweep(spark)
+        }
+      }
+    }
     // dev-only subset filter (comma-separated qN prefixes): lets a single
     // query be measured under EXACT bench methodology — fresh session,
     // sorted order, per-query sweep — which the Explain harness cannot do
