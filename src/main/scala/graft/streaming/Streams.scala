@@ -5,6 +5,8 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.RingRegistry
+
 /** Structured Streaming plumbing: bounded file-stream sources over the
   * fixture tables and a run-to-completion harness, so streaming pipelines
   * can sit in the same oracle-checked query catalog as batch ones.
@@ -152,6 +154,60 @@ object Streams {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       // also on failure — orphaned sink tables pin rows in the driver
+      spark.catalog.dropTempView(table)
+    }
+  }
+
+  /** Read a registered in-process ring as a micro-batch stream
+    * (sources.RingSource — the engine's message-bus source). */
+  def ringStream(spark: SparkSession, ring: String): DataFrame =
+    spark.readStream.format("graft-ring").option("ring", ring).load()
+
+  /** Consume a ring stream into memory while `produce` runs on separate
+    * threads, polling until exactly `n` rows have landed. This is the
+    * live producer/consumer shape (reject-new producers backpressured by
+    * the consumer's offset commits) that [[runToMemory]] cannot express:
+    * `processAllAvailable` would return between producer bursts and stop
+    * the query before the bus has carried everything.
+    *
+    * Synchronized for the same reason as [[runToMemory]]: the
+    * shuffle-partition override is session-global state. */
+  def drainRingUntil(spark: SparkSession, ring: String, n: Long)(
+      produce: => Unit): DataFrame = synchronized {
+    val table = s"graft_ring_sink_${nameCounter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = ringStream(spark, ring).writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      @volatile var producedOk = false
+      val producer = new Thread(() => { produce; producedOk = true },
+        s"ring-producer-$table")
+      producer.setDaemon(true)
+      try {
+        producer.start()
+        val deadline = System.nanoTime() + 120L * 1000L * 1000 * 1000
+        while (spark.table(table).count() < n) {
+          // a dead stream or dead producer would otherwise poll blind
+          // to the deadline
+          q.exception.foreach(throw _)
+          if (!producer.isAlive && !producedOk)
+            throw new IllegalStateException(
+              "ring producer died before enqueueing all records " +
+                "(enqueue timeout?) — drain cannot complete")
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"ring drain did not reach $n rows in 120s")
+          Thread.sleep(20)
+        }
+      } finally {
+        q.stop()
+        producer.join(10000)
+      }
+      val sink = spark.table(table)
+      spark.createDataFrame(sink.collectAsList(), sink.schema)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.catalog.dropTempView(table)
     }
   }
