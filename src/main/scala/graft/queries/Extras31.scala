@@ -83,11 +83,15 @@ object Extras31 {
     },
 
     // ---- bus backpressure: reject-new, exactly-once --------------------
-    // 1024-slot ring carrying 50k records (49 full wrap-arounds): two
+    // 8192-slot ring carrying 50k records (~6 full refill cycles): two
     // producer threads split the slice odd/even (MPMC), block on the full
-    // ring, and are released by the consumer's offset commits. Every
-    // record is delivered exactly once, so the aggregate equals the full
-    // input slice — the thread interleaving cannot show through.
+    // ring, and are released by the consumer's progress. Every record is
+    // delivered exactly once, so the aggregate equals the full input
+    // slice — the thread interleaving cannot show through. (Each refill
+    // cycle costs one micro-batch of fixed scheduling overhead, so the
+    // bench-facing capacity stays coarse; the HARD undersizing proof —
+    // 4096 records through 128 slots — lives in RingSourceSpec, where
+    // the row volume is small enough that 32 wraps stay cheap.)
     Qry(
       "q149_ring_backpressure",
       s"""WITH $oracleFirstCte
@@ -99,7 +103,7 @@ object Extras31 {
       val src = firstEvents(spark, dir)
       val rows = src.collect()
       val ring = RingRegistry.create(name, src.schema,
-        capacity = 1024, dropOldest = false)
+        capacity = 8192, dropOldest = false)
       try {
         val got = Streams.drainRingUntil(spark, name, rows.length.toLong) {
           val half = new Thread(() =>
