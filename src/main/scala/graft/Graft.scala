@@ -22,6 +22,19 @@ object Graft {
   def sweep(spark: org.apache.spark.sql.SparkSession): Unit =
     Staging.sweep(spark)
 
+  /** Create (or replace) a named in-process ring-buffer bus readable via
+    * `spark.readStream.format("graft-ring").option("ring", name)` — see
+    * sources.RingSource for the contract (power-of-two capacity,
+    * reject-new vs drop-oldest overflow, observable drop counter). */
+  def createRing(name: String, schema: org.apache.spark.sql.types.StructType,
+      capacity: Int, dropOldest: Boolean = false): graft.sources.GraftRing =
+    graft.sources.RingRegistry.create(name, schema, capacity, dropOldest)
+
+  /** Read a registered ring as a micro-batch stream. */
+  def ringStream(spark: org.apache.spark.sql.SparkSession,
+      name: String): DataFrame =
+    graft.streaming.Streams.ringStream(spark, name)
+
   implicit class GraftDataFrame(private val df: DataFrame) extends AnyVal {
 
     /** Backward as-of join (see operators.AsOfJoin). */

@@ -131,4 +131,17 @@ class GraftFacadeSpec extends SparkTestBase {
     Graft.sweep(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("round-5 facade additions: ring bus create + stream") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val ring = Graft.createRing("facade_ring", schema, 16)
+    try {
+      (0L until 10L).foreach(i =>
+        assert(ring.tryEnqueue(org.apache.spark.sql.Row(i))))
+      val got = graft.streaming.Streams.runToMemory(
+        Graft.ringStream(spark, "facade_ring"), "append")
+      assert(got.count() == 10)
+    } finally graft.sources.RingRegistry.remove("facade_ring")
+  }
 }
