@@ -163,6 +163,27 @@ object Streams {
   def ringStream(spark: SparkSession, ring: String): DataFrame =
     spark.readStream.format("graft-ring").option("ring", ring).load()
 
+  /** Consume a ring stream into memory while `produce` runs on the
+    * calling thread, then drain whatever remains once it returns. For
+    * drop-oldest rings, where the delivered count is timing-dependent by
+    * design — the caller asserts conservation invariants, not a count. */
+  def drainRingUntilQuiet(spark: SparkSession, ring: String)(
+      produce: => Unit): DataFrame = synchronized {
+    val table = s"graft_ring_quiet_${nameCounter.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = ringStream(spark, ring).writeStream.outputMode("append")
+        .format("memory").queryName(table).start()
+      try { produce; q.processAllAvailable() } finally q.stop()
+      val sink = spark.table(table)
+      spark.createDataFrame(sink.collectAsList(), sink.schema)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.catalog.dropTempView(table)
+    }
+  }
+
   /** Consume a ring stream into memory while `produce` runs on separate
     * threads, polling until exactly `n` rows have landed. This is the
     * live producer/consumer shape (reject-new producers backpressured by

@@ -58,6 +58,28 @@ class RingSourceSpec extends SparkTestBase {
     } finally RingRegistry.remove("rs_drop")
   }
 
+  test("drop-oldest under a LIVE consumer: conservation accounting") {
+    // Fast producer, small ring, stream racing it: delivery is at-most-
+    // once (policy) but ACCOUNTING must be at-least-once — every record
+    // is either in the sink or counted in `dropped` (a record evicted
+    // after being planned can be double-counted, never lost silently).
+    val n = 3000L
+    val ring = RingRegistry.create("rs_live", schema, 64, dropOldest = true)
+    try {
+      val sink = Streams.drainRingUntilQuiet(spark, "rs_live") {
+        (0L until n).foreach { i =>
+          assert(ring.tryEnqueue(row(i))) // drop-oldest always accepts
+          if (i % 256 == 0) Thread.sleep(1) // let batches interleave
+        }
+      }
+      val delivered = sink.select("v").distinct().count()
+      assert(sink.count() === delivered, "no duplicate delivery")
+      assert(delivered + ring.dropped >= n,
+        s"lost records: delivered=$delivered dropped=${ring.dropped}")
+      assert(delivered >= 64, "the live stream delivered real batches")
+    } finally RingRegistry.remove("rs_live")
+  }
+
   test("MPMC live drain: two producers, 32x-undersized ring, exactly-once") {
     val n = 4096L
     val ring = RingRegistry.create("rs_mpmc", schema, 128, dropOldest = false)
