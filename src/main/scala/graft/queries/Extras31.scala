@@ -21,10 +21,17 @@ import graft.streaming.Streams
   *    `/root/reference/README.md:436`). Deterministic because eviction
   *    order is enqueue order.
   *  - reject-new + backpressure (q149): two producer threads push the
-  *    same record set through a ring 32x smaller than the data while the
-  *    stream drains it live; commit-freed slots gate the producers, and
-  *    exactly-once delivery means the result equals the full input —
-  *    regardless of thread interleaving.
+  *    same record set through an undersized ring while the stream drains
+  *    it live; consumer progress gates the producers, and exactly-once
+  *    delivery means the result equals the full input — regardless of
+  *    thread interleaving.
+  *
+  * On the `collect()` here: it is the PRODUCER harness, not a data-plane
+  * operator — a message bus's producers are by definition processes
+  * outside the engine, and these queries need deterministic ones. The
+  * engine-side path (source → micro-batches → sink → aggregate) never
+  * collects an unbounded set; the bounded slice mirrors how every other
+  * streaming catalog entry feeds its source (file copies, rate bound).
   */
 object Extras31 {
 
