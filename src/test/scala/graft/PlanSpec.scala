@@ -1,0 +1,109 @@
+package graft
+
+/** Physical-plan regression tests for the catalog's scale-critical plan
+  * shapes. PLANS.md records these properties as prose audits of explain
+  * dumps; this spec pins the load-bearing ones as assertions so a future
+  * refactor that silently loses a pushdown, a broadcast, or a partial
+  * aggregate fails `sbt test` instead of only showing up as a bench
+  * regression three rounds later.
+  *
+  * All queries run against the sf0.001 fixture. Each Dataset is
+  * materialized FIRST (collect on the same Dataset, not a count() clone)
+  * so the string read afterwards is the ADAPTIVE final plan — the plan
+  * that actually executed, not the pre-AQE guess.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Run the named catalog query to completion, return its final plan.
+    * Scan metadata (PushedFilters, ReadSchema) is truncated at 100 chars
+    * by default, which would silently weaken the substring assertions. */
+  private def finalPlan(name: String): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+  }
+
+  test("q2: filters reach the parquet scan and the schema is pruned") {
+    val plan = finalPlan("q2_filter_project")
+    // all three predicates push down (the driver-visible PushedFilters list)
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(l_discount") &&
+      plan.contains("LessThan(l_quantity") &&
+      plan.contains("EqualTo(l_returnflag,R)"),
+      s"expected all three predicates in PushedFilters:\n$plan")
+    // the scan reads only the 7 referenced columns, not all 16
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"expected a pruned ReadSchema (no l_comment/l_tax):\n$readSchema")
+  }
+
+  test("q3: the small dimension side is broadcast, not shuffled") {
+    val plan = finalPlan("q3_broadcast_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"expected no SortMergeJoin for a dim-sized build side:\n$plan")
+  }
+
+  test("q7: rank-filter windows use WindowGroupLimit (partial top-k before the exchange)") {
+    val plan = finalPlan("q7_topk_per_group")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit below the window exchange:\n$plan")
+  }
+
+  test("q8: global sort+limit plans as TakeOrderedAndProject, not a full sort") {
+    val plan = finalPlan("q8_sort_limit")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q1: aggregation is partial+final (map-side combine before the shuffle)") {
+    val plan = finalPlan("q1_pricing_summary")
+    assert(plan.contains("partial_"),
+      s"expected partial aggregate functions:\n$plan")
+  }
+
+  test("q132: co-bucketed join shuffles neither join input") {
+    val plan = finalPlan("q132_bucketed_join")
+    // the post-join groupBy(c_mktsegment) legitimately shuffles; the bucket
+    // win is that the JOIN KEYS never do — both sides scan pre-bucketed
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"expected no shuffle exchange on the join keys:\n$plan")
+    assert(plan.contains("SortMergeJoin") &&
+      plan.contains("SelectedBucketsCount"),
+      s"expected the hinted sort-merge join over bucketed scans:\n$plan")
+  }
+
+  test("q129: the native as-of join strategy plans AsOfJoinExec") {
+    val plan = finalPlan("q129_asof_native")
+    assert(plan.contains("AsOfJoin"),
+      s"expected the native AsOfJoinExec operator:\n$plan")
+  }
+
+  test("q150: corpus split computes heads via partial WindowGroupLimit + broadcast counts") {
+    val plan = finalPlan("q150_corpus_split")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit for the per-split heads:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"expected the 3-row count table to broadcast:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"expected no global sort of the corpus:\n$plan")
+  }
+
+  test("q41: brute-force cosine top-k broadcasts the probe side") {
+    val plan = finalPlan("q41_cosine_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast join for the probe side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"expected no unpartitioned cartesian product:\n$plan")
+  }
+}
