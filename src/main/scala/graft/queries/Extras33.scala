@@ -36,11 +36,14 @@ object Extras33 {
 
     // ---- PII injection + redaction ------------------------------------
     // doc_id % 3 == 0 → an email is appended; doc_id % 3 == 1 → a phone
-    // and an IPv4; doc_id % 3 == 2 → untouched (and filtered out below,
-    // pinning that the scrubber has no false positives on clean text).
-    // Output: per-document redaction counts plus the md5 of the redacted
-    // text — the hash pins the exact byte-level replacement, not just
-    // the match counts.
+    // and an IPv4; doc_id % 3 == 2 → untouched. ALL documents are
+    // emitted: the untouched third must come out with zero counts and
+    // clean_md5 == md5(text), so false positives on clean text fail the
+    // oracle hash. (A WHERE on the computed counts would also get pushed
+    // below the projection and re-evaluate every regex twice — emitting
+    // the full corpus keeps the plan one scan → one project chain.)
+    // The md5 of the redacted text pins the exact byte-level
+    // replacement, not just the match counts.
     Qry(
       "q151_pii_redact",
       s"""WITH inj AS (SELECT doc_id, source, CASE
@@ -60,7 +63,7 @@ object Extras33 {
          |SELECT doc_id, source, n_emails, n_phones,
          |  len(regexp_extract_all(clean, '<IP>')) AS n_ips,
          |  md5(clean) AS clean_md5, length(clean) AS clean_len
-         |FROM red WHERE n_emails + n_phones > 0""".stripMargin) {
+         |FROM red""".stripMargin) {
       (spark, dir) =>
       import spark.implicits._
       val injected = t(spark, dir).documents.select($"doc_id", $"source",
@@ -85,7 +88,6 @@ object Extras33 {
           regexp_count($"clean", lit("<IP>")).as("n_ips"),
           md5($"clean").as("clean_md5"),
           length($"clean").as("clean_len"))
-        .filter($"n_emails" + $"n_phones" > 0)
     }
   )
 }
