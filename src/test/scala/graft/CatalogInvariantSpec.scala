@@ -1,0 +1,41 @@
+package graft
+
+/** Catalog-wide physical-plan invariant: NO query may plan an
+  * unpartitioned CartesianProduct. Every pairwise stage in the library
+  * is either a blocked equi-join (dedup/LSH families) or a broadcast of
+  * a provably small side (single-row aggregates, eval benchmarks, probe
+  * sets) — `BroadcastNestedLoopJoin` is the acceptable physical form of
+  * the latter. A CartesianProduct means both sides were too big to
+  * broadcast AND had no join key: at 100 TB that is always a bug, and
+  * one VERDICT-round audit found them only by hand-reading plans. This
+  * spec makes the audit mechanical and permanent.
+  *
+  * Streaming-backed catalog entries (their builders EXECUTE a stream to
+  * completion) are skipped — their semantics are spec-covered
+  * elsewhere and their sinks are in-memory tables with no join planning
+  * of their own. Iterative batch queries (CC, k-means) run real jobs at
+  * sf0.001 when built; that cost (~seconds) is the price of asserting
+  * on the plans they actually produce.
+  */
+class CatalogInvariantSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // builders that run Structured Streaming pipelines when invoked
+  private val streamingBacked = Set(
+    "q44_stream_tumbling", "q45_stream_sessions", "q46_stream_stateful",
+    "q79_stream_join", "q87_stream_enrich", "q94_stream_dedup",
+    "q130_stream_tws", "q147_rate_source", "q148_ring_dropoldest",
+    "q149_ring_backpressure")
+
+  test("no catalog query plans an unpartitioned CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if streamingBacked(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned cartesian products in: ${offenders.mkString(", ")}")
+  }
+}

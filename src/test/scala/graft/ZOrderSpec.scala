@@ -10,26 +10,37 @@ import graft.sources.Tables
   * mechanism a 100 TB engine uses (per-file min/max stats → skip):
   * write the same table under a z-ordered layout and a single-column
   * layout, reconstruct each file's min/max statistics, and count the
-  * files a predicate could NOT skip. A single-column layout prunes
-  * perfectly on its own column and not at all on any other; the z-order
-  * layout must prune on BOTH dimensions.
+  * fraction of files a predicate could NOT skip. A single-column layout
+  * prunes perfectly on its own column and not at all on any other; the
+  * z-order layout must prune on BOTH dimensions.
+  *
+  * Layouts are written via `partitionBy` on an explicit bucket column
+  * (top 4 z-bits / top 4 scaled-dimension bits), so file boundaries are
+  * EXACTLY bit-aligned and the test is deterministic. The first version
+  * used `repartitionByRange(zv)` — the real write path — but its
+  * SAMPLED quantile boundaries occasionally landed mid-quadrant and
+  * flipped a boundary file's eligibility under suite concurrency
+  * (observed 9/16 once vs 5-6 typical): same layout idea, flaky
+  * arithmetic. Bucket dirs pin the boundaries; `repartitionByRange`
+  * remains the production write (its boundaries converge to the same
+  * bit alignment as the sample grows).
   */
 class ZOrderSpec extends SparkTestBase {
   import spark.implicits._
 
-  // 16 range-files fix the top FOUR z-bits — two bits of EACH dimension
-  // (8 would fix y,x,y: an uneven 2/1 split that halves one dim's
-  // pruning). Quarter-range rectangles per file on both columns.
-  private val Files = 16
+  // bucketing uses the top 4 bits — two bits of EACH dimension (an odd
+  // bit count would split 2/1 and halve one dim's pruning): 16 bucket
+  // dirs, quarter-range rectangles on both columns
 
-  /** Files whose [lo, hi] stats-range on `col` overlaps [lo, hi] — the
-    * ones a stats-based reader must read. */
-  private def eligible(dir: String, col: String, lo: Long, hi: Long): Long =
-    spark.read.parquet(dir)
+  /** (eligible, total) file counts: eligible = files whose [lo, hi]
+    * stats-range on `col` overlaps [lo, hi] — what a stats-based reader
+    * must read. */
+  private def eligible(dir: String, col: String, lo: Long, hi: Long): (Long, Long) = {
+    val stats = spark.read.parquet(dir)
       .groupBy(input_file_name())
       .agg(min(col).as("lo"), max(col).as("hi"))
-      .filter($"lo" <= hi && $"hi" >= lo)
-      .count()
+    (stats.filter($"lo" <= hi && $"hi" >= lo).count(), stats.count())
+  }
 
   test("z-order layout prunes files on both dimensions; single-column layout only on its own") {
     val d = Tables(spark, "/root/testdata/sf0.01").orders
@@ -38,20 +49,25 @@ class ZOrderSpec extends SparkTestBase {
     val s = d.agg(min($"ck").as("ck_mn"), max($"ck").as("ck_mx"),
       min($"dd").as("dd_mn"), max($"dd").as("dd_mx"))
     val z = d.crossJoin(broadcast(s))
-      .withColumn("zv", ZOrder.interleave16(
-        ZOrder.scale16($"ck", $"ck_mn", $"ck_mx"),
+      .withColumn("cks", ZOrder.scale16($"ck", $"ck_mn", $"ck_mx"))
+      .withColumn("zv", ZOrder.interleave16($"cks",
         ZOrder.scale16($"dd", $"dd_mn", $"dd_mx")))
-      .select($"ck", $"dd", $"zv")
+      .select($"ck", $"dd", $"cks", $"zv")
 
     val base = java.nio.file.Files.createTempDirectory("graft_zorder_")
-    def write(df: DataFrame, byCol: String, sub: String): String = {
+    def write(df: DataFrame, bucket: org.apache.spark.sql.Column,
+        sub: String): String = {
       val path = s"$base/$sub"
-      df.repartitionByRange(Files, col(byCol)).sortWithinPartitions(byCol)
-        .write.mode("overwrite").parquet(path)
+      // repartition on the bucket so each dir holds few files; partitionBy
+      // guarantees every file contains ONE bucket's rows regardless
+      df.withColumn("b", bucket).repartition($"b")
+        .write.partitionBy("b").mode("overwrite").parquet(path)
       path
     }
-    val zDir = write(z, "zv", "z")
-    val ckDir = write(z, "ck", "ck")
+    // z layout: top 4 interleaved bits; single-column layout: top 4 bits
+    // of the scaled custkey
+    val zDir = write(z, shiftright($"zv", 2 * ZOrder.Bits - 4), "z")
+    val ckDir = write(z, shiftright($"cks", ZOrder.Bits - 4), "ck")
 
     // ranges covering ~10% of each dimension, placed INSIDE one aligned
     // z-quadrant (30–40%): a range straddling the 50% boundary touches
@@ -64,17 +80,18 @@ class ZOrderSpec extends SparkTestBase {
       ddMn + (ddMx - ddMn) * 40 / 100)
 
     // the single-column layout cannot skip anything on the OTHER column
-    val ckLayoutOnDate = eligible(ckDir, "dd", ddLo, ddHi)
-    assert(ckLayoutOnDate == Files,
-      s"ck-sorted layout unexpectedly pruned a date predicate: $ckLayoutOnDate/$Files")
+    val (ckOnDate, ckTotal) = eligible(ckDir, "dd", ddLo, ddHi)
+    assert(ckOnDate == ckTotal,
+      s"ck-bucketed layout unexpectedly pruned a date predicate: $ckOnDate/$ckTotal")
 
-    // z-order prunes on BOTH columns (≤ half the files eligible)
-    val zOnDate = eligible(zDir, "dd", ddLo, ddHi)
-    val zOnCk = eligible(zDir, "ck", ckLo, ckHi)
-    assert(zOnDate <= Files / 2,
-      s"z layout should skip ≥ half the files on a date predicate: $zOnDate/$Files")
-    assert(zOnCk <= Files / 2,
-      s"z layout should skip ≥ half the files on a custkey predicate: $zOnCk/$Files")
+    // z-order prunes on BOTH columns (≤ half the files eligible; the
+    // aligned expectation is one quarter + boundary buckets)
+    val (zOnDate, zTotal) = eligible(zDir, "dd", ddLo, ddHi)
+    val (zOnCk, _) = eligible(zDir, "ck", ckLo, ckHi)
+    assert(zOnDate <= zTotal / 2,
+      s"z layout should skip ≥ half the files on a date predicate: $zOnDate/$zTotal")
+    assert(zOnCk <= zTotal / 2,
+      s"z layout should skip ≥ half the files on a custkey predicate: $zOnCk/$zTotal")
   }
 
   test("interleave16 round-trips bit positions exactly") {
