@@ -220,5 +220,47 @@ object Graft {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
     }
+
+    /** Scrub email/phone/IPv4 PII from `textCol` in place (see
+      * operators.Pii for the patterns and replacement order). */
+    def piiRedacted(textCol: String): DataFrame =
+      df.withColumn(textCol, Pii.redact(col(textCol)))
+
+    /** Remove rows whose `vecCol` embedding is within cosine `tau` of ANY
+      * row of `benchmark` — semantic decontamination against an eval set
+      * (q153). The benchmark is broadcast: it is small by definition; if
+      * it ever isn't, generate candidates with SRP-LSH (embedNearDupPairs)
+      * instead. `vecCol` may be array<float> (widened internally). */
+    def semanticDecontaminated(benchmark: DataFrame, idCol: String,
+        vecCol: String, tau: Double): DataFrame = {
+      val b = benchmark.select(Vectors.toDouble(col(vecCol)).as("__bv"))
+        .withColumn("__bnr", Vectors.norm(col("__bv")))
+      val hits = df
+        .select(col(idCol), Vectors.toDouble(col(vecCol)).as("__v"))
+        .withColumn("__nr", Vectors.norm(col("__v")))
+        .crossJoin(broadcast(b))
+        .filter(Vectors.cosine(Vectors.dot(col("__v"), col("__bv")),
+          col("__nr"), col("__bnr")) >= tau)
+        .select(col(idCol)).distinct()
+      df.join(hits, Seq(idCol), "left_anti")
+    }
+
+    /** Z-order the frame for a multi-column-prunable write: scale both
+      * dimension columns to 16 bits from one broadcast min/max pass,
+      * Morton-interleave them (operators.ZOrder), and range-partition +
+      * sort by the z-value. `df.zOrderedBy("a", "b", 64).write.parquet(p)`
+      * is the OPTIMIZE ZORDER analog; ZOrderSpec measures the payoff. */
+    def zOrderedBy(xCol: String, yCol: String, files: Int): DataFrame = {
+      val s = df.agg(min(col(xCol)).as("__xmn"), max(col(xCol)).as("__xmx"),
+        min(col(yCol)).as("__ymn"), max(col(yCol)).as("__ymx"))
+      df.crossJoin(broadcast(s))
+        .withColumn("__zv", ZOrder.interleave16(
+          ZOrder.scale16(col(xCol), col("__xmn"), col("__xmx")),
+          ZOrder.scale16(col(yCol), col("__ymn"), col("__ymx"))))
+        .drop("__xmn", "__xmx", "__ymn", "__ymx")
+        .repartitionByRange(files, col("__zv"))
+        .sortWithinPartitions("__zv")
+        .drop("__zv")
+    }
   }
 }

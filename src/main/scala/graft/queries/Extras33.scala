@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.operators.Pii
 import graft.sources.Tables
 
 /** Thirty-third coverage wave: PII scrubbing — the redaction pass every
@@ -27,10 +28,10 @@ object Extras33 {
   private def t(spark: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(spark, dir)
 
-  // RE2-safe patterns, shared verbatim by both engines
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
-  private val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  // RE2-safe patterns, shared verbatim by both engines (operators.Pii)
+  private val EmailRe = Pii.EmailRe
+  private val PhoneRe = Pii.PhoneRe
+  private val IpRe = Pii.IpRe
 
   val all: Seq[Qry] = Seq(
 
@@ -78,12 +79,9 @@ object Extras33 {
           .otherwise($"text").as("text2"))
       injected
         .select($"doc_id", $"source",
-          regexp_count($"text2", lit(EmailRe)).as("n_emails"),
-          regexp_count($"text2", lit(PhoneRe)).as("n_phones"),
-          regexp_replace(regexp_replace(regexp_replace(
-            $"text2", EmailRe, "<EMAIL>"),
-            PhoneRe, "<PHONE>"),
-            IpRe, "<IP>").as("clean"))
+          Pii.emailCount($"text2").as("n_emails"),
+          Pii.phoneCount($"text2").as("n_phones"),
+          Pii.redact($"text2").as("clean"))
         .select($"doc_id", $"source", $"n_emails", $"n_phones",
           regexp_count($"clean", lit("<IP>")).as("n_ips"),
           md5($"clean").as("clean_md5"),

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.Graft._
 
 class GraftFacadeSpec extends SparkTestBase {
@@ -130,6 +132,39 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(staged.count() == 4)
     Graft.sweep(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("round-5 facade additions: PII scrub, semantic decontam, z-order write") {
+    // piiRedacted: in-place scrub of all three pattern families
+    val docs = Seq(
+      (1L, "mail me at a.b+c@x-corp.io or call +1-555-0100"),
+      (2L, "server 192.168.0.1 answered"),
+      (3L, "no pii here")).toDF("id", "text")
+    val red = docs.piiRedacted("text").orderBy("id")
+      .select("text").as[String].collect().toSeq
+    assert(red == Seq("mail me at <EMAIL> or call <PHONE>",
+      "server <IP> answered", "no pii here"))
+
+    // semanticDecontaminated: id 2 is the benchmark's near-twin and must
+    // go; orthogonal id 3 survives; the benchmark itself isn't in df
+    def v(seed: Int) = Array.tabulate(64)(i => math.sin(seed * 97 + i).toFloat)
+    val near = v(1).clone(); near(0) = near(0) + 0.01f
+    val corpus = Seq((2L, near), (3L, v(5))).toDF("id", "vec")
+    val bench = Seq((100L, v(1))).toDF("id", "vec")
+    val kept = corpus.semanticDecontaminated(bench, "id", "vec", tau = 0.9)
+      .select("id").as[Long].collect().toSeq
+    assert(kept == Seq(3L))
+
+    // zOrderedBy: the layout path drops its working column, keeps the
+    // schema, preserves every row, and lands the requested file count
+    val grid = (0L until 256L).map(i => (i % 16, i / 16)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw_")
+    grid.zOrderedBy("x", "y", files = 4).write
+      .mode("overwrite").parquet(s"$dir/g")
+    val back = spark.read.parquet(s"$dir/g")
+    assert(back.columns.toSeq.sorted == Seq("x", "y"))
+    assert(back.count() == 256)
+    assert(back.select(input_file_name()).distinct().count() == 4)
   }
 
   test("round-5 facade additions: ring bus create + stream") {
