@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SQL registration for the graft expression library.
@@ -41,7 +42,37 @@ object GraftFunctions {
     fn("le_u64", "decode little-endian u64 at offset from binary",
       es => LeDecodeU64(es(0), es(1))),
     fn("le_f64", "decode little-endian f64 at offset from binary",
-      es => LeDecodeF64(es(0), es(1))))
+      es => LeDecodeF64(es(0), es(1))),
+    // Composite SQL functions over built-in catalyst nodes. These mirror
+    // the Column-level operators (operators.Pii.redact,
+    // operators.ZOrder.interleave16) node for node; GraftFacadeSpec pins
+    // both surfaces to the same outputs so they cannot drift. (Building
+    // them by converting the Column trees back to expressions leaves
+    // unanalyzable ColumnNode wrappers in the plan — hence the mirror.)
+    fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
+      es => piiRedact(es.head)),
+    fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",
+      es => zInterleave16(es(0), es(1))))
+
+  import graft.operators.{Pii, ZOrder}
+
+  private def rep(subject: Expression, re: String, tag: String): Expression =
+    ce.RegExpReplace(subject, lit(re), lit(tag), lit(1))
+
+  private def piiRedact(subject: Expression): Expression =
+    rep(rep(rep(subject, Pii.EmailRe, Pii.EmailTag),
+      Pii.PhoneRe, Pii.PhoneTag), Pii.IpRe, Pii.IpTag)
+
+  private def zInterleave16(x: Expression, y: Expression): Expression =
+    (0 until ZOrder.Bits).map { i =>
+      ce.BitwiseOr(
+        ce.ShiftLeft(ce.BitwiseAnd(ce.ShiftRight(x, lit(i)), lit(1L)),
+          lit(2 * i)),
+        ce.ShiftLeft(ce.BitwiseAnd(ce.ShiftRight(y, lit(i)), lit(1L)),
+          lit(2 * i + 1)))
+    }.reduce[Expression]((a, b) => ce.BitwiseOr(a, b))
+
+  private def lit(v: Any): Expression = ce.Literal(v)
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit = all.foreach {

@@ -167,6 +167,18 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(back.select(input_file_name()).distinct().count() == 4)
   }
 
+  test("round-5 SQL surface: pii_redact + z_interleave16 match the Column operators") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(("write a@b.io now", 3L, 5L)).toDF("t", "x", "y")
+      .createOrReplaceTempView("graft_sqlfn_v")
+    val r = spark.sql(
+      "SELECT pii_redact(t) AS t, z_interleave16(x, y) AS z FROM graft_sqlfn_v")
+      .head()
+    assert(r.getString(0) == "write <EMAIL> now")
+    // x=3 → bits 0,2 set; y=5 → bits 1,5 set; z = 1+4+2+32
+    assert(r.getLong(1) == 39L)
+  }
+
   test("round-5 facade additions: ring bus create + stream") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("v", LongType)))
