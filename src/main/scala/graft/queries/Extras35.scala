@@ -2,18 +2,23 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Vectors
+import graft.operators.{TextOps, Vectors}
 import graft.sources.Tables
 
-/** Thirty-fifth coverage wave: semantic decontamination — removing
-  * training documents that are SEMANTICALLY close to an evaluation
-  * benchmark, the embedding-space counterpart of q107's exact-chunk
-  * decontamination. The benchmark side is small by definition (an eval
-  * set), which makes the scale shape different from q77's corpus×corpus
-  * near-dup: broadcast the benchmark, stream the corpus through ONE
-  * exact-cosine pass, aggregate per corpus row — no LSH needed until
-  * the benchmark itself outgrows a broadcast (then q43's SRP bucketing
-  * takes over candidate generation).
+/** Thirty-fifth coverage wave: corpus governance.
+  *
+  *  - Semantic decontamination (q153): removing training documents that
+  *    are SEMANTICALLY close to an evaluation benchmark, the
+  *    embedding-space counterpart of q107's exact-chunk decontamination.
+  *    The benchmark side is small by definition (an eval set), which
+  *    makes the scale shape different from q77's corpus×corpus near-dup:
+  *    broadcast the benchmark, stream the corpus through ONE exact-cosine
+  *    pass, aggregate per corpus row — no LSH needed until the benchmark
+  *    itself outgrows a broadcast (then q43's SRP bucketing takes over
+  *    candidate generation).
+  *  - Corpus manifest (q154): the dataset-card fingerprint — per-stratum
+  *    counts, sizes, and an order-independent content checksum, so a
+  *    corpus version is verifiable with one cheap aggregate.
   */
 object Extras35 {
 
@@ -65,6 +70,32 @@ object Extras35 {
         .agg(count(when($"cos" >= Tau, 1)).as("n_hits"),
           max($"cos").as("max_cos"))
         .filter($"n_hits" > 0)
+    },
+
+    // ---- corpus manifest / dataset fingerprint -------------------------
+    // The versioning record a dataset card carries per (source, lang)
+    // stratum: document count, total characters, id range, and an
+    // ORDER-INDEPENDENT content fingerprint — the sum of per-document
+    // content hashes. Commutative + partial-aggregable, so the
+    // fingerprint is reproducible across any partitioning or input file
+    // order, and two corpus versions diff by comparing 30-odd rows. One
+    // scan, one partial+final aggregate; at 100 TB it costs what a
+    // count(*) costs.
+    Qry(
+      "q154_corpus_manifest",
+      s"""SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+         |  MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi,
+         |  CAST(SUM(${TextOps.oracleHashSql("text")}) AS BIGINT)
+         |    AS content_fp
+         |FROM documents GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      t(spark, dir).documents
+        .groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars_total"),
+          min($"doc_id").as("id_lo"), max($"doc_id").as("id_hi"),
+          sum(TextOps.hashMod($"text")).as("content_fp"))
     }
   )
 }
