@@ -18,6 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Pii {
 
+  // Recall over precision, deliberately: the IP pattern accepts invalid
+  // octets (999.999.999.999) and the email local part is permissive —
+  // for REDACTION a false positive costs a few bytes of clean text, a
+  // false negative leaks PII. Tighten per-corpus if precision matters.
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
   val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"

@@ -35,9 +35,14 @@ object ZOrder {
         .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
 
-  /** Scale a non-negative column into [0, 65535] given its global min and
-    * max (single-row aggregate, broadcast back by the caller). Truncating
-    * division == floor for the non-negative ranges this sees. */
+  /** Scale a column into [0, 65535] given its global min and max
+    * (single-row aggregate, broadcast back by the caller). `v - mn` is
+    * non-negative by construction (mn IS the min), so truncating
+    * division == floor. Domain: the column's span must stay below
+    * 2^47 — (v-mn)*65535 must fit a long. Integer arithmetic throughout
+    * so the DuckDB twin (scaleSql, `//`) lands on identical buckets;
+    * a double-ratio formulation would be overflow-free but could
+    * disagree with the oracle on bucket boundaries. */
   def scale16(v: Column, mn: Column, mx: Column): Column =
     ((v - mn) * MaxScaled / greatest(mx - mn, lit(1L))).cast("long")
 
