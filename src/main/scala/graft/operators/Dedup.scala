@@ -179,22 +179,33 @@ object Dedup {
       eager = false)
   }
 
-  /** LSH candidate pairs (idA < idB) from signatures: B bands of R rows
-    * (K = B·R); a pair is a candidate iff some band's R values all match.
+  /** One row per (id, band): `band_idx` plus the band's R min-hash values
+    * packed into a joinable `band_key` string. The LSH blocking frame —
+    * a band-key equi-join over it yields candidate pairs (all-pairs
+    * within a bucket) or, joined against a second corpus' bands, the
+    * incremental-dedup candidate set (q156).
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String, bands: Int,
+  def lshBands(sig: DataFrame, idCol: String, bands: Int,
       rows: Int): DataFrame = {
     require(bands > 0 && rows > 0,
       s"bands ($bands) and rows ($rows) must be positive")
     require(sig.columns.contains(s"m${bands * rows - 1}"),
       s"signature needs ${bands * rows} min-hash columns (bands*rows)")
-    val banded = sig.select(col(idCol),
+    sig.select(col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band_idx"),
           concat_ws(":", (0 until rows).map(r => col(s"m${b * rows + r}")): _*)
             .as("band_key"))
       }: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_key"))
+  }
+
+  /** LSH candidate pairs (idA < idB) from signatures: B bands of R rows
+    * (K = B·R); a pair is a candidate iff some band's R values all match.
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, bands: Int,
+      rows: Int): DataFrame = {
+    val banded = lshBands(sig, idCol, bands, rows)
     val a = banded.select(col(idCol).as("ida"), col("band_idx"), col("band_key"))
     val b = banded.select(col(idCol).as("idb"), col("band_idx").as("bi2"),
       col("band_key").as("bk2"))
