@@ -106,4 +106,32 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       s"expected no unpartitioned cartesian product:\n$plan")
   }
+
+  test("q155: upsampling is map-side only — one scan, no Filter, no shuffle but the fixture exchange") {
+    val plan = finalPlan("q155_epoch_upsample")
+    // the rep>=1 guard lives inside the explode; a Filter node would mean
+    // the md5-based rep expression is evaluated twice (the pushdown tax)
+    assert(!plan.contains("+- Filter"),
+      s"expected no Filter node (guard belongs inside the explode):\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected no hash shuffle in a map-side pass:\n$plan")
+  }
+
+  test("q158: the LM model tables broadcast to the scoring side") {
+    val plan = finalPlan("q158_trigram_lm_score")
+    // two count tables + the alphabet scalar: three broadcast exchanges
+    val n = "BroadcastExchange".r.findAllIn(plan).size
+    assert(n >= 3,
+      s"expected >=3 BroadcastExchange (model tables + alphabet), got $n:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"expected no sort-merge join against the bounded model tables:\n$plan")
+  }
+
+  test("q160: weighted sampling rides the rank-limit pushdown, never a global sort") {
+    val plan = finalPlan("q160_weighted_sample")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit (partial top-k before the exchange):\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"expected no global sort of the corpus:\n$plan")
+  }
 }
