@@ -245,6 +245,121 @@ object Graft {
       df.join(hits, Seq(idCol), "left_anti")
     }
 
+    /** Deterministic 80/10/10-style split assignment: appends `split`
+      * ('train'/'val'/'test') as a pure function of the content hash
+      * (q150). Identical text → identical split, across runs, engines,
+      * and partitionings. */
+    def splitAssigned(textCol: String, trainPct: Int = 80,
+        valPct: Int = 10): DataFrame = {
+      require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+        s"invalid split percentages ($trainPct/$valPct)")
+      val h = TextOps.hashMod(col(textCol))
+      val tB = TextOps.P * trainPct / 100
+      val vB = TextOps.P * (trainPct + valPct) / 100
+      df.withColumn("split",
+        when(h < tB, "train").when(h < vB, "val").otherwise("test"))
+    }
+
+    /** Materialize a training mix from per-source epoch weights (q155):
+      * each row is replicated floor(w) times plus one more with
+      * probability frac(w), decided by a deterministic content-hash
+      * Bernoulli draw. Appends `copy_idx` (1..n) and `n_copies`; rows
+      * drawn to zero copies (w < 1) are dropped. Map-side only. */
+    def epochUpsampled(weights: Map[String, Double], sourceCol: String,
+        textCol: String): DataFrame = {
+      require(weights.values.forall(w => w >= 0 && w < 9000),
+        "epoch weights must be in [0, 9000)")
+      // map(lit…) rather than typedLit: value classes cannot host the
+      // anonymous TypeTag class typedLit materializes
+      val entries = weights.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+        Seq(lit(k), lit(math.round(v * 1000))) }
+      val wm = coalesce(
+        element_at(map(entries: _*), col(sourceCol)), lit(1000L))
+      df.withColumn("__wm", wm)
+        .withColumn("__rep",
+          (col("__wm") / 1000).cast("long") +
+            when(TextOps.hashMod(col(textCol)) % 1000 < col("__wm") % 1000,
+              1L).otherwise(0L))
+        .withColumn("copy_idx",
+          explode(when(col("__rep") >= 1, sequence(lit(1L), col("__rep")))))
+        .withColumn("n_copies", col("__rep"))
+        .drop("__wm", "__rep")
+    }
+
+    /** Incremental (delta) dedup (q156): drop rows of THIS frame whose
+      * text is a MinHash near-duplicate of any row in `corpus`. The
+      * corpus contributes only its band index and is never self-joined
+      * — at production scale pass the stored band table via
+      * `corpusBands`-shaped precomputation instead of raw text. */
+    def deltaDedupedAgainst(corpus: DataFrame, idCol: String,
+        textCol: String, k: Int = 16, bands: Int = 4): DataFrame = {
+      val rows = k / bands
+      def bandsOf(d: DataFrame) = Dedup.lshBands(
+        Dedup.minhashSignatures(
+          Dedup.shingleHashes(d, idCol, textCol), idCol, "h", k),
+        idCol, bands, rows)
+      val corpB = bandsOf(corpus)
+        .select(col("band_idx").as("__ci"), col("band_key").as("__ck"))
+      val dupIds = bandsOf(df)
+        .join(corpB, col("band_idx") === col("__ci") &&
+          col("band_key") === col("__ck"), "left_semi")
+        .select(col(idCol)).distinct()
+      df.join(dupIds, Seq(idCol), "left_anti")
+    }
+
+    /** Deterministic weighted sample (q160): top-`k` rows per stratum
+      * with inclusion probability ∝ `weightCol`, drawn by the
+      * Efraimidis–Spirakis key ln(u)/w with the content hash as u —
+      * reproducible across runs, partitionings, and engines. */
+    def weightedSampled(strataCol: String, weightCol: Column,
+        textCol: String, k: Int): DataFrame = {
+      val key = log((TextOps.hashMod(col(textCol)) + lit(1.0)) /
+        TextOps.P) / weightCol
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(strataCol)).orderBy(key.desc, col(textCol))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k).drop("__rn")
+    }
+
+    /** CCNet-style LM quality score (q158): appends `n_tri` and
+      * `avg_nll` — mean negative log-likelihood of this frame's text
+      * under a char-trigram model with add-one smoothing fit on
+      * `train`'s `textCol`. High avg_nll = unlike the training
+      * distribution. The model is bounded by alphabet³ → broadcast. */
+    def trigramLmScoredAgainst(train: DataFrame, idCol: String,
+        textCol: String): DataFrame = {
+      def tri(d: DataFrame, cols: Seq[Column]) = d.select(
+        cols :+ explode(when(length(col(textCol)) >= 3, expr(
+          s"transform(sequence(1, length($textCol) - 2)," +
+            s" i -> substring($textCol, i, 3))"))).as("__g"): _*)
+      val tc = tri(train, Nil).groupBy(col("__g"))
+        .agg(count(lit(1)).as("__c"))
+      val pc = tc.groupBy(substring(col("__g"), 1, 2).as("__p"))
+        .agg(sum(col("__c")).as("__pc"))
+      val v = tc.agg(
+        countDistinct(substring(col("__g"), 3, 1)).as("__v"))
+      val scored = tri(df, Seq(col(idCol)))
+        .join(broadcast(tc), Seq("__g"), "left_outer")
+        .join(broadcast(pc), substring(col("__g"), 1, 2) === col("__p"),
+          "left_outer")
+        .crossJoin(broadcast(v))
+        .select(col(idCol),
+          (-log((coalesce(col("__c"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("__pc"), lit(0L)) + col("__v")))).as("__nll"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tri"),
+          (graft.Exact.dsum(col("__nll")) / count(lit(1))).as("avg_nll"))
+      df.join(scored, Seq(idCol), "left_outer")
+    }
+
+    /** Weighted PageRank to convergence over this frame's (src, dst, w)
+      * edges, in exact fixed-point ppm arithmetic
+      * (see operators.PageRank; q159 pins one step). */
+    def pagerank(srcCol: String, dstCol: String, wCol: String,
+        maxIterations: Int = 30): DataFrame =
+      PageRank.run(df, srcCol, dstCol, wCol,
+        maxIterations = maxIterations)
+
     /** Z-order the frame for a multi-column-prunable write: scale both
       * dimension columns to 16 bits from one broadcast min/max pass,
       * Morton-interleave them (operators.ZOrder), and range-partition +

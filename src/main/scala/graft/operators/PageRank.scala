@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank to convergence in exact FIXED-POINT arithmetic —
+  * the iterated form of the catalog's q159 single step.
+  *
+  * Ranks are BIGINTs in parts-per-million of uniform mass (Ppm = one
+  * uniform share), every per-round operation is integer (floor
+  * division), and therefore each round's output is bit-exact
+  * regardless of partition count, partial-aggregation order, or
+  * engine — the property a double formulation cannot have (per-node
+  * inflow is an order-dependent FP sum). Floor loss is ≤ 1 ppm per
+  * in-edge per round, indistinguishable next to tolPpm.
+  *
+  * Loop discipline mirrors [[ConnectedComponents]]: the edge+strength
+  * frame is staged EAGERLY once (arbitrary upstream cost), the rank
+  * table is staged LAZILY per round so the convergence aggregate's
+  * action materializes blocks and computes the delta in ONE job, the
+  * previous round's blocks are released as soon as the next is up,
+  * the loop narrows shuffle width (rank table = one row per node, a
+  * sliver next to the edges), and non-convergence throws instead of
+  * returning silently-wrong ranks. Dangling mass (nodes with no
+  * out-edges) is redistributed uniformly each round, which costs the
+  * round a second, trivial aggregate over the already-staged rank
+  * blocks — the scalar is an INPUT to the round, so it cannot fold
+  * into the round's own action.
+  *
+  * Scale notes (100 TB): the per-round joins shuffle on src then on
+  * id — the canonical two-exchange PR step; only (id, rank) rows move
+  * between rounds. The inflow product is decomposed as
+  * `(r DIV tw)·w + ((r MOD tw)·w) DIV tw` = floor(r·w/tw) exactly,
+  * bounding intermediates by tw·max(w) instead of r·max(w) — safe
+  * while per-src strength × max edge weight < 2^63.
+  */
+object PageRank {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** One uniform share, in ppm. */
+  val Ppm = 1000000L
+
+  /** @param edges   directed weighted edges (positive weights)
+    * @param dampingPct damping factor in percent (classic 85)
+    * @param tolPpm  converged when the max per-node rank change is
+    *                <= tolPpm (10 ppm = 1e-5 of a uniform share)
+    * @return (id, rank_ppm) for every node appearing as src or dst
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      dampingPct: Int = 85, maxIterations: Int = 30,
+      tolPpm: Long = 10L): DataFrame = {
+    require(dampingPct > 0 && dampingPct < 100,
+      s"dampingPct ($dampingPct) must be in (0, 100)")
+    val spark = edges.sparkSession
+    def now() = System.nanoTime()
+    def secs(t0: Long) = f"${(now() - t0) / 1e9}%.2f"
+
+    val tEdges = now()
+    // (src, dst, w, tw): weights plus per-src out-strength, staged once
+    // at full session width — this is the data-heavy frame of the loop
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val ew = Staging.stage(
+      e.join(e.groupBy(col("src")).agg(sum(col("w")).as("tw")), "src"),
+      eager = true)
+    val nodes = Staging.stage(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct(),
+      eager = true)
+    val n = nodes.count()
+    // dangling = nodes with no out-edges; their mass redistributes
+    // uniformly each round (dropping it instead would leak total mass
+    // and understate every rank)
+    val dangling = Staging.stage(
+      nodes.join(ew.select(col("src").as("id")).distinct(),
+        Seq("id"), "left_anti"),
+      eager = true)
+    log.info(s"pagerank: edge/node staging ${secs(tEdges)}s (n=$n)")
+
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val base = (100L - dampingPct) * Ppm / 100L
+      var ranks = Staging.stage(
+        nodes.withColumn("r", lit(Ppm)), eager = false)
+      // materialize round-0 blocks (the delta aggregate needs a prior)
+      ranks.count()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        val tRound = now()
+        // scalar input to the round: total dangling mass, one tiny
+        // aggregate over the staged rank blocks
+        val dangSum = ranks.join(dangling, "id")
+          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+        val dangShare = dangSum / math.max(n, 1L)
+        // exact floor(r*w/tw) without forming r*w (overflow headroom)
+        val contrib = ew.join(ranks, col("src") === col("id"))
+          .select(col("dst"),
+            expr("(r DIV tw) * w + ((r % tw) * w) DIV tw").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        val next = Staging.stage(
+          ranks.select(col("id"), col("r").as("r_prev"))
+            .join(contrib, col("id") === col("dst"), "left_outer")
+            .select(col("id"), col("r_prev"),
+              coalesce(col("inflow"), lit(0L)).as("inf0"))
+            .select(col("id"), col("r_prev"),
+              (lit(base) +
+                expr(s"($dampingPct * (inf0 + $dangShare)) DIV 100"))
+                .as("r")),
+          eager = false)
+        // ONE action: materializes the round AND returns the max delta
+        val maxDelta = next
+          .agg(coalesce(max(abs(col("r") - col("r_prev"))), lit(0L)))
+          .head().getLong(0)
+        Staging.release(ranks)
+        ranks = next
+        converged = maxDelta <= tolPpm
+        i += 1
+        log.info(s"pagerank: round $i ${secs(tRound)}s " +
+          s"maxDelta=${maxDelta}ppm (converged=$converged)")
+      }
+      Staging.release(ew); Staging.release(nodes); Staging.release(dangling)
+      if (!converged)
+        throw new IllegalStateException(
+          s"pagerank did not converge within $maxIterations iterations " +
+            s"(tolPpm=$tolPpm); raise maxIterations or loosen tolPpm")
+      log.info(s"pagerank converged in $i rounds")
+      ranks.select(col("id"), col("r").as("rank_ppm"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+}

@@ -179,6 +179,63 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(r.getLong(1) == 39L)
   }
 
+  test("session-4 facade additions: split, upsample, delta dedup, weighted sample, LM score, pagerank") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "src0"),
+      (2L, "alpha beta gamma delta epsilon zeta", "src1"),
+      (3L, "one two three four five six seven eight", "src0"),
+      (4L, "completely different words entirely here now", "src1"))
+      .toDF("doc_id", "text", "source")
+
+    // splitAssigned: deterministic, content-driven — identical text gets
+    // the identical split regardless of source/id
+    val sp = docs.splitAssigned("text")
+    assert(sp.columns.contains("split"))
+    val splits = sp.orderBy("doc_id").select("split").as[String]
+      .collect().toSeq
+    assert(splits(0) == splits(1), "identical text must co-split")
+
+    // epochUpsampled: 2.0 = exactly two copies of every src0 doc;
+    // 0.0 = src1 drops entirely
+    val up = docs.epochUpsampled(Map("src0" -> 2.0, "src1" -> 0.0),
+      "source", "text")
+    assert(up.filter($"source" === "src1").count() == 0)
+    assert(up.filter($"doc_id" === 1L).count() == 2)
+    assert(up.filter($"doc_id" === 1L).select("copy_idx").as[Long]
+      .collect().toSet == Set(1L, 2L))
+
+    // deltaDedupedAgainst: doc 2 is an exact twin of corpus doc 1 →
+    // dropped; docs 3/4 share no shingles with the corpus → kept
+    val corpus = docs.filter($"doc_id" === 1L)
+    val delta = docs.filter($"doc_id" =!= 1L)
+    val kept = delta.deltaDedupedAgainst(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"got $kept")
+
+    // weightedSampled: k larger than any stratum keeps everything —
+    // the draw must never duplicate or invent rows
+    val sampled = docs.weightedSampled("source", length($"text"), "text", 10)
+    assert(sampled.count() == 4)
+    assert(docs.weightedSampled("source", length($"text"), "text", 1)
+      .groupBy("source").count().select("count").as[Long]
+      .collect().forall(_ == 1L))
+
+    // trigramLmScoredAgainst: a doc IDENTICAL to the train text scores
+    // strictly lower NLL than an out-of-distribution doc
+    val train = docs.filter($"doc_id" === 1L)
+    val scored = docs.filter($"doc_id".isin(2L, 4L))
+      .trigramLmScoredAgainst(train, "doc_id", "text")
+    val nll = scored.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    assert(nll(2L) < nll(4L),
+      s"in-distribution text must score lower NLL: $nll")
+
+    // pagerank facade: wiring smoke (semantics pinned in PageRankSpec)
+    val pr = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("s", "d", "w")
+      .pagerank("s", "d", "w")
+    assert(pr.count() == 2)
+  }
+
   test("round-5 facade additions: ring bus create + stream") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("v", LongType)))

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+
+/** Convergence + conservation properties of the fixed-point PageRank
+  * loop (operators.PageRank; q159 pins one step against the oracle).
+  */
+class PageRankSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("uniform cycle is a fixed point: every rank stays one uniform share") {
+    // A→B→C→A, equal weights: the uniform vector is exactly stationary,
+    // and the fixed-point arithmetic must reproduce it EXACTLY (base +
+    // damping·Ppm/100 = Ppm with no floor loss at these values)
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val r = PageRank.run(edges, "src", "dst", "w").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.size == 3)
+    assert(r.values.forall(_ == PageRank.Ppm), s"expected uniform: $r")
+  }
+
+  test("hub collects rank; dangling mass is redistributed, not leaked") {
+    // a,c,d all point at b; b has no out-edges (dangling). Without
+    // redistribution b's mass would vanish and total mass would decay
+    // toward the teleport floor; with it, total stays ~N·Ppm (floor
+    // division loses at most a few ppm per node per round).
+    val edges = Seq(("a", "b", 1L), ("c", "b", 1L), ("d", "b", 1L))
+      .toDF("src", "dst", "w")
+    val out = PageRank.run(edges, "src", "dst", "w")
+    val r = out.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("b") > r("a") && r("a") == r("c") && r("c") == r("d"),
+      s"hub must outrank spokes symmetrically: $r")
+    val total = r.values.sum
+    val n = r.size
+    assert(math.abs(total - n * PageRank.Ppm) <= n * 100L,
+      s"mass not conserved: total=$total expected≈${n * PageRank.Ppm}")
+  }
+
+  test("weighted edges skew rank toward the heavier target") {
+    // a splits 3:1 between b and c (both sinks feed back to a so the
+    // chain recirculates instead of dangling-averaging out)
+    // a↔{b,c} is near-bipartite: the -0.85 eigenmode decays as 0.85^k,
+    // so 10 ppm needs ~70 rounds — the loud-failure default (30) is for
+    // real graphs, not this adversarial toy
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L)).toDF("src", "dst", "w")
+    val r = PageRank.run(edges, "src", "dst", "w",
+      maxIterations = 120).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("b") > r("c"),
+      s"3:1 weight split must rank b above c: $r")
+  }
+
+  test("non-convergence fails loudly instead of returning truncated ranks") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    intercept[IllegalStateException] {
+      // tol 0 on a graph whose fixed-point arithmetic oscillates ±1 ppm
+      // can still converge; force failure with zero allowed iterations…
+      PageRank.run(edges, "src", "dst", "w", maxIterations = 0, tolPpm = 0L)
+    }
+  }
+}
