@@ -51,8 +51,9 @@ object Extras40 {
     // bit-identical in both engines; double log10/pow tricks are not:
     // log10(1000) can land at 2.999… and floor to the wrong decade).
     // Scale shape: one scan → 9-row partial+final aggregate; the total
-    // arrives by a single-row broadcast cross join. Everything after the
-    // scan is BIGINT ppm arithmetic.
+    // arrives by an unpartitioned window over those 9 rows (NOT a second
+    // aggregate of the scan). Everything after the scan is BIGINT ppm
+    // arithmetic.
     Qry(
       "q164_benford_digits", {
         val benCase = BenfordPpm.map { case (d, p) =>
@@ -61,23 +62,27 @@ object Extras40 {
            |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
            |  FROM lineitem),
            |c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
-           |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM c)
+           |w AS (SELECT digit, n_obs,
+           |      CAST(SUM(n_obs) OVER () AS BIGINT) AS n FROM c)
            |SELECT digit, n_obs,
            |  (1000000 * n_obs) // n AS obs_ppm,
            |  CASE $benCase END AS benford_ppm,
            |  (1000000 * n_obs) // n - CASE $benCase END AS excess_ppm
-           |FROM c CROSS JOIN tot""".stripMargin
+           |FROM w""".stripMargin
       }) { (spark, dir) =>
       import spark.implicits._
       val benCol = BenfordPpm.tail.foldLeft(
         when($"digit" === BenfordPpm.head._1, BenfordPpm.head._2)) {
         case (acc, (d, p)) => acc.when($"digit" === d, p)
       }
+      // total via an unpartitioned window over the 9-row digit table —
+      // NOT a second aggregate of the scan: the first formulation's
+      // cross join planned lineitem twice (one full extra scan at scale)
       val c = t(spark, dir).lineitem
         .select(substring(floor($"l_extendedprice").cast("bigint")
           .cast("string"), 1, 1).cast("bigint").as("digit"))
         .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
-      c.crossJoin(broadcast(c.agg(sum($"n_obs").as("n"))))
+      c.withColumn("n", sum($"n_obs").over(Window.partitionBy()))
         .select($"digit", $"n_obs",
           expr("(1000000 * n_obs) DIV n").as("obs_ppm"),
           benCol.as("benford_ppm"),
@@ -166,13 +171,18 @@ object Extras40 {
          |SELECT label_a, label_b, cosine FROM p""".stripMargin) {
       (spark, dir) =>
       import spark.implicits._
-      val cv = t(spark, dir).embeddings
-        .select($"label", posexplode(Vectors.toDouble($"embedding"))
-          .as(Seq("i", "x")))
-        .groupBy($"label", $"i").agg(davg($"x").as("c"))
-        .groupBy($"label")
-        .agg(expr("transform(array_sort(collect_list(struct(i, c)))," +
-          " p -> p.c)").as("cv"))
+      // staged: both sides of the pair self-join read ONE materialized
+      // |labels|-row centroid table — without it the static plan runs
+      // the corpus explode+aggregate twice (one full extra pass at scale)
+      val cv = graft.operators.Staging.stage(
+        t(spark, dir).embeddings
+          .select($"label", posexplode(Vectors.toDouble($"embedding"))
+            .as(Seq("i", "x")))
+          .groupBy($"label", $"i").agg(davg($"x").as("c"))
+          .groupBy($"label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, c)))," +
+            " p -> p.c)").as("cv")),
+        eager = false)
       val a = cv.select($"label".as("label_a"), $"cv".as("va"))
       val b = cv.select($"label".as("label_b"), $"cv".as("vb"))
       a.join(b, $"label_a" < $"label_b")
