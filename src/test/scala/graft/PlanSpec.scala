@@ -134,4 +134,35 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Exchange rangepartitioning"),
       s"expected no global sort of the corpus:\n$plan")
   }
+
+  test("q163: all KL passes read ONE staged vocab RDD — the corpus explode runs once") {
+    val plan = finalPlan("q163_unigram_kl")
+    // four consumers (totals, contributions, total-KL, top-k) must scan
+    // the SAME MapPartitionsRDD; a Generate node would mean a consumer
+    // re-planned the corpus-sized token explode
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 3,
+      s"expected >=3 ExistingRDD scans of the staged vocab table:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"expected no token explode above the staged vocab table:\n$plan")
+  }
+
+  test("q164: the Benford total comes from a window, not a second scan") {
+    // AdaptiveSparkPlan.toString prints Final AND Initial plan sections —
+    // count scans only in the final (executed) one
+    val plan = finalPlan("q164_benford_digits")
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"expected exactly one lineitem scan, got $scans:\n$plan")
+  }
+
+  test("q166: the pair self-join reads the STAGED centroid table, not two corpus explodes") {
+    val plan = finalPlan("q166_centroid_sim")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2,
+      s"expected both join sides on the staged centroid RDD:\n$plan")
+    // the posexplode+aggregate lives BEHIND the staged leaf; seeing it in
+    // the executed plan means a side re-planned the corpus pipeline
+    assert(!plan.contains("Generate"),
+      s"expected no re-planned corpus explode above the join:\n$plan")
+  }
 }
