@@ -360,6 +360,155 @@ object Graft {
       PageRank.run(df, srcCol, dstCol, wCol,
         maxIterations = maxIterations)
 
+    /** SCD2 (type-2 slowly-changing-dimension) history: collapse this
+      * frame to per-key change points of `attrCol` with [valid_from,
+      * valid_to) validity in `timeCol` units (valid_to NULL for the open
+      * current version). Both window passes share one key exchange+sort
+      * (q167 pins the plan). `tieCol` breaks order ties deterministically. */
+    def scd2History(keys: Seq[String], attrCol: String, timeCol: String,
+        tieCol: String): DataFrame = {
+      val keyCols = keys.map(col)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols: _*).orderBy(col(timeCol), col(tieCol))
+      df.withColumn("__prev", lag(col(attrCol), 1).over(w))
+        .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+        .select(keyCols :+ row_number().over(w).as("version") :+
+          col(attrCol) :+ col(timeCol).as("valid_from") :+
+          lead(col(timeCol), 1).over(w).as("valid_to"): _*)
+    }
+
+    /** CUSUM path per key: running decimal-exact sum of deviations from
+      * the key's mean of `valueCol`, ordered by `orderCols` — the
+      * change-point monitor (q170 pins extremes + locations). Returns
+      * the input plus a `cusum` column; extremes are one aggregate away. */
+    def withCusum(keyCol: String, valueCol: String,
+        orderCols: Column*): DataFrame = {
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol))
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      df.withColumn("__mean",
+          sum(col(valueCol).cast(Exact.Money)).over(wAll).cast("double")
+            / count(lit(1)).over(wAll))
+        .withColumn("cusum",
+          sum((col(valueCol) - col("__mean")).cast(Exact.Money))
+            .over(wRun).cast("double"))
+        .drop("__mean")
+    }
+
+    /** Benford first-digit audit of a positive numeric column: observed
+      * vs expected distribution in BIGINT ppm (q164; expectations are
+      * precomputed literals — in-engine log10 is not cross-engine
+      * bit-stable). */
+    def benfordDigits(valueCol: String): DataFrame = {
+      val ben = (1 to 9).map(d =>
+        d.toLong -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+      val benCol = ben.tail.foldLeft(
+        when(col("digit") === ben.head._1, ben.head._2)) {
+        case (acc, (d, p)) => acc.when(col("digit") === d, p)
+      }
+      df.select(substring(floor(col(valueCol)).cast("bigint")
+          .cast("string"), 1, 1).cast("bigint").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        .withColumn("n", sum(col("n_obs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("digit"), col("n_obs"),
+          expr("(1000000 * n_obs) DIV n").as("obs_ppm"),
+          benCol.as("benford_ppm"),
+          (expr("(1000000 * n_obs) DIV n") - benCol).as("excess_ppm"))
+    }
+
+    /** Per-group novel-content contribution: the fraction (BIGINT ppm)
+      * of each group's distinct text shingles found in NO other group —
+      * the buy-or-drop source diagnostic (q168). One staged distinct
+      * (group, shingle) frame feeds both aggregates. */
+    def groupNovelty(idCol: String, textCol: String,
+        groupCol: String): DataFrame = {
+      val sp = Staging.stage(
+        Dedup.shingleHashes(df, idCol, textCol, 3)
+          .join(df.select(col(idCol), col(groupCol)), idCol)
+          .select(col(groupCol), col("h")).distinct(),
+        eager = false)
+      val hs = sp.groupBy(col("h")).agg(count(lit(1)).as("__nsrc"))
+      sp.join(hs, "h")
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("__nsrc") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col(groupCol), col("n_sh"), col("n_unique"),
+          expr("(1000000 * n_unique) DIV n_sh").as("novelty_ppm"))
+    }
+
+    /** Pairwise cosine between per-label centroids of an embedding
+      * column (q166): decimal-exact per-dimension means, staged
+      * |labels|-row centroid table, row-local cosine. */
+    def centroidCosineMatrix(labelCol: String, vecCol: String): DataFrame = {
+      val cv = Staging.stage(
+        df.select(col(labelCol),
+            posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+          .groupBy(col(labelCol), col("i"))
+          .agg(Exact.davg(col("x")).as("c"))
+          .groupBy(col(labelCol))
+          .agg(expr("transform(array_sort(collect_list(struct(i, c)))," +
+            " p -> p.c)").as("__cv")),
+        eager = false)
+      val a = cv.select(col(labelCol).as("label_a"), col("__cv").as("__va"))
+      val b = cv.select(col(labelCol).as("label_b"), col("__cv").as("__vb"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          (Vectors.dot(col("__va"), col("__vb"))
+            / (Vectors.norm(col("__va")) * Vectors.norm(col("__vb"))))
+            .as("cosine"))
+    }
+
+    /** Per-row int8 scalar-quantization reconstruction error (mse,
+      * max_err) for an embedding column — the compression-QA pass a
+      * pipeline runs before shipping a quantized ANN index (q165).
+      * Scales = per-dimension corpus max|x|, broadcast back; floor(x+.5)
+      * for the cross-engine-stable round. */
+    def int8QuantError(vecCol: String, dim: Int = 64): DataFrame = {
+      val sv = df
+        .select(posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("i", "x")))
+        .groupBy(col("i")).agg(greatest(max(abs(col("x"))), lit(1e-12))
+          .as("s"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, s)))," +
+          " p -> p.s)").as("__sv"))
+      df.withColumn("__v", col(vecCol).cast("array<double>"))
+        .crossJoin(broadcast(sv))
+        .withColumn("__errs", expr(
+          s"""transform(sequence(0, ${dim - 1}), i ->
+             |  __v[i] - floor(__v[i] * 127D / __sv[i] + 0.5D)
+             |    * __sv[i] / 127D)""".stripMargin))
+        .withColumn("mse",
+          expr("aggregate(transform(__errs, x -> x * x)," +
+            " cast(0.0 as double), (acc, x) -> acc + x)") / dim)
+        .withColumn("max_err",
+          expr("aggregate(transform(__errs, x -> abs(x))," +
+            " cast(0.0 as double), (acc, x) -> greatest(acc, x))"))
+        .drop("__v", "__sv", "__errs")
+    }
+
+    /** Top-k BPE merge candidates: adjacent character pairs over the
+      * word-frequency vocabulary, weighted by corpus frequency (q162 —
+      * one corpus-sized pass, then vocabulary-bounded). */
+    def bpeTopMerges(textCol: String, k: Int = 20): DataFrame =
+      df.select(explode(TextOps.tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .filter(length(col("w")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("f")).as("n_occ"), count(lit(1)).as("n_word_types"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_occ").desc, col("pair"))))
+        .filter(col("rn") <= k)
+        .select(col("rn"), col("pair"), col("n_occ"), col("n_word_types"))
+
     /** Z-order the frame for a multi-column-prunable write: scale both
       * dimension columns to 16 bits from one broadcast min/max pass,
       * Morton-interleave them (operators.ZOrder), and range-partition +

@@ -236,6 +236,64 @@ class GraftFacadeSpec extends SparkTestBase {
     assert(pr.count() == 2)
   }
 
+  test("round-5 facade additions: scd2 + cusum + benford + novelty + quant + merges") {
+    // SCD2: one key, attr changes A->B->A, middle interval closed
+    val hist = Seq((1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"),
+      (1L, 40L, "A")).toDF("k", "ts", "attr")
+      .scd2History(Seq("k"), "attr", "ts", "ts")
+      .orderBy("version").collect()
+    assert(hist.length == 3)
+    assert(hist.map(_.getAs[String]("attr")).toSeq == Seq("A", "B", "A"))
+    assert(hist(0).getAs[Long]("valid_to") == 30L &&
+      hist(1).getAs[Long]("valid_to") == 40L && hist(2).isNullAt(4))
+
+    // CUSUM: a level shift drives the path to an extreme at the shift
+    val cs = Seq.tabulate(8)(i =>
+      ("s", i.toLong, if (i < 4) 0.0 else 10.0))
+      .toDF("k", "t", "v").withCusum("k", "v", col("t"))
+    val path = cs.orderBy("t").select("cusum").as[Double].collect()
+    assert(path.min == path(3), s"trough must sit at the shift: ${path.toSeq}")
+    assert(math.abs(path.last) < 1e-9, "path must return to ~0 at the end")
+
+    // Benford: digits outside 1-9 impossible; ppm sums near 1e6
+    val bf = Seq(1.2, 19.0, 22.0, 310.0, 4.0, 55.0, 190.0)
+      .toDF("x").benfordDigits("x").collect()
+    assert(bf.forall(r => (1L to 9L).contains(r.getAs[Long]("digit"))))
+    assert(bf.map(_.getAs[Long]("n_obs")).sum == 7)
+
+    // novelty: g1's shingles unique, g2/g3 share everything
+    val nov = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "g1"),
+      (2L, "one two three four five six", "g2"),
+      (3L, "one two three four five six", "g3"))
+      .toDF("id", "text", "g").groupNovelty("id", "text", "g")
+      .collect().map(r => r.getAs[String]("g") ->
+        r.getAs[Long]("novelty_ppm")).toMap
+    assert(nov("g1") == 1000000L && nov("g2") == 0L && nov("g3") == 0L, s"$nov")
+
+    // int8 quantization: error bounded by s/254 per dim
+    val qe = Seq((1L, Array.tabulate(64)(i => (i % 7 - 3) / 10f)))
+      .toDF("id", "vec").int8QuantError("vec")
+      .select("max_err").as[Double].head()
+    assert(qe <= 0.3 / 254 + 1e-9, s"max_err $qe exceeds half-step bound")
+
+    // BPE merges: 'aa' dominates a corpus of 'aaa' repeated
+    val bm = Seq("aaa aaa aab").toDF("text").bpeTopMerges("text", 2)
+      .collect()
+    assert(bm.head.getAs[String]("pair") == "aa" &&
+      bm.head.getAs[Long]("n_occ") == 5L, bm.mkString(","))
+
+    // centroid cosine: orthogonal labels -> cosine ~0, parallel -> ~1
+    val cm = Seq(
+      (0, Array(1f, 0f, 0f, 0f)), (0, Array(1f, 0f, 0f, 0f)),
+      (1, Array(0f, 1f, 0f, 0f)),
+      (2, Array(2f, 0f, 0f, 0f)))
+      .toDF("label", "vec").centroidCosineMatrix("label", "vec")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cm((0, 1))) < 1e-9 && math.abs(cm((0, 2)) - 1.0) < 1e-9,
+      s"$cm")
+  }
+
   test("round-5 facade additions: ring bus create + stream") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = StructType(Seq(StructField("v", LongType)))
