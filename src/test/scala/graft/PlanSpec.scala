@@ -156,6 +156,23 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly one lineitem scan, got $scans:\n$plan")
   }
 
+  test("q171: the MV merge keeps the sum DECIMAL through the union of partials") {
+    val plan = finalPlan("q171_incremental_mv")
+    assert(plan.contains("Union"),
+      s"expected a Union of base+delta partial states:\n$plan")
+    // the merge aggregate must re-sum the DECIMAL partial, not a double
+    assert(plan.contains("sum(s#") || plan.contains("sum(s)"),
+      s"expected the decimal partial column summed in the merge:\n$plan")
+  }
+
+  test("q172: bottom-k per label is a WindowGroupLimit over a broadcast centroid join") {
+    val plan = finalPlan("q172_label_outliers")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit (partial bottom-k per partition):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the staged centroid table broadcast onto the corpus:\n$plan")
+  }
+
   test("q166: the pair self-join reads the STAGED centroid table, not two corpus explodes") {
     val plan = finalPlan("q166_centroid_sim")
     assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2,
