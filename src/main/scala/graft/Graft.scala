@@ -399,6 +399,22 @@ object Graft {
         .drop("__mean")
     }
 
+    /** Exact rolling lower-median of `valueCol` over a trailing ROWS
+      * window per key (q175): collect+sort+index — an ELEMENT of the
+      * window, not an interpolation, so doubles stay cross-engine
+      * exact. Adds a `roll_med` column. */
+    def withRollingMedian(keyCol: String, valueCol: String, window: Int,
+        orderCols: Column*): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+        .rowsBetween(-(window - 1),
+          org.apache.spark.sql.expressions.Window.currentRow)
+      df.withColumn("__win", array_sort(collect_list(col(valueCol)).over(w)))
+        .withColumn("roll_med",
+          expr("__win[((size(__win) + 1) DIV 2) - 1]"))
+        .drop("__win")
+    }
+
     /** Benford first-digit audit of a positive numeric column: observed
       * vs expected distribution in BIGINT ppm (q164; expectations are
       * precomputed literals — in-engine log10 is not cross-engine

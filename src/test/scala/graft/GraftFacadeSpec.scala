@@ -277,6 +277,12 @@ class GraftFacadeSpec extends SparkTestBase {
       .select("max_err").as[Double].head()
     assert(qe <= 0.3 / 254 + 1e-9, s"max_err $qe exceeds half-step bound")
 
+    // rolling median: robust to the outlier at t=2 (mean is not)
+    val rm = Seq(("k", 1L, 5.0), ("k", 2L, 500.0), ("k", 3L, 7.0))
+      .toDF("k", "t", "v").withRollingMedian("k", "v", 3, col("t"))
+      .orderBy("t").select("roll_med").as[Double].collect()
+    assert(rm.toSeq == Seq(5.0, 5.0, 7.0), rm.toSeq.toString)
+
     // BPE merges: 'aa' dominates a corpus of 'aaa' repeated
     val bm = Seq("aaa aaa aab").toDF("text").bpeTopMerges("text", 2)
       .collect()
