@@ -11,8 +11,14 @@ import re
 import sys
 from pathlib import Path
 
+def norm(k):
+    """Normalize any key generation to a bare number: 'q36_ngram' -> '36',
+    'q36' -> '36', '36' -> '36' (round-5 Bench emits numeric keys)."""
+    return k.split("_")[0].lstrip("q")
+
+
 new = json.loads(Path(sys.argv[1]).read_text())
-nq = {k.split("_")[0]: v for k, v in new["queries"].items()}
+nq = {norm(k): v for k, v in new["queries"].items()}
 
 
 def load(path):
@@ -20,8 +26,8 @@ def load(path):
         tail = json.loads(Path(path).read_text()).get("tail", "")
     except Exception:
         return {}
-    return {m.group(1).split("_")[0]: float(m.group(2))
-            for m in re.finditer(r'"(q\d+[a-z_]*)":(-?[0-9.]+)', tail)}
+    return {norm(m.group(1)): float(m.group(2))
+            for m in re.finditer(r'"(q?\d+[a-z_]*)":(-?[0-9.]+)', tail)}
 
 
 r3 = load("BENCH_r03.json")
