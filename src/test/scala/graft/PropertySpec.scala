@@ -149,6 +149,63 @@ class PropertySpec extends SparkTestBase {
     }, tests = 25)
   }
 
+  test("property: SCD2 intervals partition each key's timeline") {
+    import graft.Graft._
+    import org.apache.spark.sql.functions.col
+    val rowsGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(1L, 3L), Gen.choose(0L, 1000L), Gen.oneOf("A", "B", "C")))
+    check(Prop.forAll(rowsGen) { rows =>
+      // unique (k, t) — ties would make the change-point order arbitrary
+      val uniq = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val df = uniq.toDF("k", "t", "attr")
+      val hist = df.scd2History(Seq("k"), "attr", "t", "t")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getLong(3), if (r.isNullAt(4)) Long.MaxValue else r.getLong(4)))
+      hist.groupBy(_._1).forall { case (k, vs) =>
+        val sorted = vs.sortBy(_._2).toList
+        val events = uniq.filter(_._1 == k).sortBy(r => (r._2, r._1))
+        // intervals abut: each valid_to equals the next valid_from;
+        // first starts at the key's first event; exactly one open end
+        val abut = sorted.zip(sorted.tail).forall {
+          case (a, b) => a._5 == b._4
+        }
+        val starts = sorted.head._4 == events.map(_._2).min
+        val oneOpen = sorted.count(_._5 == Long.MaxValue) == 1 &&
+          sorted.last._5 == Long.MaxValue
+        // adjacent versions always change the attribute
+        val changes = sorted.zip(sorted.tail).forall {
+          case (a, b) => a._3 != b._3
+        }
+        abut && starts && oneOpen && changes
+      }
+    }, tests = 10)
+  }
+
+  test("property: CUSUM path terminates at ~0 and rolling median is a window element") {
+    import graft.Graft._
+    import org.apache.spark.sql.functions.col
+    val valsGen = Gen.listOfN(25, Gen.choose(-50.0, 50.0))
+    check(Prop.forAll(valsGen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        ("k", i.toLong, math.rint(v * 100) / 100) }.toDF("k", "t", "v")
+      val path = df.withCusum("k", "v", col("t"))
+        .orderBy("t").select("cusum").as[Double].collect()
+      // Σ(v - mean) over the whole series is 0 up to the decimal grid:
+      // each deviation is 6-dp-rounded before accumulation, so the
+      // terminal value is bounded by n · 5e-7
+      val terminal = math.abs(path.last) <= vs.length * 5e-7 + 1e-9
+      val med = df.withRollingMedian("k", "v", 5, col("t"))
+        .orderBy("t").select("v", "roll_med")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      // every rolling median is an actual element of its trailing window
+      val member = med.zipWithIndex.forall { case ((_, m), i) =>
+        med.slice(math.max(0, i - 4), i + 1).exists(_._1 == m)
+      }
+      terminal && member
+    }, tests = 10)
+  }
+
   test("property: MinHash coefficients are large and distinct (no " +
     "small-preimage order preservation)") {
     // the round-2 family fix: every a_i must be big enough that even the
