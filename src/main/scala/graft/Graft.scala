@@ -392,7 +392,7 @@ object Graft {
           org.apache.spark.sql.expressions.Window.currentRow)
       df.withColumn("__mean",
           sum(col(valueCol).cast(Exact.Money)).over(wAll).cast("double")
-            / count(lit(1)).over(wAll))
+            / count(col(valueCol)).over(wAll))
         .withColumn("cusum",
           sum((col(valueCol) - col("__mean")).cast(Exact.Money))
             .over(wRun).cast("double"))
@@ -426,7 +426,11 @@ object Graft {
         when(col("digit") === ben.head._1, ben.head._2)) {
         case (acc, (d, p)) => acc.when(col("digit") === d, p)
       }
-      df.select(substring(floor(col(valueCol)).cast("bigint")
+      // guard: Benford is defined on values with a first significant
+      // digit in 1..9 — values in (0,1) would yield digit 0 and
+      // negatives a NULL digit without this filter
+      df.filter(floor(col(valueCol)) >= 1)
+        .select(substring(floor(col(valueCol)).cast("bigint")
           .cast("string"), 1, 1).cast("bigint").as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
         .withColumn("n", sum(col("n_obs")).over(

@@ -60,7 +60,7 @@ object Extras40 {
           s"WHEN digit = $d THEN CAST($p AS BIGINT)" }.mkString(" ")
         s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice)
            |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-           |  FROM lineitem),
+           |  FROM lineitem WHERE floor(l_extendedprice) >= 1),
            |c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
            |w AS (SELECT digit, n_obs,
            |      CAST(SUM(n_obs) OVER () AS BIGINT) AS n FROM c)
@@ -79,6 +79,7 @@ object Extras40 {
       // NOT a second aggregate of the scan: the first formulation's
       // cross join planned lineitem twice (one full extra scan at scale)
       val c = t(spark, dir).lineitem
+        .filter(floor($"l_extendedprice") >= 1)
         .select(substring(floor($"l_extendedprice").cast("bigint")
           .cast("string"), 1, 1).cast("bigint").as("digit"))
         .groupBy($"digit").agg(count(lit(1)).as("n_obs"))

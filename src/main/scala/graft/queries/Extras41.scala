@@ -171,7 +171,7 @@ object Extras41 {
          |d AS (SELECT event_type, ms, event_id, value,
          |    CAST(SUM(CAST(value AS DECIMAL(28,6)))
          |        OVER (PARTITION BY event_type) AS DOUBLE)
-         |      / COUNT(*) OVER (PARTITION BY event_type) AS mean
+         |      / COUNT(value) OVER (PARTITION BY event_type) AS mean
          |  FROM e),
          |cs AS (SELECT event_type, ms,
          |    CAST(SUM(CAST(value - mean AS DECIMAL(28,6)))
@@ -200,9 +200,12 @@ object Extras41 {
       // the series mean as an UNORDERED window over the same partition
       // key (decimal-exact) — not a separate aggregate + join, which
       // planned a second full scan of events
+      // COUNT(value), not COUNT(*): with NULL values the sum drops them
+      // but COUNT(*) would still count them, biasing the mean (the
+      // fixture is non-null; this pins avg() semantics either way)
       e.withColumn("mean",
           sum($"value".cast(graft.Exact.Money)).over(wAll).cast("double")
-            / count(lit(1)).over(wAll))
+            / count($"value").over(wAll))
         .withColumn("cusum",
           sum(($"value" - $"mean").cast(graft.Exact.Money)).over(wRun)
             .cast("double"))

@@ -37,7 +37,15 @@ object Extras42 {
   private def roundTripDir(key: String): String =
     rtDirs.computeIfAbsent(key, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft_rt_")
-      d.toFile.deleteOnExit()
+      // deleteOnExit can't remove non-empty directories — a recursive
+      // shutdown hook is what actually reclaims the round-trip parquet
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(d.toFile)
+      }
       d.toString
     })
 

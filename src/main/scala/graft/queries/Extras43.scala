@@ -91,7 +91,8 @@ object Extras43 {
     // (the full path is the same frame unfiltered).
     Qry(
       "q175_rolling_median",
-      s"""WITH e AS (SELECT user_id, event_id, value FROM events),
+      s"""WITH e AS (SELECT user_id, event_id, value FROM events
+         |      WHERE value IS NOT NULL),
          |w AS (SELECT user_id, event_id, value,
          |    list_sort(list(value) OVER (PARTITION BY user_id
          |      ORDER BY event_id
@@ -108,8 +109,12 @@ object Extras43 {
       val wMed = Window.partitionBy($"user_id").orderBy($"event_id")
         .rowsBetween(-(MedWin - 1), Window.currentRow)
       val wLast = Window.partitionBy($"user_id").orderBy($"event_id".desc)
+      // NULL values are filtered BEFORE the window on both sides:
+      // DuckDB list_sort puts NULLs first, Spark array_sort last, so a
+      // NULL inside the window would shift the lower-median element
       t(spark, dir).events
         .select($"user_id", $"event_id", $"value")
+        .filter($"value".isNotNull)
         .withColumn("win", array_sort(collect_list($"value").over(wMed)))
         .withColumn("rnd", row_number().over(wLast))
         .filter($"rnd" === 1)

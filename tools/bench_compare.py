@@ -14,7 +14,7 @@ from pathlib import Path
 def norm(k):
     """Normalize any key generation to a bare number: 'q36_ngram' -> '36',
     'q36' -> '36', '36' -> '36' (round-5 Bench emits numeric keys)."""
-    return k.split("_")[0].lstrip("q")
+    return re.sub(r"^q", "", k.split("_")[0])
 
 
 new = json.loads(Path(sys.argv[1]).read_text())
@@ -48,6 +48,7 @@ for ref, label in ((r3, "r3"), (r2, "r2")):
         print(f"  {k}: {ref[k]:.2f} -> {nq[k]:.2f}")
 print("slowest now:",
       sorted(nq.items(), key=lambda x: -x[1])[:10])
-for extra in ("ingest_rows_per_sec", "ingest_latency_ms", "lat_exp_ms"):
+for extra in ("ingest_rows_per_sec", "ingest_latency_ms", "lat_exp_ms",
+              "lat_ms"):
     if extra in new:
         print(extra, "=", new[extra])
