@@ -99,8 +99,12 @@ object Bench {
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     // streaming ingest throughput (the reference's headline metric:
     // msgs/sec through the buffer — here rows/sec through a full
-    // file-stream -> keyed-aggregation -> sink micro-batch pipeline)
-    val ingestRate = try {
+    // file-stream -> keyed-aggregation -> sink micro-batch pipeline).
+    // THREE runs, emitted [min, median, max]: the r3→r5 driver artifacts
+    // showed a monotone slide (135k→105k→70k) that builder-side A/Bs
+    // called environmental — a single-run number can't distinguish
+    // variance from regression, a spread makes the claim self-evidencing.
+    def ingestOnce(): Double = {
       val src = graft.streaming.Streams.fileStream(spark, sfDir, "events")
       val t0 = System.nanoTime()
       val agg = src.groupBy(org.apache.spark.sql.functions.col("event_type"))
@@ -108,8 +112,12 @@ object Bench {
       val n = graft.streaming.Streams.runToMemory(agg, "complete")
         .agg(org.apache.spark.sql.functions.sum("count")).head().getLong(0)
       n / ((System.nanoTime() - t0) / 1e9)
-    } catch { case t: Throwable =>
-      System.err.println(s"[bench] ingest probe failed: $t"); -1.0 }
+    }
+    val ingestRuns = (1 to 3).map { _ =>
+      try ingestOnce()
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] ingest probe failed: $t"); -1.0 }
+    }.sorted
     // per-batch ingest latency percentiles — the reference's headline
     // metric is write/read micro-latency P50–P99.99
     // (/root/reference/src/tests/integration_test.rs:541-551, :565-720).
@@ -142,11 +150,12 @@ object Bench {
         else math.rint(lat(
           math.min(lat.length - 1, math.ceil(p * lat.length).toInt - 1)
             .max(0))).toLong
-      // p90/p999/p9999/batches dropped from the emitted line: at 176
-      // queries the JSON sits ~30 B under the driver's ~2 KB stdout-tail
-      // window — every byte matters. The full percentile set remains
-      // available locally (recentProgress); p50/p99 carry the headline.
-      s""","ingest_latency_ms":{"p50":${pct(0.50)},"p99":${pct(0.99)}}"""
+      // b50/b99 = per-BATCH trigger percentiles; the per-record
+      // continuous/micro-batch percentiles join them in one "lat_ms"
+      // block below (the two-block round-5 form cost ~90 B of the ~2 KB
+      // stdout-tail window; the merged block costs ~45). Full percentile
+      // sets remain available locally (recentProgress / LatencyProbe).
+      s""""b50":${pct(0.50)},"b99":${pct(0.99)}"""
     } catch { case t: Throwable =>
       System.err.println(s"[bench] latency probe failed: $t"); "" }
     // Low-latency envelope experiment (the reference's µs-ms headline
@@ -178,12 +187,24 @@ object Bench {
           (graft.streaming.LatencyProbe.percentile(s, 0.5),
             graft.streaming.LatencyProbe.percentile(s, 0.99))
         }
-        val (mb50, mb99) = measure(Trigger.ProcessingTime(0L))
+        // mb50/mb99 (per-record micro-batch percentiles) dropped from the
+        // emitted line in round 6: they track b50/b99 (the scheduler
+        // floor dominates both) and the freed ~25 B pays for the ingest
+        // spread. Still measured locally via LatencyProbe.
+        val (_, _) = measure(Trigger.ProcessingTime(0L))
         val (c50, c99) = measure(Trigger.Continuous("1 second"))
-        s""","lat_exp_ms":{"mb50":$mb50,"mb99":$mb99,"c50":$c50,"c99":$c99}"""
+        s""""c50":$c50,"c99":$c99"""
       } catch { case t: Throwable =>
         System.err.println(s"[bench] latency envelope failed: $t"); "" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_rows_per_sec":${math.rint(ingestRate).toLong}$latJson$expJson,"sf":"$sfDir"}"""
+    val latBlock = Seq(latJson, expJson).filter(_.nonEmpty) match {
+      case Nil => ""
+      case ps  => s""","lat_ms":{${ps.mkString(",")}}"""
+    }
+    // "sf" is the fixture BASENAME (the full path cost 18 B of the ~2 KB
+    // stdout-tail window; the driver's own artifact carries the sf value)
+    val sfName = new java.io.File(sfDir).getName
+    val ing = ingestRuns.map(r => math.rint(r).toLong).mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f1(total)},"unit":"sec","queries":$qs,"ingest_rows_per_sec":$ing$latBlock,"sf":"$sfName"}"""
     // The JSON line is the LAST stdout the JVM emits: rounds 1/2/4 lost
     // the artifact because async executor logs (continuous-trigger
     // TaskKilled WARNs) landed AFTER the println and pushed the head of
