@@ -49,6 +49,20 @@ object GraftFunctions {
     // both surfaces to the same outputs so they cannot drift. (Building
     // them by converting the Column trees back to expressions leaves
     // unanalyzable ColumnNode wrappers in the plan — hence the mirror.)
+    fn("bmp_width", "BMP i32 LE width @18 (NULL unless BM magic)",
+      es => BmpWidth(es.head)),
+    fn("bmp_height", "BMP i32 LE height @22 (NULL unless BM magic)",
+      es => BmpHeight(es.head)),
+    fn("bmp_bpp", "BMP u16 LE bits-per-pixel @28 (NULL unless BM magic)",
+      es => BmpBpp(es.head)),
+    fn("png_width", "PNG u32 BE IHDR width @16 (NULL unless signature)",
+      es => PngWidth(es.head)),
+    fn("png_height", "PNG u32 BE IHDR height @20 (NULL unless signature)",
+      es => PngHeight(es.head)),
+    fn("png_bit_depth", "PNG IHDR bit depth @24 (NULL unless signature)",
+      es => PngBitDepth(es.head)),
+    fn("png_color_type", "PNG IHDR color type @25 (NULL unless signature)",
+      es => PngColorType(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",

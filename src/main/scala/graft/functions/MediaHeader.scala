@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Header-level decode of PUBLIC image container formats as codegen'd
+  * Catalyst expressions — the "multimodal column" first-class path: media
+  * payloads ride as `BinaryType` and their structural metadata (width,
+  * height, bit depth) is parsed natively inside whole-stage codegen, the
+  * same standard as the wire codec in [[LittleEndian]]. Formats and
+  * offsets are from the public specifications only:
+  *
+  *  - BMP: BITMAPFILEHEADER ("BM" magic, u32 LE file size @2, u32 LE
+  *    pixel-data offset @10) + BITMAPINFOHEADER (u32 LE DIB size @14,
+  *    i32 LE width @18, i32 LE height @22, u16 LE bpp @28) — all
+  *    little-endian.
+  *  - PNG: 8-byte signature (89 50 4E 47 0D 0A 1A 0A) then the IHDR
+  *    chunk: u32 BE width @16, u32 BE height @20, u8 bit-depth @24,
+  *    u8 color-type @25 — network byte order.
+  *
+  * One EXPRESSION PER FIELD (not one struct decode) so column pruning
+  * reaches the parse: a projection that needs only `width` never touches
+  * the other fields, and each expression is a branch-free bounds+magic
+  * check plus a fixed-offset read — exactly what the scan's hot loop
+  * wants at 100 TB. Null-safe: a payload that is too short or fails the
+  * magic check decodes to NULL (never throws), so a mixed/corrupt corpus
+  * degrades to NULL metadata rather than a failed job. Codec-requiring
+  * work (pixel decode, frame extraction) remains on the
+  * [[graft.operators.Multimodal]] opaque path; header fields never need
+  * a codec.
+  */
+abstract class HeaderField extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  /** 0-based byte offset of the field within the header. */
+  protected def offset: Int
+  /** Field byte width: 1 (u8), 2 (u16) or 4 (i32; PNG u32 ≤ 2^31−1). */
+  protected def size: Int
+  protected def bigEndian: Boolean
+  /** Magic/signature check (interpreted path). Bounds already checked. */
+  protected def magicOk(a: Array[Byte]): Boolean
+  /** Same check as Java source over byte-array variable `a` (codegen). */
+  protected def magicJava(a: String): String
+  /** Minimum payload length for this field to exist. */
+  protected def minLen: Int = offset + size
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val a = bytes.asInstanceOf[Array[Byte]]
+    if (a.length < minLen || !magicOk(a)) null
+    else {
+      var v = 0
+      if (bigEndian) {
+        var i = 0
+        while (i < size) { v = (v << 8) | (a(offset + i) & 0xFF); i += 1 }
+      } else {
+        var i = size - 1
+        while (i >= 0) { v = (v << 8) | (a(offset + i) & 0xFF); i -= 1 }
+      }
+      v
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val order = if (bigEndian) "BIG_ENDIAN" else "LITTLE_ENDIAN"
+      val read = size match {
+        case 1 => "get() & 0xFF"
+        case 2 => "getShort() & 0xFFFF"
+        case 4 => "getInt()"
+      }
+      s"""if ($a.length < $minLen || !(${magicJava(a)})) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = java.nio.ByteBuffer.wrap($a, $offset, $size)
+         |    .order(java.nio.ByteOrder.$order).$read;
+         |}""".stripMargin
+    })
+}
+
+/** Shared BMP magic: 'B''M' at offset 0. */
+trait BmpMagic { self: HeaderField =>
+  protected def magicOk(a: Array[Byte]): Boolean =
+    a(0) == 0x42 && a(1) == 0x4D
+  protected def magicJava(a: String): String =
+    s"$a[0] == 0x42 && $a[1] == 0x4D"
+  protected def bigEndian: Boolean = false
+}
+
+case class BmpWidth(child: Expression) extends HeaderField with BmpMagic {
+  protected val offset = 18; protected val size = 4
+  override protected def withNewChildInternal(c: Expression): BmpWidth =
+    copy(child = c)
+  override def prettyName: String = "bmp_width"
+}
+
+case class BmpHeight(child: Expression) extends HeaderField with BmpMagic {
+  protected val offset = 22; protected val size = 4
+  override protected def withNewChildInternal(c: Expression): BmpHeight =
+    copy(child = c)
+  override def prettyName: String = "bmp_height"
+}
+
+case class BmpBpp(child: Expression) extends HeaderField with BmpMagic {
+  protected val offset = 28; protected val size = 2
+  override protected def withNewChildInternal(c: Expression): BmpBpp =
+    copy(child = c)
+  override def prettyName: String = "bmp_bpp"
+}
+
+/** Shared PNG magic: the 8-byte signature plus "IHDR" as the first chunk
+  * type at offset 12 (the spec REQUIRES IHDR first). */
+trait PngMagic { self: HeaderField =>
+  protected def magicOk(a: Array[Byte]): Boolean =
+    (a(0) & 0xFF) == 0x89 && a(1) == 0x50 && a(2) == 0x4E &&
+      a(3) == 0x47 && a(4) == 0x0D && a(5) == 0x0A && a(6) == 0x1A &&
+      a(7) == 0x0A && a(12) == 0x49 && a(13) == 0x48 && a(14) == 0x44 &&
+      a(15) == 0x52
+  protected def magicJava(a: String): String =
+    s"($a[0] & 0xFF) == 0x89 && $a[1] == 0x50 && $a[2] == 0x4E" +
+      s" && $a[3] == 0x47 && $a[4] == 0x0D && $a[5] == 0x0A" +
+      s" && $a[6] == 0x1A && $a[7] == 0x0A && $a[12] == 0x49" +
+      s" && $a[13] == 0x48 && $a[14] == 0x44 && $a[15] == 0x52"
+  protected def bigEndian: Boolean = true
+}
+
+case class PngWidth(child: Expression) extends HeaderField with PngMagic {
+  protected val offset = 16; protected val size = 4
+  override protected def withNewChildInternal(c: Expression): PngWidth =
+    copy(child = c)
+  override def prettyName: String = "png_width"
+}
+
+case class PngHeight(child: Expression) extends HeaderField with PngMagic {
+  protected val offset = 20; protected val size = 4
+  override protected def withNewChildInternal(c: Expression): PngHeight =
+    copy(child = c)
+  override def prettyName: String = "png_height"
+}
+
+case class PngBitDepth(child: Expression) extends HeaderField with PngMagic {
+  protected val offset = 24; protected val size = 1
+  override protected def withNewChildInternal(c: Expression): PngBitDepth =
+    copy(child = c)
+  override def prettyName: String = "png_bit_depth"
+}
+
+case class PngColorType(child: Expression) extends HeaderField with PngMagic {
+  protected val offset = 25; protected val size = 1
+  override protected def withNewChildInternal(c: Expression): PngColorType =
+    copy(child = c)
+  override def prettyName: String = "png_color_type"
+}

@@ -2,17 +2,24 @@ package graft.operators
 
 import org.apache.spark.sql.Dataset
 
-/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
-  * `binary` columns with typed metadata, and feature extraction runs as
-  * partition-batched iteration over a typed Dataset — the JVM analog of
-  * the Arrow/`mapInPandas` path a Python pipeline would use.
+/** Multimodal-column plumbing for GENUINELY CODEC-REQUIRING work:
+  * image/audio/video payloads ride as opaque `binary` columns with typed
+  * metadata, and feature extraction runs as partition-batched iteration
+  * over a typed Dataset — the JVM analog of the Arrow/`mapInPandas` path
+  * a Python pipeline would use.
   *
-  * The DECODE STEP IS A STUB: no media codecs exist in this environment,
-  * so `decodeStub` derives deterministic fake dimensions/frame counts
-  * from the payload's md5. Everything around it — schema, encoders,
-  * iterator-to-iterator partition processing, downstream relational ops —
-  * is the real production shape: swap `decodeStub` for a JNI/FFmpeg/
-  * ImageIO call and nothing else changes.
+  * This is the SECOND of two decode tiers. Structural header metadata
+  * (width/height/bit-depth of BMP and PNG payloads) needs no codec and
+  * is parsed natively by the codegen'd Catalyst expressions in
+  * [[graft.functions.MediaHeader HeaderField]] (q177) — that is the
+  * first-class path and never leaves whole-stage codegen. ONLY the
+  * pixel/sample-level work that requires an actual codec lands here, and
+  * since no media codecs exist in this environment, `decodeStub` derives
+  * deterministic fake dimensions/frame counts from the payload's md5.
+  * Everything around it — schema, encoders, iterator-to-iterator
+  * partition processing, downstream relational ops — is the real
+  * production shape: swap `decodeStub` for a JNI/FFmpeg/ImageIO call and
+  * nothing else changes.
   *
   * Scale notes (100 TB): `mapPartitions` is iterator→iterator, so a
   * partition's blobs stream through without materializing; binary

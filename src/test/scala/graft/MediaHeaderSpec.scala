@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Media header-parse expressions against GROUND-TRUTH bytes of the
+  * public formats — not the q177 synth path: the PNG fixture is the
+  * byte-exact wire form of a real 1×1 RGBA PNG (signature + IHDR from
+  * the PNG specification), the BMP fixtures are independently serialized
+  * here with java.nio against the published BITMAPINFOHEADER layout.
+  * Covers codegen + interpreted parity, signedness (top-down BMPs carry
+  * negative heights), and the NULL contract for short/corrupt payloads.
+  */
+class MediaHeaderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  /** Byte-exact header of a real 1×1 bit-depth-8 RGBA PNG: the 8-byte
+    * signature, IHDR length (13), "IHDR", w=1, h=1, depth=8, color=6
+    * (truecolor+alpha), compression/filter/interlace 0, then the chunk
+    * CRC 0x1F15C489 (the published CRC-32 of this exact IHDR). */
+  private val png1x1: Array[Byte] = Array(
+    0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+    0x00, 0x00, 0x00, 0x0D, // IHDR data length = 13
+    0x49, 0x48, 0x44, 0x52, // "IHDR"
+    0x00, 0x00, 0x00, 0x01, // width = 1 (BE)
+    0x00, 0x00, 0x00, 0x01, // height = 1 (BE)
+    0x08, 0x06, 0x00, 0x00, 0x00, // depth 8, color 6, comp/filter/interlace
+    0x1F, 0x15, 0xC4, 0x89 // IHDR CRC
+  ).map(_.toByte)
+
+  /** Independent BMP serializer (java.nio, not the le_encode_* path the
+    * expressions are later checked against in q177). */
+  private def bmp(w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val rowBytes = ((bpp * w + 31) / 32) * 4
+    val isz = rowBytes * math.abs(h)
+    val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54 + isz).putInt(0).putInt(54) // file size, reserved, offset
+    b.putInt(40).putInt(w).putInt(h) // DIB size, width, height
+    b.putShort(1).putShort(bpp.toShort) // planes, bpp
+    b.putInt(0).putInt(isz).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    b.array()
+  }
+
+  test("PNG IHDR: real 1x1 RGBA bytes decode to (1, 1, 8, 6)") {
+    val r = Seq(Tuple1(png1x1)).toDF("b")
+      .selectExpr("png_width(b) AS w", "png_height(b) AS h",
+        "png_bit_depth(b) AS d", "png_color_type(b) AS c").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) ==
+      ((1, 1, 8, 6)))
+  }
+
+  test("BMP: independently serialized headers decode field-exact") {
+    val r = Seq(Tuple1(bmp(1920, 1080, 24))).toDF("b")
+      .selectExpr("bmp_width(b) AS w", "bmp_height(b) AS h",
+        "bmp_bpp(b) AS p", "le_u32(b, 2) AS fsz").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((1920, 1080, 24)))
+    assert(r.getLong(3) == 54L + ((24 * 1920 + 31) / 32) * 4 * 1080L)
+  }
+
+  test("BMP top-down orientation: height is SIGNED i32") {
+    val r = Seq(Tuple1(bmp(64, -64, 32))).toDF("b")
+      .selectExpr("bmp_height(b) AS h").head()
+    assert(r.getInt(0) == -64)
+  }
+
+  test("NULL contract: short, corrupt-magic, and cross-format payloads") {
+    val r = Seq((
+      bmp(8, 8, 8).take(20), // too short for width @18+4
+      "JFIF not a bmp".getBytes("UTF-8"), // wrong magic
+      png1x1, // PNG bytes through the BMP parser
+      bmp(8, 8, 8) // BMP bytes through the PNG parser
+    )).toDF("short", "bad", "png", "bmp")
+      .selectExpr("bmp_width(short) AS a", "bmp_width(bad) AS b",
+        "bmp_width(png) AS c", "png_width(bmp) AS d").head()
+    (0 until 4).foreach(i => assert(r.isNullAt(i), s"field $i"))
+  }
+
+  test("interpreted eval matches codegen output") {
+    // Literal.eval exercises nullSafeEval (the non-codegen path); the
+    // DataFrame asserts above ran through whole-stage codegen
+    assert(PngWidth(Literal(png1x1)).eval() == 1)
+    assert(PngColorType(Literal(png1x1)).eval() == 6)
+    assert(BmpWidth(Literal(bmp(33, 7, 1))).eval() == 33)
+    assert(BmpBpp(Literal(bmp(33, 7, 1))).eval() == 1)
+    assert(BmpWidth(Literal("nope".getBytes("UTF-8"))).eval() == null)
+    assert(PngHeight(Literal(png1x1.take(19))).eval() == null)
+  }
+}

@@ -182,4 +182,43 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Generate"),
       s"expected no re-planned corpus explode above the join:\n$plan")
   }
+
+  test("q174: seed selection pre-limits below the rank window; no forced corpus broadcast") {
+    // the global top-Seeds rank window must not sort the whole degree
+    // table: either WindowGroupLimit (partial per partition) or the even
+    // stronger TakeOrderedAndProject global top-k rewrite qualifies
+    val plan = finalPlan("q174_two_hop_reach")
+    assert(plan.contains("WindowGroupLimit") ||
+      plan.contains("TakeOrderedAndProject(limit=10"),
+      s"expected a rank-limit rewrite under the seed window:\n$plan")
+    // with size-based broadcasting OFF, the supplier-keyed hop join must
+    // fall back to a shuffled SortMergeJoin — proving nothing in the
+    // query FORCES a broadcast of the corpus-sized edge list (at sf0.001
+    // AQE legitimately broadcasts it by size; at 100 TB it could not)
+    Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val p2 = finalPlan("q174_two_hop_reach")
+      assert("SortMergeJoin \\[s#\\d+".r.findFirstIn(p2).isDefined,
+        s"expected the hop join supplier-keyed (SMJ on s):\n$p2")
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"expected no broadcast anywhere with the threshold off:\n$p2")
+    } finally Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .foreach(spark.conf.unset)
+  }
+
+  test("q177: the BMP parse runs inside whole-stage codegen, no UDF") {
+    val plan = finalPlan("q177_media_header_decode")
+    // the parse projection must carry the `*(n)` whole-stage-codegen
+    // marker: the expressions are codegen'd Catalyst nodes, not UDF
+    // calls that break the pipeline
+    assert("""\*\(\d+\) Project .*bmp_width""".r.findFirstIn(plan).isDefined,
+      s"expected bmp_width inside a codegen'd (*) projection:\n$plan")
+    assert(plan.contains("bmp_height") && plan.contains("bmp_bpp"),
+      s"expected all header-field expressions in the plan:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"expected no UDF in the decode path:\n$plan")
+  }
 }
