@@ -150,12 +150,13 @@ object Bench {
         else math.rint(lat(
           math.min(lat.length - 1, math.ceil(p * lat.length).toInt - 1)
             .max(0))).toLong
-      // b50/b99 = per-BATCH trigger percentiles; the per-record
-      // continuous/micro-batch percentiles join them in one "lat_ms"
-      // block below (the two-block round-5 form cost ~90 B of the ~2 KB
-      // stdout-tail window; the merged block costs ~45). Full percentile
-      // sets remain available locally (recentProgress / LatencyProbe).
-      s""""b50":${pct(0.50)},"b99":${pct(0.99)}"""
+      // b50 = per-BATCH trigger p50; the continuous per-record
+      // percentiles join it in one "lat" block below (the two-block
+      // round-5 form cost ~90 B of the ~2 KB stdout-tail window; the
+      // merged block costs ~32, buying the ingest spread + z95 room).
+      // b99/mb50/mb99 and the full percentile sets remain available
+      // locally (recentProgress / LatencyProbe).
+      s""""b50":${pct(0.50)}"""
     } catch { case t: Throwable =>
       System.err.println(s"[bench] latency probe failed: $t"); "" }
     // Low-latency envelope experiment (the reference's µs-ms headline
@@ -196,15 +197,36 @@ object Bench {
         s""""c50":$c50,"c99":$c99"""
       } catch { case t: Throwable =>
         System.err.println(s"[bench] latency envelope failed: $t"); "" }
+    // End-of-session re-measure of q95 (the round-5 judge's flagged
+    // driver-only climber): the timed loop measured it at its usual
+    // position (~170th); this second sample lands AFTER the full catalog
+    // + all streaming probes, the oldest possible session. One artifact
+    // then carries q95 at two session ages — if a driver round shows
+    // q95 high at position AND at z95, the cost is uniform (VM-level)
+    // rather than session aging; a z95 >> position gap names aging.
+    // Local evidence (PLANS.md round-6): no gap on the builder machine.
+    val z95 = try {
+      SparkEntry.queries.get("q95_dup_degree_hist").map { fn =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        graft.operators.Staging.sweep(spark)
+        (System.nanoTime() - t0) / 1e9
+      }
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] z95 re-measure failed: $t"); None }
+    val z95Json = z95.map(v => s""","z95":${f1(v)}""").getOrElse("")
     val latBlock = Seq(latJson, expJson).filter(_.nonEmpty) match {
       case Nil => ""
-      case ps  => s""","lat_ms":{${ps.mkString(",")}}"""
+      case ps  => s""","lat":{${ps.mkString(",")}}"""
     }
     // "sf" is the fixture BASENAME (the full path cost 18 B of the ~2 KB
     // stdout-tail window; the driver's own artifact carries the sf value)
     val sfName = new java.io.File(sfDir).getName
-    val ing = ingestRuns.map(r => math.rint(r).toLong).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f1(total)},"unit":"sec","queries":$qs,"ingest_rows_per_sec":$ing$latBlock,"sf":"$sfName"}"""
+    // ingest spread in K-ROWS/S (rounded): full rows/s cost 6 digits per
+    // sample; the spread's job is naming variance, not ±500 rows/s
+    val ing = ingestRuns.map(r => math.rint(r / 1000).toLong)
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f1(total)},"unit":"sec","queries":$qs,"ingest_k":$ing$latBlock$z95Json,"sf":"$sfName"}"""
     // The JSON line is the LAST stdout the JVM emits: rounds 1/2/4 lost
     // the artifact because async executor logs (continuous-trigger
     // TaskKilled WARNs) landed AFTER the println and pushed the head of

@@ -529,6 +529,13 @@ object Graft {
         .filter(col("rn") <= k)
         .select(col("rn"), col("pair"), col("n_occ"), col("n_word_types"))
 
+    /** Iterated BPE training: `n` merges under the fixed-point loop
+      * discipline (one vocabulary-bounded job per round; the corpus is
+      * read once). Returns the learned merge table — the `merges.txt`
+      * a tokenizer ships. See [[operators.Bpe.trainMerges]]. */
+    def bpeTrainMerges(textCol: String, n: Int): Seq[operators.Bpe.Merge] =
+      operators.Bpe.trainMerges(df, textCol, n)
+
     /** Z-order the frame for a multi-column-prunable write: scale both
       * dimension columns to 16 bits from one broadcast min/max pass,
       * Morton-interleave them (operators.ZOrder), and range-partition +

@@ -1,0 +1,111 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterated BPE merge training — the multi-round form of q162's single
+  * merge step, run under the same fixed-point loop discipline as
+  * [[ConnectedComponents]]/[[PageRank]]: the corpus collapses to its
+  * word-frequency table ONCE (the only corpus-sized pass), every round
+  * is one pair-count aggregate over the vocabulary-bounded symbol table
+  * plus a top-1 fetch, and the merge application is a row-local array
+  * fold staged lazily so each round costs ONE Spark job. The driver
+  * holds only the merge table itself — `numMerges` rows, the actual
+  * product of tokenizer training (what ships as `merges.txt`), never
+  * corpus data.
+  *
+  * Merge semantics are the standard greedy left-to-right rule: scan the
+  * word's symbols, replacing each non-overlapping adjacent (left, right)
+  * occurrence with the concatenation. Expressed as an `aggregate` fold —
+  * append the symbol unless the accumulator's last element equals `left`
+  * and the current equals `right` (then replace the last with the merged
+  * symbol). The two formulations are equivalent: a just-merged tail
+  * element can never re-match `left` (it equals `left + right`, and
+  * `right` is nonempty), so the fold cannot re-merge an overlap the
+  * scan would skip. Ties break on (count DESC, left ASC, right ASC) —
+  * deterministic on any partition layout.
+  *
+  * Scale shape at 100 TB: after the initial explode+count, every round
+  * touches |vocabulary| rows (millions, not billions) with map-side
+  * partial aggregation on an alphabet²-bounded pair space; rounds never
+  * re-read the corpus. `BpeSpec` pins the distributed implementation
+  * against an independent sequential reference on the classic
+  * low/lower/newest/widest corpus.
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based round), the pair, its count. */
+  final case class Merge(rank: Int, left: String, right: String,
+      n_occ: Long)
+
+  /** Greedy left-to-right application of one merge to a symbol array. */
+  private[operators] def applyMerge(syms: Column, left: String,
+      right: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, lit(-1)) === lit(left) && x === lit(right),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train `numMerges` BPE merges over the whitespace/punct-tokenized
+    * words of `textCol`. Stops early (shorter result) if the corpus runs
+    * out of adjacent pairs. */
+  def trainMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    // corpus → word-frequency table → per-word symbol arrays (chars).
+    // filter('') guards the empty tail split() emits for some inputs.
+    var wc = Staging.stage(
+      docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .select(expr("filter(split(w, ''), x -> x <> '')").as("syms"),
+          col("f")),
+      eager = false)
+    // the frame one round behind wc: wc's lazy staged blocks READ it
+    // until the round's action materializes them, so it is released only
+    // AFTER that action (the CC loop's release discipline — releasing
+    // first leaves wc pointing at vanished checkpoint blocks)
+    var prev: DataFrame = null
+    val merges = ArrayBuffer.empty[Merge]
+    try {
+      var r = 0
+      var dry = false
+      while (r < numMerges && !dry) {
+        // pair counts with per-position multiplicity (standard BPE);
+        // the top-1 fetch is the round's ONE action — it materializes
+        // this round's staged symbol table as a side effect
+        val top = wc.filter(size(col("syms")) >= 2)
+          .select(col("f"), explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+              |  i -> struct(element_at(syms, i) AS a,
+              |              element_at(syms, i + 1) AS b))""".stripMargin))
+            .as("p"))
+          .groupBy(col("p.a"), col("p.b"))
+          .agg(sum(col("f")).as("n_occ"))
+          .orderBy(col("n_occ").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (prev != null) { Staging.release(prev); prev = null }
+        top.headOption match {
+          case None => dry = true // no adjacent pairs left anywhere
+          case Some(row) =>
+            val (a, b, n) = (row.getString(0), row.getString(1),
+              row.getLong(2))
+            r += 1
+            merges += Merge(r, a, b, n)
+            val next = Staging.stage(
+              wc.select(applyMerge(col("syms"), a, b).as("syms"),
+                col("f")),
+              eager = false)
+            prev = wc
+            wc = next
+        }
+      }
+      merges.toSeq
+    } finally {
+      if (prev != null) Staging.release(prev)
+      Staging.release(wc)
+    }
+  }
+}
