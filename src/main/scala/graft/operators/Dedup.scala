@@ -30,11 +30,17 @@ object Dedup {
     // input several times (guard, sequence bound, per-index slice), and an
     // inlined tokens(textCol) would re-run the regex split per reference —
     // measured 7-10x slower on the shingle-join queries
+    // NO outer .distinct(): per-doc dedup already happened at STRING
+    // level (array_distinct), so an (id, h) duplicate can only be an
+    // md5-mod hash collision inside one document — and the DuckDB twin
+    // (TextOps.oracleSh3Cte) computes the identical hash, so any such
+    // duplicate appears in BOTH engines and parity holds. The distinct
+    // was a full extra shuffle of the family's hottest table (9+ queries
+    // pay it), measured ~15-20% of the shingle steady state.
     df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
       .select(col(idCol),
         explode(array_distinct(TextOps.shingles(col("__tk"), n))).as("__sh"))
       .select(col(idCol), TextOps.hashMod(col("__sh")).as("h"))
-      .distinct()
 
   /** Distinct character-n-gram hashes per id (the pg_trgm shape): char
     * n-grams distinguish identifier-like strings whose word shingles are

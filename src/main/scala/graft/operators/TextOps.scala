@@ -158,8 +158,11 @@ object TextOps {
        |  FROM documents)""".stripMargin
 
   /** DuckDB twin of `Dedup.shingleHashes(_, "doc_id", "text", 3)`. */
+  // no outer DISTINCT — mirrors Dedup.shingleHashes: dedup is per-doc at
+  // string level (list_distinct); a residual hash collision would appear
+  // identically in both engines (same md5, same mod)
   val oracleSh3Cte: String =
-    s"""sh AS (SELECT DISTINCT doc_id, ${oracleHashSql("sh")} AS h
+    s"""sh AS (SELECT doc_id, ${oracleHashSql("sh")} AS h
        |  FROM (SELECT doc_id,
        |          unnest(list_distinct(list_transform(range(len(tk) - 2),
        |            i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh

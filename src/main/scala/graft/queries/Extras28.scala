@@ -30,7 +30,7 @@ object Extras28 {
          |  WHERE len(tk) >= 10
          |    AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
          |      / greatest(length(text), 1) < 0.1e0),
-         |sh AS (SELECT DISTINCT doc_id, ${TextOps.oracleHashSql("sh")} AS h
+         |sh AS (SELECT doc_id, ${TextOps.oracleHashSql("sh")} AS h
          |  FROM (SELECT doc_id,
          |          unnest(list_distinct(list_transform(range(len(tk) - 2),
          |            i -> array_to_string(tk[i+1:i+3], ' ')))) AS sh
