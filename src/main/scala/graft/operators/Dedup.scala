@@ -51,6 +51,9 @@ object Dedup {
     * shingles lambda-capture note). */
   def charNGramHashes(df: DataFrame, idCol: String, strCol: String,
       n: Int = 3): DataFrame =
+    // no outer .distinct() — same argument as shingleHashes: the grams
+    // are string-deduped per row, residual hash collisions are
+    // engine-identical (q92's oracle mirrors this)
     df.select(col(idCol),
         explode(array_distinct(expr(
           s"""CASE WHEN length($strCol) >= $n
@@ -59,7 +62,6 @@ object Dedup {
              |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)))
           .as("__g"))
       .select(col(idCol), TextOps.hashMod(col("__g")).as("h"))
-      .distinct()
 
   /** Hot-shingle document-frequency cap. The shared-shingle join fans
     * out quadratically in a shingle's document frequency, so a single

@@ -138,7 +138,7 @@ object Extras9 {
       "q92_char_trigram", {
         val hashG = TextOps.oracleHashSql("g")
         s"""WITH tg AS (
-           |  SELECT DISTINCT s_suppkey AS id, $hashG AS h
+           |  SELECT s_suppkey AS id, $hashG AS h
            |  FROM (SELECT s_suppkey, unnest(list_distinct(
            |      list_transform(range(1, len(s_name) - 1),
            |        i -> substr(s_name, i, 3)))) AS g
