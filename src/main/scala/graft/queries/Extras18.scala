@@ -24,7 +24,16 @@ object Extras18 {
   private def roundTripDir(key: String): String =
     rtDirs.computeIfAbsent(key, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft_rt_")
-      d.toFile.deleteOnExit()
+      // deleteOnExit can't remove non-empty directories — a recursive
+      // shutdown hook is what actually reclaims the round-trip data
+      // (same fix as Extras42; the advisor flagged the leak there)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(d.toFile)
+      }
       d.toString
     })
 

@@ -209,6 +209,19 @@ class PlanSpec extends SparkTestBase {
       .foreach(spark.conf.unset)
   }
 
+  test("q36: the shingle pipeline carries no redundant global Deduplicate") {
+    // round-6 win: the outer .distinct() over (id, h) — a full extra
+    // shuffle under 12 dedup-family queries — is gone because per-doc
+    // string-level array_distinct already guarantees the set semantics.
+    // Pin the OPTIMIZED LOGICAL plan: a reintroduced .distinct() would
+    // surface as a Deduplicate node (physical HashAggregates are
+    // ambiguous — legit aggregates look identical).
+    val df = SparkEntry.queries("q36_ngram_jaccard")(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("Deduplicate"),
+      s"expected no Deduplicate in the shingle pipeline:\n$logical")
+  }
+
   test("q177: the BMP parse runs inside whole-stage codegen, no UDF") {
     val plan = finalPlan("q177_media_header_decode")
     // the parse projection must carry the `*(n)` whole-stage-codegen
