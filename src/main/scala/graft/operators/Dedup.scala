@@ -22,10 +22,14 @@ import TextOps._
   */
 object Dedup {
 
-  /** Distinct word-n-gram shingle hashes per id: (idCol, h) with h in
-    * [0, P). The canonical input to jaccardPairs / minhashSignatures. */
+  /** Distinct word-n-gram shingle hashes per id: (idCol, carry..., h)
+    * with h in [0, P). The canonical input to jaccardPairs /
+    * minhashSignatures. `carry` columns (e.g. `source` for per-source
+    * boilerplate detection, q180) ride the explode for free — carrying a
+    * row-local attribute through the map stage beats re-attaching it with
+    * a corpus-sized join on idCol afterwards. */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
+      n: Int = 3, carry: Seq[String] = Nil): DataFrame = {
     // tokenize into a materialized column FIRST: `shingles` references its
     // input several times (guard, sequence bound, per-index slice), and an
     // inlined tokens(textCol) would re-run the regex split per reference —
@@ -37,10 +41,12 @@ object Dedup {
     // duplicate appears in BOTH engines and parity holds. The distinct
     // was a full extra shuffle of the family's hottest table (9+ queries
     // pay it), measured ~15-20% of the shingle steady state.
-    df.select(col(idCol), TextOps.tokens(col(textCol)).as("__tk"))
-      .select(col(idCol),
-        explode(array_distinct(TextOps.shingles(col("__tk"), n))).as("__sh"))
-      .select(col(idCol), TextOps.hashMod(col("__sh")).as("h"))
+    val keys = col(idCol) +: carry.map(col)
+    df.select(keys :+ TextOps.tokens(col(textCol)).as("__tk"): _*)
+      .select(keys :+
+        explode(array_distinct(TextOps.shingles(col("__tk"), n))).as("__sh"): _*)
+      .select(keys :+ TextOps.hashMod(col("__sh")).as("h"): _*)
+  }
 
   /** Distinct character-n-gram hashes per id (the pg_trgm shape): char
     * n-grams distinguish identifier-like strings whose word shingles are
@@ -152,6 +158,21 @@ object Dedup {
     capped.join(
       capped.groupBy(col(idCol)).agg(count(lit(1)).as("__n")), idCol)
   }
+
+  /** Asymmetric near-duplicate pairs by Broder containment
+    * C(A,B) = shared / min(|A|, |B|), emitted beside the symmetric
+    * Jaccard. Containment catches subset/quote duplication — a short
+    * document wholly embedded in a longer one keeps C = 1 while
+    * J = shared/(|A|+|B|-shared) falls toward 0 as the length ratio
+    * grows, so a Jaccard-only dedup pass ships the duplicated text
+    * anyway. Cost and scale shape are exactly [[jaccardPairs]] (same
+    * bounded shared-shingle equi-join; only the final per-pair
+    * expression differs). Callers threshold on `containment`. */
+  def containmentPairs(sh: DataFrame, idCol: String,
+      dfCap: Int = DefaultDfCap): DataFrame =
+    jaccardPairs(sh, idCol, dfCap)
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")))
 
   /** The pair join/aggregate half of [[jaccardPairs]], over a
     * [[countedShingles]] table. */

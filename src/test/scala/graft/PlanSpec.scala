@@ -234,4 +234,18 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       s"expected no UDF in the decode path:\n$plan")
   }
+
+  test("q180: source rides the explode — the only join is the broadcast of per-source totals") {
+    // the carry-column design exists so boilerplate detection never
+    // re-attaches `source` with a corpus-sized doc_id join; the one
+    // remaining join (per-source totals, one row per source) must
+    // broadcast. A SortMergeJoin here means either the carry was lost
+    // (doc_id re-join) or the tiny totals table stopped broadcasting.
+    val plan = finalPlan("q180_boilerplate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the per-source totals to broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("hashpartitioning(doc_id"),
+      s"expected no corpus-keyed join in the boilerplate path:\n$plan")
+  }
 }
