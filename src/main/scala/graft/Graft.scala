@@ -103,6 +103,41 @@ object Graft {
         .filter(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), col("jaccard"))
 
+    /** Asymmetric containment near-dup pairs (idA < idB) at or above
+      * `threshold` on Broder containment C = shared/min(|A|,|B|) —
+      * catches subset/quote duplication (a short doc embedded in a long
+      * one has C = 1 while Jaccard → 0 as the length ratio grows).
+      * Same bounded join as nearDupPairs; q178. */
+    def containmentPairs(idCol: String, textCol: String,
+        threshold: Double = 0.8, n: Int = 3): DataFrame =
+      Dedup.containmentPairs(
+          Dedup.shingleHashes(df, idCol, textCol, n), idCol)
+        .filter(col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"), col("containment"), col("jaccard"))
+
+    /** Per-group boilerplate shingles: word-{n}-gram hashes present in
+      * at least `minRatio` of a group's documents AND at least `minDf`
+      * documents absolutely — site templates, headers/footers. Runs
+      * over the UNCAPPED shingle stream (hot shingles are the signal
+      * here, not near-dup noise) with `groupCol` carried through the
+      * explode, so nothing re-joins on the document id; the per-group
+      * totals broadcast. Returns (groupCol, h, df, n_docs, df_ratio);
+      * q180. */
+    def boilerplateShingles(idCol: String, textCol: String,
+        groupCol: String, minRatio: Double = 0.1, minDf: Long = 3,
+        n: Int = 3): DataFrame = {
+      val s = Dedup.shingleHashes(df, idCol, textCol, n,
+        carry = Seq(groupCol))
+      val nd = s.groupBy(col(groupCol))
+        .agg(countDistinct(col(idCol)).as("n_docs"))
+      s.groupBy(col(groupCol), col("h")).agg(count(lit(1)).as("df"))
+        .join(broadcast(nd), groupCol)
+        .filter(col("df") >= minDf &&
+          col("df").cast("double") >= col("n_docs") * minRatio)
+        .select(col(groupCol), col("h"), col("df"), col("n_docs"),
+          (col("df").cast("double") / col("n_docs")).as("df_ratio"))
+    }
+
     /** MinHash+LSH candidate pairs (see operators.Dedup). */
     def minhashCandidates(idCol: String, textCol: String,
         k: Int = 16, bands: Int = 4): DataFrame = {

@@ -312,4 +312,22 @@ class GraftFacadeSpec extends SparkTestBase {
       assert(got.count() == 10)
     } finally graft.sources.RingRegistry.remove("facade_ring")
   }
+
+  test("round-6 facade additions: containment pairs + boilerplate shingles") {
+    // subset pair: doc 2 is a prefix of doc 1 — containment catches it,
+    // the symmetric nearDupPairs threshold does not
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short)).toDF("id", "text")
+    val c = docs.containmentPairs("id", "text", threshold = 0.8).collect()
+    assert(c.length == 1 && c.head.getAs[Double]("containment") == 1.0)
+    assert(docs.nearDupPairs("id", "text", threshold = 0.8).count() == 0)
+
+    val template = "subscribe to our newsletter today"
+    val tDocs = (1 to 5).map(i => (i.toLong, s"$template extra$i", "a"))
+      .toDF("id", "text", "src")
+    val flagged = tDocs.boilerplateShingles("id", "text", "src")
+    assert(flagged.count() == 3 && // the template-internal shingles
+      flagged.collect().forall(_.getAs[Long]("df") == 5L))
+  }
 }
