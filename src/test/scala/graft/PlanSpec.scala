@@ -235,6 +235,17 @@ class PlanSpec extends SparkTestBase {
       s"expected no UDF in the decode path:\n$plan")
   }
 
+  test("q181: the PNG big-endian parse runs inside whole-stage codegen, no UDF") {
+    val plan = finalPlan("q181_png_header")
+    assert("""\*\(\d+\) Project .*png_width""".r.findFirstIn(plan).isDefined,
+      s"expected png_width inside a codegen'd (*) projection:\n$plan")
+    assert(plan.contains("png_height") && plan.contains("png_bit_depth") &&
+      plan.contains("png_color_type"),
+      s"expected all IHDR-field expressions in the plan:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"expected no UDF in the decode path:\n$plan")
+  }
+
   test("q180: source rides the explode — the only join is the broadcast of per-source totals") {
     // the carry-column design exists so boilerplate detection never
     // re-attaches `source` with a corpus-sized doc_id join; the one
