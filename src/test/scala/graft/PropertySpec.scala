@@ -220,4 +220,34 @@ class PropertySpec extends SparkTestBase {
     assert(as.forall(a => a.toDouble * (TextOps.P - 1) < Long.MaxValue))
     assert(bs.forall(b => b > 0 && b < TextOps.P))
   }
+
+  test("property: containment dominates jaccard; subsets reach exactly 1") {
+    // random word-sequence corpora: for EVERY emitted pair,
+    // C = shared/min >= J = shared/union (set algebra: min <= union),
+    // with equality iff one shingle set contains the other — and a
+    // constructed prefix-subset pair must read exactly C = 1.0.
+    val docGen = Gen.listOfN(4,
+      Gen.listOfN(12, Gen.choose(1, 8).map(i => s"w$i")))
+    check(Prop.forAll(docGen) { texts =>
+      val df = texts.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val pairs = Dedup.containmentPairs(
+        Dedup.shingleHashes(df, "doc_id", "text"), "doc_id")
+        .collect()
+      pairs.forall { r =>
+        val c = r.getAs[Double]("containment")
+        val j = r.getAs[Double]("jaccard")
+        c >= j && c <= 1.0 + 1e-12 && j > 0.0
+      }
+    }, tests = 10)
+    val subset = Seq(
+      (1L, (1 to 25).map(i => s"s$i").mkString(" ")),
+      (2L, (1 to 6).map(i => s"s$i").mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(
+      Dedup.shingleHashes(subset, "doc_id", "text"), "doc_id")
+      .collect().head
+    assert(r.getAs[Double]("containment") == 1.0 &&
+      r.getAs[Double]("jaccard") < 1.0)
+  }
 }
