@@ -116,27 +116,20 @@ object Graft {
         .select(col("id_a"), col("id_b"), col("containment"), col("jaccard"))
 
     /** Per-group boilerplate shingles: word-{n}-gram hashes present in
-      * at least `minRatio` of a group's documents AND at least `minDf`
-      * documents absolutely — site templates, headers/footers. Runs
-      * over the UNCAPPED shingle stream (hot shingles are the signal
-      * here, not near-dup noise) with `groupCol` carried through the
-      * explode, so nothing re-joins on the document id; the per-group
-      * totals broadcast. Returns (groupCol, h, df, n_docs, df_ratio);
-      * q180. */
+      * at least `minPermille`/1000 of a group's documents AND at least
+      * `minDf` documents absolutely — site templates, headers/footers.
+      * Delegates to operators.Dedup.boilerplateShingles (uncapped
+      * staged stream, distinct-document counts, integer ratio floor);
+      * `groupCol` is carried through the explode, so nothing re-joins
+      * on the document id. Returns (groupCol, h, df, n_docs,
+      * df_ratio); q180. Long-lived sessions release the staged blocks
+      * via `Graft.sweep`. */
     def boilerplateShingles(idCol: String, textCol: String,
-        groupCol: String, minRatio: Double = 0.1, minDf: Long = 3,
-        n: Int = 3): DataFrame = {
-      val s = Dedup.shingleHashes(df, idCol, textCol, n,
-        carry = Seq(groupCol))
-      val nd = s.groupBy(col(groupCol))
-        .agg(countDistinct(col(idCol)).as("n_docs"))
-      s.groupBy(col(groupCol), col("h")).agg(count(lit(1)).as("df"))
-        .join(broadcast(nd), groupCol)
-        .filter(col("df") >= minDf &&
-          col("df").cast("double") >= col("n_docs") * minRatio)
-        .select(col(groupCol), col("h"), col("df"), col("n_docs"),
-          (col("df").cast("double") / col("n_docs")).as("df_ratio"))
-    }
+        groupCol: String, minPermille: Long = 100, minDf: Long = 3,
+        n: Int = 3): DataFrame =
+      Dedup.boilerplateShingles(
+        Dedup.shingleHashes(df, idCol, textCol, n, carry = Seq(groupCol)),
+        idCol, groupCol, minPermille, minDf)
 
     /** MinHash+LSH candidate pairs (see operators.Dedup). */
     def minhashCandidates(idCol: String, textCol: String,

@@ -174,6 +174,38 @@ object Dedup {
       .withColumn("containment",
         col("shared").cast("double") / least(col("n_a"), col("n_b")))
 
+  /** Per-group boilerplate shingles over an (idCol, groupCol, h) shingle
+    * table (build with `shingleHashes(carry = Seq(groupCol))` so the
+    * group attribute rides the explode — no corpus-sized id re-join):
+    * hashes present in at least `minPermille`/1000 of the group's
+    * documents AND at least `minDf` documents absolutely. Returns
+    * (groupCol, h, df, n_docs, df_ratio).
+    *
+    * df counts DISTINCT ids — a rare in-document md5-mod hash collision
+    * (two distinct shingle strings, one h) must not double-count the
+    * document or push df_ratio past 1.0. The ratio floor is INTEGER
+    * arithmetic (df·1000 ≥ n_docs·minPermille): `n_docs * 0.07` style
+    * double math drops exact-boundary shingles on FP representation.
+    * The stream is deliberately UNCAPPED (the near-dup df-cap exists to
+    * drop hot shingles as noise; here they are the signal), staged once
+    * (both aggregates below would otherwise re-run the tokenize→explode
+    * pipeline — no ReusedExchange across join sides), and the
+    * one-row-per-group totals broadcast into the final filter join.
+    * Long-lived sessions release the staged blocks via Staging.sweep. */
+  def boilerplateShingles(sh: DataFrame, idCol: String, groupCol: String,
+      minPermille: Long = 100, minDf: Long = 3): DataFrame = {
+    val leaf = Staging.stage(sh, eager = false)
+    val nd = leaf.groupBy(col(groupCol))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    leaf.groupBy(col(groupCol), col("h"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .join(broadcast(nd), groupCol)
+      .filter(col("df") >= minDf &&
+        col("df") * 1000 >= col("n_docs") * minPermille)
+      .select(col(groupCol), col("h"), col("df"), col("n_docs"),
+        (col("df").cast("double") / col("n_docs")).as("df_ratio"))
+  }
+
   /** The pair join/aggregate half of [[jaccardPairs]], over a
     * [[countedShingles]] table. */
   def jaccardPairsFromCounted(withN: DataFrame, idCol: String): DataFrame = {

@@ -170,12 +170,14 @@ object Extras45 {
     // source's documents (and ≥ 3 documents absolutely — a floor that
     // keeps tiny sources from flagging noise). UNCAPPED shingle stream:
     // the near-dup df-cap exists to DROP exactly these hot keys; here
-    // they are the signal. Scale shape: `source` rides the shingle
-    // explode as a carried column (no corpus-sized id join), both
-    // aggregates collapse map-side (partial count / partial distinct),
-    // and the per-source totals table — one row per source — broadcasts
-    // into the final join. The output is what a curation pass subtracts
-    // from documents before near-dup and quality scoring.
+    // they are the signal. Staged-leaf + distinct-document counts +
+    // integer ratio floor: operators.Dedup.boilerplateShingles is the
+    // single source of truth (the facade and this query both delegate).
+    // `source` rides the shingle explode as a carried column (no
+    // corpus-sized id join); the per-source totals table — one row per
+    // source — broadcasts into the final join. The output is what a
+    // curation pass subtracts from documents before near-dup and
+    // quality scoring.
     Qry(
       "q180_boilerplate",
       s"""WITH ${TextOps.oracleToksCte},
@@ -184,22 +186,20 @@ object Extras45 {
          |      FROM sh JOIN documents d USING (doc_id)),
          |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
          |       FROM s GROUP BY 1),
-         |f AS (SELECT source, h, COUNT(*) AS df FROM s GROUP BY 1, 2)
+         |f AS (SELECT source, h, COUNT(DISTINCT doc_id) AS df
+         |      FROM s GROUP BY 1, 2)
          |SELECT f.source, f.h, f.df, nd.n_docs,
          |  round(CAST(f.df AS DOUBLE) / nd.n_docs, 6) AS df_ratio
          |FROM f JOIN nd USING (source)
          |WHERE f.df * 10 >= nd.n_docs AND f.df >= 3""".stripMargin) {
       (spark, dir) =>
         import spark.implicits._
-        val s = Dedup.shingleHashes(t(spark, dir).documents,
-          "doc_id", "text", n = 3, carry = Seq("source"))
-        val nd = s.groupBy($"source")
-          .agg(countDistinct($"doc_id").as("n_docs"))
-        val f = s.groupBy($"source", $"h").agg(count(one).as("df"))
-        f.join(broadcast(nd), "source")
-          .filter($"df" * 10 >= $"n_docs" && $"df" >= 3)
+        Dedup.boilerplateShingles(
+            Dedup.shingleHashes(t(spark, dir).documents,
+              "doc_id", "text", n = 3, carry = Seq("source")),
+            "doc_id", "source")
           .select($"source", $"h", $"df", $"n_docs",
-            round($"df".cast("double") / $"n_docs", 6).as("df_ratio"))
+            round($"df_ratio", 6).as("df_ratio"))
     }
   )
 }

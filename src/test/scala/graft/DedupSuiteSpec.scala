@@ -51,13 +51,10 @@ class DedupSuiteSpec extends SparkTestBase {
     val b = Seq((6L, "rare shared phrase one", "b"),
       (7L, "rare shared phrase two", "b"))
     val docsDf = (a ++ b).toDF("doc_id", "text", "source")
-    val s = Dedup.shingleHashes(docsDf, "doc_id", "text",
-      n = 3, carry = Seq("source"))
-    val nd = s.groupBy($"source").agg(countDistinct($"doc_id").as("n_docs"))
-    val flagged = s.groupBy($"source", $"h").agg(count(lit(1)).as("df"))
-      .join(broadcast(nd), "source")
-      .filter($"df" * 10 >= $"n_docs" && $"df" >= 3)
-      .collect()
+    val flagged = Dedup.boilerplateShingles(
+      Dedup.shingleHashes(docsDf, "doc_id", "text",
+        n = 3, carry = Seq("source")),
+      "doc_id", "source").collect()
     assert(flagged.forall(_.getAs[String]("source") == "a"),
       s"df-2 phrase in source b must stay under the floor: ${flagged.toSeq}")
     assert(flagged.length == 3, // exactly the template-internal shingles
