@@ -62,6 +62,20 @@ class DedupSuiteSpec extends SparkTestBase {
     assert(flagged.forall(_.getAs[Long]("df") == 5L))
   }
 
+  test("dedup-suite operators degrade to empty on shingle-free documents") {
+    // < 3 tokens → zero shingles per doc → empty results, never a crash
+    // (the mixed-corpus contract: short rows drop out of the n-gram
+    // operators rather than poisoning them)
+    val docsDf = Seq((1L, "too short", "a"), (2L, "also tiny", "a"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.containmentPairs(
+      Dedup.shingleHashes(docsDf, "doc_id", "text"), "doc_id").count() == 0)
+    assert(Dedup.boilerplateShingles(
+      Dedup.shingleHashes(docsDf, "doc_id", "text", n = 3,
+        carry = Seq("source")),
+      "doc_id", "source").count() == 0)
+  }
+
   test("carry columns ride the shingle explode without changing the hashes") {
     val docsDf = Seq((1L, "alpha beta gamma delta", "s0"))
       .toDF("doc_id", "text", "source")
