@@ -49,6 +49,22 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
         .otherwise(concat(acc, array(x))))
 
+  /** ENCODE step — apply a FIXED merge list (the shipped `merges.txt`
+    * artifact that [[trainMerges]] produces) to one word column:
+    * characters → greedy left-to-right [[applyMerge]] fold per merge,
+    * in rank order, once each. This is the HuggingFace-tokenizers BPE
+    * application shape (merges fire in training-rank order; each pass
+    * merges every non-overlapping occurrence). The merge list is
+    * data-independent at query time, so the whole encode statically
+    * unrolls into one row-local expression — at corpus scale the right
+    * plan collapses to the VOCABULARY first and encodes each distinct
+    * word once (q182), never per occurrence. */
+  def encodeWord(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(
+      filter(split(w, ""), x => x =!= lit(""))) {
+      case (s, (a, b)) => applyMerge(s, a, b)
+    }
+
   /** Train `numMerges` BPE merges over the whitespace/punct-tokenized
     * words of `textCol`. Stops early (shorter result) if the corpus runs
     * out of adjacent pairs. */

@@ -2,6 +2,8 @@ package graft
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Bpe
 
 /** Iterated BPE training against an INDEPENDENT sequential reference
@@ -74,6 +76,43 @@ class BpeSpec extends SparkTestBase {
   test("stops early when the corpus runs out of pairs") {
     val df = Seq("a b c a b").toDF("text") // single-char words only
     assert(Bpe.trainMerges(df, "text", 5).isEmpty)
+  }
+
+  test("encodeWord == sequential reference on chains, runs and non-matches") {
+    // sequential reference: rank-ordered merges, each one greedy
+    // left-to-right pass (the exact contract of Bpe.applyMerge)
+    def refEncode(w: String,
+        merges: Seq[(String, String)]): Vector[String] =
+      merges.foldLeft(w.split("").filter(_.nonEmpty).toVector) {
+        case (syms, (a, b)) =>
+          val res = mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              res += a + b; i += 2
+            } else { res += syms(i); i += 1 }
+          }
+          res.toVector
+      }
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+    // chains (t+h then th+e), adjacent runs (boundary-sharing repeats),
+    // later-merge shadowing (er consumed before re can fire), singles
+    val words = Seq("the", "then", "and", "under", "rere", "ananan",
+      "inin", "thethe", "android", "xyz", "a", "anthem")
+    val got = words.toDF("w")
+      .select(col("w"), Bpe.encodeWord(col("w"), merges).as("e"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector)
+      .toMap
+    words.foreach { w =>
+      assert(got(w) == refEncode(w, merges),
+        s"'$w': got ${got(w)}, ref ${refEncode(w, merges)}")
+    }
+    // spot-pin the interesting ones so the reference itself is audited
+    assert(got("the") == Vector("the"))
+    assert(got("ananan") == Vector("an", "an", "an"))
+    assert(got("rere") == Vector("r", "er", "e")) // er fires first
+    assert(got("android") == Vector("and", "r", "o", "i", "d"))
   }
 
   test("round 1 equals q162's top single-step merge on the fixture") {

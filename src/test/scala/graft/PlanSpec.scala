@@ -246,6 +246,17 @@ class PlanSpec extends SparkTestBase {
       s"expected no UDF in the decode path:\n$plan")
   }
 
+  test("q182: the encode fold runs on the broadcast vocabulary, never per occurrence") {
+    // the corpus-side join must be a broadcast of the vocab→length
+    // table; a SortMergeJoin here means the vocabulary collapse was
+    // lost and the per-word fold would run per corpus occurrence
+    val plan = finalPlan("q182_bpe_encode")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the encoded vocabulary to broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"expected no shuffle join in the encode path:\n$plan")
+  }
+
   test("q180: source rides the explode — the only join is the broadcast of per-source totals") {
     // the carry-column design exists so boilerplate detection never
     // re-attaches `source` with a corpus-sized doc_id join; the one
