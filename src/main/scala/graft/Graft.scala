@@ -564,6 +564,19 @@ object Graft {
     def bpeTrainMerges(textCol: String, n: Int): Seq[operators.Bpe.Merge] =
       operators.Bpe.trainMerges(df, textCol, n)
 
+    /** ENCODE a corpus with a trained merge artifact (rank-ordered
+      * application, the tokenizers-BPE shape): per-document token
+      * counts before/after plus chars-per-token compression — the
+      * corpus-in-tokens price check before a training run. The exact
+      * greedy fold runs once per DISTINCT word (vocabulary collapse,
+      * broadcast back), never per occurrence; q182. Pass
+      * `bpeTrainMerges(...).map(m => m.left -> m.right)` or a shipped
+      * merges.txt. Returns (idCol, n_words, n_chars, n_bpe,
+      * compression). */
+    def bpeEncodedCounts(idCol: String, textCol: String,
+        merges: Seq[(String, String)]): DataFrame =
+      operators.Bpe.encodedCounts(df, idCol, textCol, merges)
+
     /** Z-order the frame for a multi-column-prunable write: scale both
       * dimension columns to 16 bits from one broadcast min/max pass,
       * Morton-interleave them (operators.ZOrder), and range-partition +

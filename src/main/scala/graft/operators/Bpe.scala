@@ -65,6 +65,31 @@ object Bpe {
       case (s, (a, b)) => applyMerge(s, a, b)
     }
 
+  /** Corpus encode with a trained artifact: per-id token counts
+    * before/after [[encodeWord]] plus chars-per-token compression
+    * (unrounded — callers round for oracles). Vocabulary collapse: the
+    * fold runs once per DISTINCT word and the (word → encoded length)
+    * table broadcasts back to the exploded stream — at 100 TB the
+    * vocabulary is millions of short rows (broadcastable) while the
+    * corpus is not, and the interpreted higher-order fold is exactly
+    * the cost to keep off the corpus-sized path. Single source for
+    * q182 and the facade (the wave-45 review lesson: one
+    * implementation, several call sites). */
+  def encodedCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("__w"))
+    val vocab = toks.select(col("__w")).distinct()
+      .select(col("__w"), size(encodeWord(col("__w"), merges)).as("__enc"))
+    toks.join(broadcast(vocab), "__w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(length(col("__w"))).cast("long").as("n_chars"),
+        sum(col("__enc")).cast("long").as("n_bpe"))
+      .withColumn("compression", when(col("n_bpe") > 0,
+        col("n_chars").cast("double") / col("n_bpe")))
+  }
+
   /** Train `numMerges` BPE merges over the whitespace/punct-tokenized
     * words of `textCol`. Stops early (shorter result) if the corpus runs
     * out of adjacent pairs. */

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 import graft.operators.{Bpe, TextOps}
 import graft.sources.Tables
@@ -80,23 +79,13 @@ object Extras47 {
            |FROM base b JOIN fin USING (doc_id)""".stripMargin
       }) { (spark, dir) =>
       import spark.implicits._
-      val one = lit(1)
-      val toks = Tables(spark, dir).documents
-        .select($"doc_id", explode(TextOps.tokens($"text")).as("w"))
-      // vocabulary-collapse: the fold runs once per DISTINCT word; the
-      // (word → encoded length) table is vocabulary-sized → broadcast
-      val vocab = toks.select($"w").distinct()
-        .select($"w",
-          size(Bpe.encodeWord($"w", EncMerges)).as("__enc"))
-      toks.join(broadcast(vocab), "w")
-        .groupBy($"doc_id")
-        .agg(count(one).cast(LongType).as("n_words"),
-          sum(length($"w")).cast(LongType).as("n_chars"),
-          sum($"__enc").cast(LongType).as("n_bpe"))
+      // vocabulary-collapse shape + fold: operators.Bpe.encodedCounts
+      // (single source with the facade); only the oracle rounding is
+      // applied here
+      Bpe.encodedCounts(Tables(spark, dir).documents,
+          "doc_id", "text", EncMerges)
         .select($"doc_id", $"n_words", $"n_chars", $"n_bpe",
-          when($"n_bpe" > 0,
-            round($"n_chars".cast("double") / $"n_bpe", 6))
-            .as("compression"))
+          round($"compression", 6).as("compression"))
     }
   )
 }

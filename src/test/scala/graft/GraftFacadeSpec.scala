@@ -329,5 +329,14 @@ class GraftFacadeSpec extends SparkTestBase {
     val flagged = tDocs.boilerplateShingles("id", "text", "src")
     assert(flagged.count() == 3 && // the template-internal shingles
       flagged.collect().forall(_.getAs[Long]("df") == 5L))
+
+    // encode with a trained-artifact-shaped merge list, rank order
+    // (t,h) then (th,e): "the" → [the]; "then" → [th,e,n] → [the,n]
+    val enc = Seq((1L, "the then")).toDF("id", "text")
+      .bpeEncodedCounts("id", "text", Seq("t" -> "h", "th" -> "e"))
+      .collect().head
+    assert(enc.getAs[Long]("n_words") == 2L &&
+      enc.getAs[Long]("n_chars") == 7L &&
+      enc.getAs[Long]("n_bpe") == 3L) // [the] + [the, n]
   }
 }
