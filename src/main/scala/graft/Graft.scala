@@ -572,7 +572,9 @@ object Graft {
       * broadcast back), never per occurrence; q182. Pass
       * `bpeTrainMerges(...).map(m => m.left -> m.right)` or a shipped
       * merges.txt. Returns (idCol, n_words, n_chars, n_bpe,
-      * compression). */
+      * compression); documents that tokenize to NOTHING are omitted
+      * (left-join back for explicit zeros). Long-lived sessions
+      * release the staged token stream via `Graft.sweep`. */
     def bpeEncodedCounts(idCol: String, textCol: String,
         merges: Seq[(String, String)]): DataFrame =
       operators.Bpe.encodedCounts(df, idCol, textCol, merges)

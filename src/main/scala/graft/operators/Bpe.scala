@@ -58,12 +58,26 @@ object Bpe {
     * data-independent at query time, so the whole encode statically
     * unrolls into one row-local expression — at corpus scale the right
     * plan collapses to the VOCABULARY first and encodes each distinct
-    * word once (q182), never per occurrence. */
+    * word once (q182), never per occurrence.
+    *
+    * Exact for ANY merge list, self-pairs (left == right) included —
+    * but q182's DuckDB-oracle equivalence (fixpoint string replace)
+    * holds only for left != right merges: on a run of ≥ 4 identical
+    * symbols, leftmost non-overlapping `replace` pairs (1,2)(4,5)…
+    * while the greedy fold pairs (1,2)(3,4)… — a different
+    * SEGMENTATION that a later merge can turn into different counts.
+    * The catalog artifact enforces that precondition (Extras47). */
   def encodeWord(w: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(
-      filter(split(w, ""), x => x =!= lit(""))) {
+    merges.foldLeft(chars(w)) {
       case (s, (a, b)) => applyMerge(s, a, b)
     }
+
+  /** Word → character symbol array. The filter guards the empty tail
+    * element `split(w, '')` emits — single source for the trainer and
+    * the encoder, so a change to the splitting rule (e.g.
+    * codepoint-safe splitting) lands in one place. */
+  private[operators] def chars(w: Column): Column =
+    filter(split(w, ""), x => x =!= lit(""))
 
   /** Corpus encode with a trained artifact: per-id token counts
     * before/after [[encodeWord]] plus chars-per-token compression
@@ -72,13 +86,22 @@ object Bpe {
     * table broadcasts back to the exploded stream — at 100 TB the
     * vocabulary is millions of short rows (broadcastable) while the
     * corpus is not, and the interpreted higher-order fold is exactly
-    * the cost to keep off the corpus-sized path. Single source for
-    * q182 and the facade (the wave-45 review lesson: one
-    * implementation, several call sites). */
+    * the cost to keep off the corpus-sized path. The token stream is
+    * STAGED once — the vocab build and the join's stream side would
+    * otherwise EACH re-run the corpus tokenize→explode (no
+    * ReusedExchange across join sides; the wave-45 review lesson,
+    * found twice). Documents whose text tokenizes to NOTHING
+    * (empty/NULL/punctuation-only) have no rows to explode and are
+    * OMITTED from the result — callers needing explicit zeros
+    * left-join this back to the document table. Single source for
+    * q182 and the facade. Long-lived sessions release the staged
+    * blocks via Staging.sweep. */
   def encodedCounts(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextOps.tokens(col(textCol))).as("__w"))
+    val toks = Staging.stage(
+      docs.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("__w")),
+      eager = false)
     val vocab = toks.select(col("__w")).distinct()
       .select(col("__w"), size(encodeWord(col("__w"), merges)).as("__enc"))
     toks.join(broadcast(vocab), "__w")
@@ -101,8 +124,7 @@ object Bpe {
     var wc = Staging.stage(
       docs.select(explode(TextOps.tokens(col(textCol))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
-        .select(expr("filter(split(w, ''), x -> x <> '')").as("syms"),
-          col("f")),
+        .select(chars(col("w")).as("syms"), col("f")),
       eager = false)
     // the frame one round behind wc: wc's lazy staged blocks READ it
     // until the round's action materializes them, so it is released only

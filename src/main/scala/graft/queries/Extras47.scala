@@ -37,10 +37,21 @@ import graft.sources.Tables
 object Extras47 {
 
   /** The fixed merge artifact, rank-ordered — the single source for the
-    * Spark fold AND the generated oracle patterns. */
+    * Spark fold AND the generated oracle patterns. PRECONDITION (the
+    * require below enforces it at catalog build): no self-pair merge
+    * (left == right). `Bpe.encodeWord` itself is exact for self-pairs,
+    * but the ORACLE's fixpoint-replace formulation is not — on a run of
+    * ≥ 4 identical symbols leftmost non-overlapping `replace` pairs
+    * (1,2)(4,5)… while greedy pairs (1,2)(3,4)…, and a later merge can
+    * turn that segmentation difference into a count difference. A
+    * trained artifact (`Bpe.trainMerges`) CAN legitimately contain
+    * self-pairs on repetitive corpora — such an artifact needs the
+    * Spark path only, not this oracle formulation. */
   private val EncMerges: Seq[(String, String)] = Seq(
     "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
     "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+  require(EncMerges.forall { case (a, b) => a != b },
+    "q182 oracle equivalence requires no self-pair merges")
 
   val all: Seq[Qry] = Seq(
 

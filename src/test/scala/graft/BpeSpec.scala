@@ -113,6 +113,15 @@ class BpeSpec extends SparkTestBase {
     assert(got("ananan") == Vector("an", "an", "an"))
     assert(got("rere") == Vector("r", "er", "e")) // er fires first
     assert(got("android") == Vector("and", "r", "o", "i", "d"))
+
+    // encodeWord is exact for SELF-PAIR merges too — greedy pairs
+    // (1,2)(3,4), leaving the tail symbol. (The q182 ORACLE's
+    // fixpoint-replace formulation is NOT — which is why the catalog
+    // artifact requires left != right; see Extras47.)
+    val self = Seq("aaaaa").toDF("w")
+      .select(Bpe.encodeWord(col("w"), Seq("a" -> "a")).as("e"))
+      .collect().head.getSeq[String](0).toVector
+    assert(self == Vector("aa", "aa", "a"), s"got $self")
   }
 
   test("round 1 equals q162's top single-step merge on the fixture") {
