@@ -16,26 +16,6 @@ object Extras18 {
     Tables(spark, dir)
   private val one = lit(1)
 
-  /** Per-JVM temp dirs for the format/partition round-trip queries (one
-    * write per (sfDir, kind) even when Verify and Bench both run in the
-    * same session). */
-  private val rtDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def roundTripDir(key: String): String =
-    rtDirs.computeIfAbsent(key, { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft_rt_")
-      // deleteOnExit can't remove non-empty directories — a recursive
-      // shutdown hook is what actually reclaims the round-trip data
-      // (same fix as Extras42; the advisor flagged the leak there)
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(d.toFile)
-      }
-      d.toString
-    })
 
   val all: Seq[Qry] = Seq(
 
@@ -106,7 +86,7 @@ object Extras18 {
          |FROM lineitem WHERE l_suppkey % 10 = 0
          |GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val out = roundTripDir(s"$dir#orc")
+      val out = RoundTrip.dir(s"$dir#orc")
       val src = t(spark, dir).lineitem
         .filter($"l_suppkey" % 10 === 0)
         .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
@@ -130,7 +110,7 @@ object Extras18 {
          |FROM events WHERE event_type = 'click'
          |GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val out = roundTripDir(s"$dir#evpart")
+      val out = RoundTrip.dir(s"$dir#evpart")
       val src = t(spark, dir).events
         .select($"event_type", $"ts", $"value")
       src.write.mode("overwrite").partitionBy("event_type").parquet(out)

@@ -32,22 +32,6 @@ object Extras42 {
   private def t(spark: org.apache.spark.sql.SparkSession, dir: String) =
     Tables(spark, dir)
 
-  private val rtDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def roundTripDir(key: String): String =
-    rtDirs.computeIfAbsent(key, { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft_rt_")
-      // deleteOnExit can't remove non-empty directories — a recursive
-      // shutdown hook is what actually reclaims the round-trip parquet
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
-        }
-        rm(d.toFile)
-      }
-      d.toString
-    })
 
   private val OutK = 5
 
@@ -154,7 +138,7 @@ object Extras42 {
          |  ${dsumSql("l_extendedprice")} AS price_sum
          |FROM u GROUP BY 1""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val out = roundTripDir(s"$dir#evol")
+      val out = RoundTrip.dir(s"$dir#evol")
       val li = t(spark, dir).lineitem
       li.filter($"l_orderkey" % 2 === 0)
         .select($"l_returnflag", $"l_quantity")
