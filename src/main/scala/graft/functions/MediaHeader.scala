@@ -18,6 +18,11 @@ import org.apache.spark.sql.types._
   *  - PNG: 8-byte signature (89 50 4E 47 0D 0A 1A 0A) then the IHDR
   *    chunk: u32 BE width @16, u32 BE height @20, u8 bit-depth @24,
   *    u8 color-type @25 — network byte order.
+  *  - WAV: RIFF container ("RIFF" @0, "WAVE" @8) with the canonical
+  *    "fmt " chunk first @12: u16 LE audio-format @20, u16 LE
+  *    channels @22, u32 LE sample-rate @24, u32 LE byte-rate @28,
+  *    u16 LE bits-per-sample @34 — the audio modality's structural
+  *    metadata, all little-endian.
   *
   * One EXPRESSION PER FIELD (not one struct decode) so column pruning
   * reaches the parse: a projection that needs only `width` never touches
@@ -153,4 +158,59 @@ case class PngColorType(child: Expression) extends HeaderField with PngMagic {
   override protected def withNewChildInternal(c: Expression): PngColorType =
     copy(child = c)
   override def prettyName: String = "png_color_type"
+}
+
+/** Shared WAV magic: the canonical RIFF/WAVE container prefix — "RIFF"
+  * at 0, "WAVE" at 8, and the "fmt " chunk as the FIRST subchunk at 12
+  * (the layout every PCM writer emits; a file whose fmt chunk floats
+  * later is treated as unparseable → NULL, same contract as a short
+  * payload — chunk walking is codec-tier work, not header-field work).
+  * All fmt fields are little-endian per the RIFF specification. */
+trait WavMagic { self: HeaderField =>
+  protected def magicOk(a: Array[Byte]): Boolean =
+    a(0) == 0x52 && a(1) == 0x49 && a(2) == 0x46 && a(3) == 0x46 &&
+      a(8) == 0x57 && a(9) == 0x41 && a(10) == 0x56 && a(11) == 0x45 &&
+      a(12) == 0x66 && a(13) == 0x6D && a(14) == 0x74 && a(15) == 0x20
+  protected def magicJava(a: String): String =
+    s"$a[0] == 0x52 && $a[1] == 0x49 && $a[2] == 0x46 && $a[3] == 0x46" +
+      s" && $a[8] == 0x57 && $a[9] == 0x41 && $a[10] == 0x56" +
+      s" && $a[11] == 0x45 && $a[12] == 0x66 && $a[13] == 0x6D" +
+      s" && $a[14] == 0x74 && $a[15] == 0x20"
+  protected def bigEndian: Boolean = false
+}
+
+case class WavAudioFormat(child: Expression) extends HeaderField with WavMagic {
+  protected val offset = 20; protected val size = 2
+  override protected def withNewChildInternal(c: Expression): WavAudioFormat =
+    copy(child = c)
+  override def prettyName: String = "wav_audio_format"
+}
+
+case class WavChannels(child: Expression) extends HeaderField with WavMagic {
+  protected val offset = 22; protected val size = 2
+  override protected def withNewChildInternal(c: Expression): WavChannels =
+    copy(child = c)
+  override def prettyName: String = "wav_channels"
+}
+
+case class WavSampleRate(child: Expression) extends HeaderField with WavMagic {
+  protected val offset = 24; protected val size = 4
+  override protected def withNewChildInternal(c: Expression): WavSampleRate =
+    copy(child = c)
+  override def prettyName: String = "wav_sample_rate"
+}
+
+case class WavByteRate(child: Expression) extends HeaderField with WavMagic {
+  protected val offset = 28; protected val size = 4
+  override protected def withNewChildInternal(c: Expression): WavByteRate =
+    copy(child = c)
+  override def prettyName: String = "wav_byte_rate"
+}
+
+case class WavBitsPerSample(child: Expression) extends HeaderField
+    with WavMagic {
+  protected val offset = 34; protected val size = 2
+  override protected def withNewChildInternal(c: Expression): WavBitsPerSample =
+    copy(child = c)
+  override def prettyName: String = "wav_bits_per_sample"
 }

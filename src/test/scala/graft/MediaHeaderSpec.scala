@@ -82,6 +82,41 @@ class MediaHeaderSpec extends SparkTestBase {
     (0 until 4).foreach(i => assert(r.isNullAt(i), s"field $i"))
   }
 
+  /** Independent WAV serializer (java.nio, canonical 44-byte PCM header
+    * with an empty data chunk — not the le_encode_* path q185 uses). */
+  private def wav(ch: Int, rate: Int, bits: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36)
+    b.put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(ch.toShort).putInt(rate)
+    b.putInt(rate * ch * (bits / 8)).putShort((ch * (bits / 8)).toShort)
+    b.putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(0)
+    b.array()
+  }
+
+  test("WAV: independently serialized fmt chunk decodes field-exact") {
+    val r = Seq(Tuple1(wav(2, 44100, 16))).toDF("b")
+      .selectExpr("wav_audio_format(b) AS f", "wav_channels(b) AS c",
+        "wav_sample_rate(b) AS r", "wav_byte_rate(b) AS br",
+        "wav_bits_per_sample(b) AS p").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4)) == ((1, 2, 44100, 44100 * 2 * 2, 16)))
+  }
+
+  test("WAV NULL contract: short, corrupt-magic, cross-format, late fmt") {
+    // a RIFF/WAVE file whose first subchunk is NOT "fmt " (here "LIST")
+    // is declared unparseable — chunk walking is codec-tier work
+    val late = wav(1, 8000, 8)
+    System.arraycopy("LIST".getBytes("US-ASCII"), 0, late, 12, 4)
+    val r = Seq((wav(1, 8000, 8).take(30), png1x1, late, wav(6, 96000, 24)))
+      .toDF("short", "png", "late", "ok")
+      .selectExpr("wav_bits_per_sample(short) AS a", "wav_channels(png) AS b",
+        "wav_sample_rate(late) AS c", "wav_channels(ok) AS d").head()
+    (0 until 3).foreach(i => assert(r.isNullAt(i), s"field $i"))
+    assert(r.getInt(3) == 6)
+  }
+
   test("interpreted eval matches codegen output") {
     // Literal.eval exercises nullSafeEval (the non-codegen path); the
     // DataFrame asserts above ran through whole-stage codegen
@@ -91,5 +126,7 @@ class MediaHeaderSpec extends SparkTestBase {
     assert(BmpBpp(Literal(bmp(33, 7, 1))).eval() == 1)
     assert(BmpWidth(Literal("nope".getBytes("UTF-8"))).eval() == null)
     assert(PngHeight(Literal(png1x1.take(19))).eval() == null)
+    assert(WavSampleRate(Literal(wav(2, 48000, 32))).eval() == 48000)
+    assert(WavChannels(Literal(wav(2, 48000, 32).take(23))).eval() == null)
   }
 }

@@ -246,6 +246,18 @@ class PlanSpec extends SparkTestBase {
       s"expected no UDF in the decode path:\n$plan")
   }
 
+  test("q185: the WAV little-endian parse runs inside whole-stage codegen, no UDF") {
+    val plan = finalPlan("q185_wav_header")
+    assert("""\*\(\d+\) Project .*wav_sample_rate""".r.findFirstIn(plan).isDefined,
+      s"expected wav_sample_rate inside a codegen'd (*) projection:\n$plan")
+    assert(plan.contains("wav_channels") && plan.contains("wav_byte_rate") &&
+      plan.contains("wav_bits_per_sample") &&
+      plan.contains("wav_audio_format"),
+      s"expected all fmt-chunk-field expressions in the plan:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"expected no UDF in the decode path:\n$plan")
+  }
+
   test("q182: the encode fold runs on the broadcast vocabulary, never per occurrence") {
     // the corpus-side join must be a broadcast of the vocab→length
     // table; a SortMergeJoin here means the vocabulary collapse was
