@@ -11,14 +11,23 @@ import re
 import sys
 from pathlib import Path
 
-def norm(k):
-    """Normalize any key generation to a bare number: 'q36_ngram' -> '36',
-    'q36' -> '36', '36' -> '36' (round-5 Bench emits numeric keys)."""
-    return re.sub(r"^q", "", k.split("_")[0])
+def norm(k, base=10):
+    """Normalize any key generation to a bare decimal-number string:
+    'q36_ngram' -> '36', 'q36' -> '36', '36' -> '36' (round-5 decimal
+    keys), '10' -> '36' under base=36 (round-6 keys, declared by the
+    artifact's "kb":36 field — base-36 keys can be digits-only, so the
+    base is never sniffed from key shape). The historical 'q' PREFIX is
+    stripped only in the decimal generation: base-36 keys carry no
+    prefix, and 'q' is itself the base-36 digit for 26."""
+    k = k.split("_")[0]
+    if base == 10:
+        k = re.sub(r"^q", "", k)
+    return str(int(k, base))
 
 
 new = json.loads(Path(sys.argv[1]).read_text())
-nq = {norm(k): v for k, v in new["queries"].items()}
+kb = int(new.get("kb", 10))
+nq = {norm(k, kb): v for k, v in new["queries"].items()}
 
 
 def load(path):
