@@ -246,6 +246,52 @@ class PlanSpec extends SparkTestBase {
       s"expected no UDF in the decode path:\n$plan")
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the partitioned fact scan at runtime") {
+    // The star-join shape DPP exists for at 100 TB: the fact side is
+    // partitioned on the join key, the dim filter is only known at plan
+    // time on the DIM side, and Spark injects a runtime subquery filter
+    // into the fact scan's PartitionFilters so unselected partitions are
+    // never listed or read. Two measured preconditions pinned here:
+    // both sides are real parquet reads (a LocalRelation dim would have
+    // its filter constant-folded away), and the dim predicate must be
+    // LIKELY-SELECTIVE in PartitionPruning's sense — a literal
+    // comparison/IN/LIKE. A bare boolean column (`filter($"keep")`) is
+    // NOT on that list and silently disables DPP; the string-equality
+    // form below is the shape that prunes.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp_")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try {
+      val ev = graft.sources.Tables(spark, sf).events
+        .select($"event_type", $"value")
+      ev.write.mode("overwrite").partitionBy("event_type")
+        .parquet(s"$base/fact")
+      ev.select($"event_type").distinct()
+        .withColumn("cat",
+          when(col("event_type").isin("click", "purchase"), lit("keep"))
+            .otherwise(lit("drop")))
+        .write.mode("overwrite").parquet(s"$base/dim")
+      val fact = spark.read.parquet(s"$base/fact")
+      val dim = spark.read.parquet(s"$base/dim").filter($"cat" === "keep")
+      val q = fact.join(dim, Seq("event_type"))
+        .groupBy($"event_type").agg(sum($"value").as("v"))
+      val rows = q.collect()
+      assert(rows.map(_.getString(0)).sorted.toSeq ==
+        Seq("click", "purchase"), "join result should be the kept slice")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"expected a runtime dynamicpruningexpression PartitionFilter " +
+          s"on the fact scan:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.maxMetadataStringLength")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(base.toFile)
+    }
+  }
+
   test("q185: the WAV little-endian parse runs inside whole-stage codegen, no UDF") {
     val plan = finalPlan("q185_wav_header")
     assert("""\*\(\d+\) Project .*wav_sample_rate""".r.findFirstIn(plan).isDefined,
