@@ -216,6 +216,12 @@ object Bench {
         s""""c50":$c50,"c99":$c99"""
       } catch { case t: Throwable =>
         System.err.println(s"[bench] latency envelope failed: $t"); "" }
+    // The latency probe narrowed shuffle.partitions to its state-store
+    // sizing (8); the z95/rem re-measures below exist to be COMPARABLE
+    // to the timed loop's at-position numbers, so restore the session's
+    // parallelism first — an 8-partition re-measure of a 32-partition
+    // reading would fold a config delta into the session-age signal.
+    spark.conf.set("spark.sql.shuffle.partitions", GraftSession.cpus)
     // End-of-session re-measure of q95 (the round-5 judge's flagged
     // driver-only climber): the timed loop measured it at its usual
     // position (~170th); this second sample lands AFTER the full catalog
