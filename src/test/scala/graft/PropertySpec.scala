@@ -250,4 +250,80 @@ class PropertySpec extends SparkTestBase {
     assert(r.getAs[Double]("containment") == 1.0 &&
       r.getAs[Double]("jaccard") < 1.0)
   }
+
+  test("property: media-header parses invert an independent serializer " +
+      "over the full field domains") {
+    // Random field values serialized with java.nio (not the le_encode_*
+    // path the queries use) must round-trip through every header-field
+    // expression — including the signed/unsigned edges the fixed specs
+    // can't sweep: BMP height is SIGNED i32 (top-down bitmaps), u16
+    // fields cover the full 0..65535 range (getShort sign-extends if
+    // masked wrong), PNG is big-endian. Interpreted eval per case (no
+    // job), then one batched DataFrame pass cross-checks codegen.
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions._
+    def wav(ch: Int, rate: Int, bits: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(36).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      b.put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(ch.toShort).putInt(rate)
+      b.putInt(0).putShort(0).putShort(bits.toShort)
+      b.array()
+    }
+    def bmp(w: Int, h: Int, bpp: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(0).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(bpp.toShort)
+      b.array()
+    }
+    def png(w: Int, h: Int, depth: Int, color: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(26).order(ByteOrder.BIG_ENDIAN)
+      b.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      b.putInt(w).putInt(h).put(depth.toByte).put(color.toByte)
+      b.array()
+    }
+    val u16 = Gen.choose(0, 65535)
+    val u8 = Gen.choose(0, 255)
+    val i32 = Gen.choose(Int.MinValue, Int.MaxValue)
+    val pos31 = Gen.choose(1, Int.MaxValue)
+    val wavGen = Gen.zip(u16, pos31, u16)
+    val bmpGen = Gen.zip(i32, i32, u16)
+    val pngGen = Gen.zip(pos31, pos31, u8, u8)
+    check(Prop.forAll(wavGen, bmpGen, pngGen) {
+      case ((ch, rate, bits), (bw, bh, bpp), (pw, ph, depth, color)) =>
+      WavChannels(Literal(wav(ch, rate, bits))).eval() == ch &&
+      WavSampleRate(Literal(wav(ch, rate, bits))).eval() == rate &&
+      WavBitsPerSample(Literal(wav(ch, rate, bits))).eval() == bits &&
+      BmpWidth(Literal(bmp(bw, bh, bpp))).eval() == bw &&
+      BmpHeight(Literal(bmp(bw, bh, bpp))).eval() == bh &&
+      BmpBpp(Literal(bmp(bw, bh, bpp))).eval() == bpp &&
+      PngWidth(Literal(png(pw, ph, depth, color))).eval() == pw &&
+      PngHeight(Literal(png(pw, ph, depth, color))).eval() == ph &&
+      PngBitDepth(Literal(png(pw, ph, depth, color))).eval() == depth &&
+      PngColorType(Literal(png(pw, ph, depth, color))).eval() == color
+    }, tests = 40)
+    // codegen path over one generated batch must agree with interpreted
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 50).map { _ =>
+      (wav(rng.nextInt(65536), rng.nextInt(Int.MaxValue) + 1,
+        rng.nextInt(65536)),
+        bmp(rng.nextInt(), rng.nextInt(), rng.nextInt(65536)))
+    }
+    val got = rows.toDF("w", "b")
+      .selectExpr("wav_channels(w) c", "wav_sample_rate(w) r",
+        "wav_bits_per_sample(w) p", "bmp_width(b) x", "bmp_height(b) y",
+        "bmp_bpp(b) z")
+      .collect()
+    rows.zip(got).foreach { case ((wb, bb), r) =>
+      assert(r.getInt(0) == WavChannels(Literal(wb)).eval() &&
+        r.getInt(1) == WavSampleRate(Literal(wb)).eval() &&
+        r.getInt(2) == WavBitsPerSample(Literal(wb)).eval() &&
+        r.getInt(3) == BmpWidth(Literal(bb)).eval() &&
+        r.getInt(4) == BmpHeight(Literal(bb)).eval() &&
+        r.getInt(5) == BmpBpp(Literal(bb)).eval())
+    }
+  }
 }
