@@ -58,6 +58,8 @@ for ref, label in ((r3, "r3"), (r2, "r2")):
 print("slowest now:",
       sorted(nq.items(), key=lambda x: -x[1])[:10])
 for extra in ("ingest_rows_per_sec", "ingest_latency_ms", "lat_exp_ms",
-              "lat_ms"):
+              "lat_ms", "ingest_k", "lat", "z95"):
     if extra in new:
         print(extra, "=", new[extra])
+if "rem" in new:
+    print("rem =", {norm(k, kb): v for k, v in new["rem"].items()})
