@@ -250,18 +250,24 @@ object Bench {
     // one such stall; re-measuring the run's own outliers inside the same
     // artifact makes the distinction self-evidencing: spike at position
     // but rem ≈ family steady state → stall; rem confirms the cost → real.
-    val rem = try {
+    val rem = {
       val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(2)
-      val again = worst.map { case (name, _) =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        graft.operators.Staging.sweep(spark)
-        s""""${b36(name)}":${f1((System.nanoTime() - t0) / 1e9)}"""
+      // per-query fault isolation: one failed re-run records -1 for that
+      // entry instead of voiding the whole diagnostic block
+      val again = worst.flatMap { case (name, _) =>
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          graft.operators.Staging.sweep(spark)
+          Some(s""""${b36(name)}":${f1((System.nanoTime() - t0) / 1e9)}""")
+        } catch { case t: Throwable =>
+          System.err.println(s"[bench] rem re-measure of $name failed: $t")
+          Some(s""""${b36(name)}":-1""")
+        }
       }
-      s""","rem":{${again.mkString(",")}}"""
-    } catch { case t: Throwable =>
-      System.err.println(s"[bench] rem re-measure failed: $t"); "" }
+      if (again.isEmpty) "" else s""","rem":{${again.mkString(",")}}"""
+    }
     val latBlock = Seq(latJson, expJson).filter(_.nonEmpty) match {
       case Nil => ""
       case ps  => s""","lat":{${ps.mkString(",")}}"""
