@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   * commutative), so similarity queries are oracle-checkable with no
   * tolerance fudge.
   *
-  * Scale notes: these are pure codegen'd column expressions (Catalyst
-  * `ArrayAggregate`/`ZipWith`), so they vectorize inside whole-stage
-  * codegen with no UDF boundary. Brute-force top-k broadcasts the query
-  * side and streams the corpus; the IVF/LSH operators in Embeddings.scala
-  * bound the candidate set for cluster-scale corpora.
+  * Scale notes: these are pure Catalyst column expressions
+  * (`ArrayAggregate`/`ZipWith`) — no UDF/serialization boundary, but
+  * Spark's higher-order functions are `CodegenFallback` (the lambda
+  * fold evaluates interpreted over InternalRow inside the generated
+  * stage; verified against the 4.1.2 jars). That is still far cheaper
+  * than a Scala UDF (no encoder round-trip), and the engine keeps the
+  * fold off corpus-sized hot paths by construction: brute-force top-k
+  * broadcasts the query side and is the documented BASELINE, while the
+  * IVF/LSH operators in Embeddings.scala bound the candidate set the
+  * fold actually runs over at cluster scale.
   */
 object Vectors {
 
