@@ -9,10 +9,11 @@ import org.apache.spark.sql.Dataset
   * a Python pipeline would use.
   *
   * This is the SECOND of two decode tiers. Structural header metadata
-  * (width/height/bit-depth of BMP and PNG payloads) needs no codec and
-  * is parsed natively by the codegen'd Catalyst expressions in
-  * [[graft.functions.MediaHeader HeaderField]] (q177) — that is the
-  * first-class path and never leaves whole-stage codegen. ONLY the
+  * (width/height/bit-depth of BMP and PNG payloads, channels/sample-rate
+  * /bits of WAV) needs no codec and is parsed natively by the codegen'd
+  * Catalyst expressions in [[graft.functions.MediaHeader HeaderField]]
+  * (q177/q181/q185) — that is the first-class path and never leaves
+  * whole-stage codegen. ONLY the
   * pixel/sample-level work that requires an actual codec lands here, and
   * since no media codecs exist in this environment, `decodeStub` derives
   * deterministic fake dimensions/frame counts from the payload's md5.
