@@ -38,4 +38,30 @@ class CatalogInvariantSpec extends SparkTestBase {
     assert(offenders.isEmpty,
       s"unpartitioned cartesian products in: ${offenders.mkString(", ")}")
   }
+
+  test("projected bench line fits the driver's stdout-tail capture window") {
+    // The driver keeps ~2 KB of stdout tail and sbt appends a ~75 B
+    // [success] line after the bench JSON; a line that outgrows the
+    // window records parsed:null and silently voids the round's bench
+    // artifact (it happened in rounds 1, 2 and 4). Project the line's
+    // size from the CATALOG — base-36 key per query + a 4-byte typical
+    // time — plus the measured fixed overhead of the non-query blocks
+    // (metric/value/unit/kb, ingest_k spread, lat, z95, rem, sf:
+    // 1776 B observed at 185 queries ⇒ ~160 B fixed), and fail HERE,
+    // at test time, when growth approaches the window — not a round
+    // later in the driver's artifact.
+    val names = SparkEntry.queries.keys.toSeq
+    val keys = names.map(n => java.lang.Long.toString(
+      n.takeWhile(_ != '_').stripPrefix("q").toLong, 36))
+    assert(keys.distinct.size == keys.size, "base-36 keys must be unique")
+    // per entry: 2 quotes + colon + comma + ~3-byte 1-dp time = key + 7
+    // (calibrated: 1776 B real line at 185 queries ⇒ 8.7 B/entry avg)
+    val queriesBlock = keys.map(_.length + 7).sum
+    val projected = 160 + queriesBlock
+    val window = 2048 - 80 // capture tail minus sbt's [success] line
+    assert(projected <= window - 100,
+      s"projected bench line ${projected} B is within 100 B of the " +
+        s"~${window} B capture window: compress the line schema before " +
+        "growing the catalog (see Bench.scala key-encoding notes)")
+  }
 }
