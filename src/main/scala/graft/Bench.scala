@@ -1,9 +1,71 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Prior-round DRIVER per-query seconds (BENCH_r06 artifact, decimal
+    * query number -> s), the reference the spike-shaped "rem" re-measure
+    * below compares against. Two entries are rem-corrected by the r6
+    * artifact ITSELF (q122 8.5 -> 3.2, q99 5.0 -> 1.5: the end-of-session
+    * re-measures refuted the at-position spikes) — comparing against a
+    * spike would hide a real regression behind it. Queries newer than r6
+    * are absent and never rem-selected by ratio (no prior to move from).
+    */
+  private val priorDriverSec: Map[Int, Double] = Map(
+    1 -> 1.3, 2 -> 0.3, 3 -> 1.1, 4 -> 1.7, 5 -> 0.5, 6 -> 0.5, 7 -> 0.6,
+    8 -> 0.9, 9 -> 2.3, 10 -> 0.6, 11 -> 0.8, 12 -> 0.9, 13 -> 0.7,
+    14 -> 0.6, 15 -> 0.5, 16 -> 0.9, 17 -> 0.7, 18 -> 0.2, 19 -> 0.7,
+    20 -> 1.9, 21 -> 0.9, 22 -> 0.5, 23 -> 1.0, 24 -> 0.5, 25 -> 0.9,
+    26 -> 1.5, 27 -> 0.8, 28 -> 0.8, 29 -> 1.0, 30 -> 1.0, 31 -> 0.7,
+    32 -> 0.6, 33 -> 0.4, 34 -> 0.4, 35 -> 0.3, 36 -> 2.4, 37 -> 1.1,
+    38 -> 2.0, 39 -> 0.4, 40 -> 0.4, 41 -> 0.5, 42 -> 0.7, 43 -> 0.5,
+    44 -> 1.3, 45 -> 2.1, 46 -> 1.0, 47 -> 1.3, 48 -> 0.2, 49 -> 0.2,
+    50 -> 1.5, 51 -> 1.0, 52 -> 1.6, 53 -> 0.8, 54 -> 0.2, 55 -> 1.5,
+    56 -> 0.2, 57 -> 0.8, 58 -> 0.8, 59 -> 1.1, 60 -> 0.2, 61 -> 1.0,
+    62 -> 1.5, 63 -> 1.0, 64 -> 1.5, 65 -> 0.7, 66 -> 2.6, 67 -> 0.5,
+    68 -> 0.2, 69 -> 1.4, 70 -> 0.2, 71 -> 0.8, 72 -> 0.6, 73 -> 0.9,
+    74 -> 3.3, 75 -> 0.2, 76 -> 0.4, 77 -> 2.5, 78 -> 0.4, 79 -> 2.7,
+    80 -> 0.7, 81 -> 1.4, 82 -> 0.9, 83 -> 0.5, 84 -> 0.8, 85 -> 0.7,
+    86 -> 0.8, 87 -> 1.3, 88 -> 2.4, 89 -> 0.8, 90 -> 0.6, 91 -> 1.3,
+    92 -> 1.3, 93 -> 0.5, 94 -> 1.6, 95 -> 2.9, 96 -> 1.2, 97 -> 1.5,
+    98 -> 1.2, 99 -> 1.5, 100 -> 0.4, 101 -> 0.8, 102 -> 0.7, 103 -> 4.3,
+    104 -> 1.2, 105 -> 0.7, 106 -> 0.5, 107 -> 3.2, 108 -> 1.8, 109 -> 4.1,
+    110 -> 0.7, 111 -> 1.6, 112 -> 0.7, 113 -> 0.7, 114 -> 1.0, 115 -> 0.8,
+    116 -> 0.4, 117 -> 1.3, 118 -> 1.5, 119 -> 1.1, 120 -> 0.8, 121 -> 1.6,
+    122 -> 3.2, 123 -> 0.8, 124 -> 1.2, 125 -> 1.0, 126 -> 0.5, 127 -> 0.5,
+    128 -> 0.5, 129 -> 0.8, 130 -> 1.4, 131 -> 0.5, 132 -> 4.5, 133 -> 2.3,
+    134 -> 1.7, 135 -> 1.0, 136 -> 0.9, 137 -> 0.7, 138 -> 1.7, 139 -> 1.0,
+    140 -> 1.3, 141 -> 1.3, 142 -> 1.4, 143 -> 3.5, 144 -> 1.6, 145 -> 0.9,
+    146 -> 2.9, 147 -> 1.5, 148 -> 0.8, 149 -> 2.0, 150 -> 0.5, 151 -> 0.2,
+    152 -> 0.9, 153 -> 0.6, 154 -> 0.5, 155 -> 0.2, 156 -> 0.9, 157 -> 1.1,
+    158 -> 1.5, 159 -> 1.9, 160 -> 0.3, 161 -> 2.6, 162 -> 0.7, 163 -> 1.0,
+    164 -> 0.9, 165 -> 0.7, 166 -> 0.6, 167 -> 0.7, 168 -> 1.2, 169 -> 1.4,
+    170 -> 0.9, 171 -> 0.5, 172 -> 1.0, 173 -> 2.0, 174 -> 2.7, 175 -> 1.3,
+    176 -> 0.7, 177 -> 0.2, 178 -> 2.3, 179 -> 3.6, 180 -> 1.4, 181 -> 0.2,
+    182 -> 1.0, 183 -> 0.9, 184 -> 0.7, 185 -> 0.2)
+
+  /** (cumulative hypervisor-steal ticks, uptime seconds) from /proc —
+    * sampled at bench start and end so the emitted delta localizes VM
+    * descheduling to THIS bench window (the r6 verdict's ask: the 4-round
+    * ingest slide needs the artifact itself to name or exonerate steal).
+    * (-1, -1) when /proc is unreadable (non-Linux dev machine). */
+  private def stealUptime(): (Long, Double) = try {
+    val cpu = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      finally src.close()
+    }
+    val up = {
+      val src = scala.io.Source.fromFile("/proc/uptime")
+      try src.mkString.trim.split("\\s+")(0).toDouble
+      finally src.close()
+    }
+    (cpu(8).toLong, up)
+  } catch { case _: Throwable => (-1L, -1.0) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
+    val st0 = stealUptime()
     // a duplicate qN prefix would produce duplicate-keyed JSON below and
     // one timing would silently shadow the other — fail loudly BEFORE the
     // (long) measurement loop, not after it has burned the full run
@@ -72,6 +134,32 @@ object Bench {
       case (name, _) =>
         only.forall(_.contains(name.takeWhile(_ != '_')))
     }
+    // streaming ingest throughput (the reference's headline metric:
+    // msgs/sec through the buffer — here rows/sec through a full
+    // file-stream -> keyed-aggregation -> sink micro-batch pipeline).
+    def ingestOnce(): Double = {
+      val src = graft.streaming.Streams.fileStream(spark, sfDir, "events")
+      val t0 = System.nanoTime()
+      val agg = src.groupBy(org.apache.spark.sql.functions.col("event_type"))
+        .count()
+      val n = graft.streaming.Streams.runToMemory(agg, "complete")
+        .agg(org.apache.spark.sql.functions.sum("count")).head().getLong(0)
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+    // SESSION-START ingest sample ("ing0"): the r3->r6 driver artifacts
+    // showed a monotone 135k->105k->70k->26k rows/s slide with the r6
+    // spread TIGHT ([24,26,28]) — consistently slow for the whole
+    // end-of-session window, which a transient stall does not explain.
+    // One sample BEFORE the query sweep + the existing end-of-session
+    // triple makes the artifact self-localizing: start ~= end names the
+    // VM/scheduler, start >> end names session state accumulated by the
+    // 185-query sweep. The first (unrecorded) run absorbs the streaming
+    // path's one-time init — the end-of-session triple's first run paid
+    // that cost inside ITS window in every prior round, but here it
+    // would masquerade as "session state".
+    val ing0 = try { ingestOnce(); ingestOnce() }
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] ing0 probe failed: $t"); -1.0 }
     val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -110,28 +198,27 @@ object Bench {
       val r = math.rint(v * 10) / 10
       if (r == math.rint(r)) r.toLong.toString else r.toString
     }
+    // Per-query times (and the rem/z95 re-measures, which must stay
+    // comparable to them) are integer DECISECONDS, declared by "qd":10 —
+    // divide by 10 for seconds. Same precision as the old 1-dp seconds
+    // form at ~1.2 B/query less ("0.8" -> "8", "1.3" -> "13"): round 7's
+    // ing0/st fields and the widened rem block outgrew the stdout-tail
+    // window at 188 queries in 1-dp form (the CatalogInvariantSpec
+    // budget guard caught it at test time, as designed). Like "kb", the
+    // scale is DECLARED, never sniffed; tools/bench_compare.py
+    // normalizes all three generations off the kb/qd flags. The headline
+    // "value" total stays in seconds. Failures remain -1 sentinels.
+    def ds(v: Double): String = math.rint(v * 10).toLong.toString
     val qs = results.map { case (k, v) =>
-      "\"" + b36(k) + "\":" + (if (v < 0) "-1" else f1(v))
+      "\"" + b36(k) + "\":" + (if (v < 0) "-1" else ds(v))
     }.mkString("{", ",", "}")
     // failures (-1 sentinels) are excluded — summing them would make a
     // failing round report a BETTER total than a clean one
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
-    // streaming ingest throughput (the reference's headline metric:
-    // msgs/sec through the buffer — here rows/sec through a full
-    // file-stream -> keyed-aggregation -> sink micro-batch pipeline).
-    // THREE runs, emitted [min, median, max]: the r3→r5 driver artifacts
-    // showed a monotone slide (135k→105k→70k) that builder-side A/Bs
-    // called environmental — a single-run number can't distinguish
-    // variance from regression, a spread makes the claim self-evidencing.
-    def ingestOnce(): Double = {
-      val src = graft.streaming.Streams.fileStream(spark, sfDir, "events")
-      val t0 = System.nanoTime()
-      val agg = src.groupBy(org.apache.spark.sql.functions.col("event_type"))
-        .count()
-      val n = graft.streaming.Streams.runToMemory(agg, "complete")
-        .agg(org.apache.spark.sql.functions.sum("count")).head().getLong(0)
-      n / ((System.nanoTime() - t0) / 1e9)
-    }
+    // END-OF-SESSION ingest triple, emitted [min, median, max]: a single
+    // run can't distinguish variance from regression; the spread plus
+    // the session-start "ing0" sample above make the slide question
+    // self-evidencing (see ing0 comment).
     val ingestRuns = (1 to 3).map { _ =>
       try ingestOnce()
       catch { case t: Throwable =>
@@ -143,6 +230,11 @@ object Bench {
     // The Spark analog of one buffer "operation" is one micro-batch
     // trigger: split the events fixture into many files, admit one per
     // trigger, and read triggerExecution durations from query progress.
+    // saved BEFORE the probe narrows it, restored verbatim after the
+    // probes — restoring a constant (GraftSession.cpus) was correct only
+    // while sessions happened to start there (advisor r6)
+    val savedShufflePartitions =
+      spark.conf.get("spark.sql.shuffle.partitions")
     val latJson = try {
       import org.apache.spark.sql.functions.col
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -221,7 +313,7 @@ object Bench {
     // to the timed loop's at-position numbers, so restore the session's
     // parallelism first — an 8-partition re-measure of a 32-partition
     // reading would fold a config delta into the session-age signal.
-    spark.conf.set("spark.sql.shuffle.partitions", GraftSession.cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", savedShufflePartitions)
     // End-of-session re-measure of q95 (the round-5 judge's flagged
     // driver-only climber): the timed loop measured it at its usual
     // position (~170th); this second sample lands AFTER the full catalog
@@ -234,12 +326,15 @@ object Bench {
       SparkEntry.queries.get("q95_dup_degree_hist").map { fn =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // dt BEFORE the sweep, matching the timed loop's measurement
+        // boundary — including it biased re-measures high (advisor r6)
+        val dt = (System.nanoTime() - t0) / 1e9
         graft.operators.Staging.sweep(spark)
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
     } catch { case t: Throwable =>
       System.err.println(s"[bench] z95 re-measure failed: $t"); None }
-    val z95Json = z95.map(v => s""","z95":${f1(v)}""").getOrElse("")
+    val z95Json = z95.map(v => s""","z95":${ds(v)}""").getOrElse("")
     // End-of-session re-measure of the TWO SLOWEST timed queries ("rem").
     // Round-6 on-machine evidence: four same-code full-bench runs showed
     // one-shot 8-25 s spikes on a DIFFERENT query each run (q122 27.5 →
@@ -250,20 +345,36 @@ object Bench {
     // one such stall; re-measuring the run's own outliers inside the same
     // artifact makes the distinction self-evidencing: spike at position
     // but rem ≈ family steady state → stall; rem confirms the cost → real.
+    // SPIKE-SHAPED selection (widened from top-2-only in round 7): the r6
+    // verdict's q9/q107/q108/q109 cluster (~3x each on untouched code)
+    // fell outside the top-2 window and stayed unrefutable for a round.
+    // Re-measure (a) the run's two slowest, plus (b) every query whose
+    // in-run time is >= 2.5x its prior-round DRIVER time, prioritized by
+    // absolute excess, hard-capped at 8 entries (~10 B each; the
+    // CatalogInvariantSpec line budget accounts for the cap).
     val rem = {
-      val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(2)
+      val ok = results.filter(_._2 >= 0)
+      val worst = ok.sortBy(-_._2).take(2).map(_._1)
+      def qnum(n: String) = n.takeWhile(_ != '_').stripPrefix("q").toInt
+      val movers = ok.flatMap { case (name, v) =>
+        priorDriverSec.get(qnum(name))
+          .filter(p => v >= 2.5 * p).map(p => (name, v - p))
+      }.sortBy(-_._2).map(_._1)
+      val picked = (worst ++ movers).distinct.take(8)
       // per-query fault isolation: one failed re-run records -1 for that
       // entry instead of voiding the whole diagnostic block
-      val again = worst.flatMap { case (name, _) =>
+      val again = picked.map { name =>
         try {
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
+          // dt before the sweep — the timed loop's boundary (advisor r6)
+          val dt = (System.nanoTime() - t0) / 1e9
           graft.operators.Staging.sweep(spark)
-          Some(s""""${b36(name)}":${f1((System.nanoTime() - t0) / 1e9)}""")
+          s""""${b36(name)}":${ds(dt)}"""
         } catch { case t: Throwable =>
           System.err.println(s"[bench] rem re-measure of $name failed: $t")
-          Some(s""""${b36(name)}":-1""")
+          s""""${b36(name)}":-1"""
         }
       }
       if (again.isEmpty) "" else s""","rem":{${again.mkString(",")}}"""
@@ -279,7 +390,16 @@ object Bench {
     // sample; the spread's job is naming variance, not ±500 rows/s
     val ing = ingestRuns.map(r => math.rint(r / 1000).toLong)
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f1(total)},"unit":"sec","kb":36,"queries":$qs,"ingest_k":$ing$latBlock$z95Json$rem,"sf":"$sfName"}"""
+    val ing0Json =
+      s""","ing0":${if (ing0 < 0) -1 else math.rint(ing0 / 1000).toLong}"""
+    // steal delta over THIS bench window: [steal ticks, elapsed seconds]
+    // (USER_HZ ticks, so ticks/sec ~= average stolen cores). -1s when
+    // either sample failed.
+    val st1 = stealUptime()
+    val stJson =
+      if (st0._1 < 0 || st1._1 < 0) s""","st":[-1,-1]"""
+      else s""","st":[${st1._1 - st0._1},${math.rint(st1._2 - st0._2).toLong}]"""
+    val line = s"""{"metric":"total","value":${f1(total)},"unit":"sec","kb":36,"qd":10,"queries":$qs,"ingest_k":$ing$ing0Json$stJson$latBlock$z95Json$rem,"sf":"$sfName"}"""
     // The JSON line is the LAST stdout the JVM emits: rounds 1/2/4 lost
     // the artifact because async executor logs (continuous-trigger
     // TaskKilled WARNs) landed AFTER the println and pushed the head of

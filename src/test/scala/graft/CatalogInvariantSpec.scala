@@ -47,17 +47,20 @@ class CatalogInvariantSpec extends SparkTestBase {
     // size from the CATALOG — base-36 key per query + a 4-byte typical
     // time — plus the measured fixed overhead of the non-query blocks
     // (metric/value/unit/kb, ingest_k spread, lat, z95, rem, sf:
-    // 1776 B observed at 185 queries ⇒ ~160 B fixed), and fail HERE,
-    // at test time, when growth approaches the window — not a round
-    // later in the driver's artifact.
+    // 1776 B observed at 185 queries ⇒ ~160 B fixed; round 7 added
+    // "ing0" ~11 B, "st" ~18 B, and widened rem from 2 to ≤8 entries
+    // at ~10 B each ⇒ 250 B fixed), and fail HERE, at test time, when
+    // growth approaches the window — not a round later in the driver's
+    // artifact.
     val names = SparkEntry.queries.keys.toSeq
     val keys = names.map(n => java.lang.Long.toString(
       n.takeWhile(_ != '_').stripPrefix("q").toLong, 36))
     assert(keys.distinct.size == keys.size, "base-36 keys must be unique")
-    // per entry: 2 quotes + colon + comma + ~3-byte 1-dp time = key + 7
-    // (calibrated: 1776 B real line at 185 queries ⇒ 8.7 B/entry avg)
-    val queriesBlock = keys.map(_.length + 7).sum
-    val projected = 160 + queriesBlock
+    // per entry: 2 quotes + colon + comma + deciseconds time = key + 6
+    // (round-7 "qd":10 schema: times are integer deciseconds, typically
+    // 2 digits — the 1-dp seconds form averaged ~3 digits)
+    val queriesBlock = keys.map(_.length + 6).sum
+    val projected = 250 + queriesBlock
     val window = 2048 - 80 // capture tail minus sbt's [success] line
     assert(projected <= window - 100,
       s"projected bench line ${projected} B is within 100 B of the " +

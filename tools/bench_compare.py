@@ -1,10 +1,16 @@
 #!/usr/bin/env python3
-"""Compare a local bench JSON line against BENCH_r02/BENCH_r03 artifacts.
+"""Compare a local bench JSON line against prior-round BENCH artifacts.
 
 Usage: python3 tools/bench_compare.py <new_bench.json>
 Artifacts store the raw stdout tail (r2's is truncated mid-line), so
 per-query times are regex-extracted and keys normalized to the qN prefix.
-Driver-side tooling only — not part of the Spark library.
+Both the reference artifacts AND the new line declare their key base via
+"kb" (36 since round 6; digit-only base-36 keys like '10' = q36 make the
+base unsniffable) and their per-query time scale via "qd" (10 since
+round 7: integer deciseconds). load() honors both flags per artifact
+(advisor r6: ignoring the ref's kb misattributed digit-only keys and
+dropped letter-leading ones). Driver-side tooling only — not part of the
+Spark library.
 """
 import json
 import re
@@ -14,7 +20,7 @@ from pathlib import Path
 def norm(k, base=10):
     """Normalize any key generation to a bare decimal-number string:
     'q36_ngram' -> '36', 'q36' -> '36', '36' -> '36' (round-5 decimal
-    keys), '10' -> '36' under base=36 (round-6 keys, declared by the
+    keys), '10' -> '36' under base=36 (round-6+ keys, declared by the
     artifact's "kb":36 field — base-36 keys can be digits-only, so the
     base is never sniffed from key shape). The historical 'q' PREFIX is
     stripped only in the decimal generation: base-36 keys carry no
@@ -27,23 +33,42 @@ def norm(k, base=10):
 
 new = json.loads(Path(sys.argv[1]).read_text())
 kb = int(new.get("kb", 10))
-nq = {norm(k, kb): v for k, v in new["queries"].items()}
+qd = int(new.get("qd", 1))
+nq = {norm(k, kb): v / qd for k, v in new["queries"].items()}
 
 
 def load(path):
+    """Extract per-query seconds from an artifact's stdout tail, scoped
+    to the "queries":{...} block so flag/diagnostic fields ("kb", "b50",
+    "st", ...) can't masquerade as base-36 query keys."""
     try:
         tail = json.loads(Path(path).read_text()).get("tail", "")
     except Exception:
         return {}
-    return {norm(m.group(1)): float(m.group(2))
-            for m in re.finditer(r'"(q?\d+[a-z_]*)":(-?[0-9.]+)', tail)}
+    m = re.search(r'"kb":(\d+)', tail)
+    base = int(m.group(1)) if m else 10
+    m = re.search(r'"qd":(\d+)', tail)
+    div = int(m.group(1)) if m else 1
+    # non-greedy up to the first '}' covers complete lines; a truncated
+    # tail (r2) simply yields whatever pairs survived truncation
+    m = re.search(r'"queries":\{([^}]*)', tail)
+    blk = m.group(1) if m else tail
+    pat = (r'"([0-9a-z]+)":(-?[0-9.]+)' if base == 36
+           else r'"(q?\d+[a-z_]*)":(-?[0-9.]+)')
+    out = {}
+    for mm in re.finditer(pat, blk):
+        try:
+            out[norm(mm.group(1), base)] = float(mm.group(2)) / div
+        except ValueError:
+            pass
+    return out
 
 
-r3 = load("BENCH_r03.json")
-r2 = load("BENCH_r02.json")
+r6 = load("BENCH_r06.json")
+r5 = load("BENCH_r05.json")
 
 print(f"total={new['value']}s  n={len(nq)}")
-for ref, label in ((r3, "r3"), (r2, "r2")):
+for ref, label in ((r6, "r6"), (r5, "r5")):
     common = [k for k in nq if k in ref and nq[k] >= 0 and ref[k] >= 0]
     if not common:
         print(f"vs {label}: no comparable queries")
@@ -57,9 +82,9 @@ for ref, label in ((r3, "r3"), (r2, "r2")):
         print(f"  {k}: {ref[k]:.2f} -> {nq[k]:.2f}")
 print("slowest now:",
       sorted(nq.items(), key=lambda x: -x[1])[:10])
-for extra in ("ingest_rows_per_sec", "ingest_latency_ms", "lat_exp_ms",
-              "lat_ms", "ingest_k", "lat", "z95"):
+for extra in ("ingest_k", "ing0", "st", "lat", "z95"):
     if extra in new:
-        print(extra, "=", new[extra])
+        val = new[extra] / qd if extra == "z95" else new[extra]
+        print(extra, "=", val)
 if "rem" in new:
-    print("rem =", {norm(k, kb): v for k, v in new["rem"].items()})
+    print("rem =", {norm(k, kb): v / qd for k, v in new["rem"].items()})
