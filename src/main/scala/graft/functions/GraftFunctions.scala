@@ -63,16 +63,20 @@ object GraftFunctions {
       es => PngBitDepth(es.head)),
     fn("png_color_type", "PNG IHDR color type @25 (NULL unless signature)",
       es => PngColorType(es.head)),
-    fn("wav_audio_format", "WAV u16 LE fmt tag @20 (NULL unless RIFF/WAVE)",
+    fn("wav_audio_format",
+      "WAV u16 LE fmt tag, fmt chunk @0 (chunk-walked; NULL if no fmt)",
       es => WavAudioFormat(es.head)),
-    fn("wav_channels", "WAV u16 LE channel count @22 (NULL unless RIFF/WAVE)",
+    fn("wav_channels",
+      "WAV u16 LE channel count, fmt chunk @2 (chunk-walked; NULL if no fmt)",
       es => WavChannels(es.head)),
-    fn("wav_sample_rate", "WAV u32 LE sample rate @24 (NULL unless RIFF/WAVE)",
+    fn("wav_sample_rate",
+      "WAV u32 LE sample rate, fmt chunk @4 (chunk-walked; NULL if no fmt)",
       es => WavSampleRate(es.head)),
-    fn("wav_byte_rate", "WAV u32 LE byte rate @28 (NULL unless RIFF/WAVE)",
+    fn("wav_byte_rate",
+      "WAV u32 LE byte rate, fmt chunk @8 (chunk-walked; NULL if no fmt)",
       es => WavByteRate(es.head)),
     fn("wav_bits_per_sample",
-      "WAV u16 LE bits per sample @34 (NULL unless RIFF/WAVE)",
+      "WAV u16 LE bits per sample, fmt chunk @14 (chunk-walked; NULL if no fmt)",
       es => WavBitsPerSample(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),

@@ -104,17 +104,77 @@ class MediaHeaderSpec extends SparkTestBase {
       r.getInt(4)) == ((1, 2, 44100, 44100 * 2 * 2, 16)))
   }
 
-  test("WAV NULL contract: short, corrupt-magic, cross-format, late fmt") {
-    // a RIFF/WAVE file whose first subchunk is NOT "fmt " (here "LIST")
-    // is declared unparseable — chunk walking is codec-tier work
-    val late = wav(1, 8000, 8)
-    System.arraycopy("LIST".getBytes("US-ASCII"), 0, late, 12, 4)
-    val r = Seq((wav(1, 8000, 8).take(30), png1x1, late, wav(6, 96000, 24)))
-      .toDF("short", "png", "late", "ok")
+  /** Independent CHUNKED WAV serializer: arbitrary metadata chunks
+    * before fmt, each word-aligned with a pad byte after odd payloads —
+    * the spec-valid layouts (LIST/INFO/JUNK-first) the r6 canonical-only
+    * parse pinned as NULL and the r7 bounded chunk walk must decode. */
+  private def wavChunked(pre: Seq[(String, Array[Byte])], ch: Int,
+      rate: Int, bits: Int): Array[Byte] = {
+    val preLen = pre.map { case (_, d) => 8 + d.length + (d.length & 1) }.sum
+    val total = 12 + preLen + 8 + 16 + 8
+    val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+    b.put("WAVE".getBytes("US-ASCII"))
+    pre.foreach { case (id, d) =>
+      b.put(id.getBytes("US-ASCII")).putInt(d.length).put(d)
+      if ((d.length & 1) == 1) b.put(0.toByte)
+    }
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(ch.toShort).putInt(rate)
+    b.putInt(rate * ch * (bits / 8)).putShort((ch * (bits / 8)).toShort)
+    b.putShort(bits.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(0)
+    b.array()
+  }
+
+  test("WAV chunk walk: LIST-first and odd-sized-chunk files decode") {
+    // the r6 'LIST-first is NULL' pin, INVERTED: spec-valid non-canonical
+    // layouts parse (one pre-chunk, two pre-chunks, odd payload + pad)
+    val list = wavChunked(Seq("LIST" -> "INFOdata".getBytes("US-ASCII")),
+      2, 44100, 16)
+    val odd = wavChunked(Seq("JUNK" -> Array.fill[Byte](7)(9)), 1, 8000, 8)
+    val two = wavChunked(Seq("LIST" -> Array.fill[Byte](12)(1),
+      "bext" -> Array.fill[Byte](5)(2)), 6, 96000, 24)
+    val r = Seq((list, odd, two)).toDF("list", "odd", "two")
+      .selectExpr("wav_channels(list) AS a", "wav_sample_rate(list) AS b",
+        "wav_bits_per_sample(odd) AS c", "wav_channels(odd) AS d",
+        "wav_byte_rate(two) AS e", "wav_audio_format(two) AS f").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getInt(5)) == ((2, 44100, 8, 1, 96000 * 6 * 3, 1)))
+    // interpreted path walks identically (the DataFrame above ran
+    // through whole-stage codegen)
+    assert(WavChannels(Literal(list)).eval() == 2)
+    assert(WavBitsPerSample(Literal(odd)).eval() == 8)
+    assert(WavByteRate(Literal(two)).eval() == 96000 * 6 * 3)
+  }
+
+  test("WAV NULL contract: short, corrupt-magic, cross-format, no fmt, " +
+      "budget, hostile size") {
+    // a RIFF/WAVE file with NO fmt chunk anywhere (renaming fmt leaves
+    // its payload behind as an opaque chunk the walk must skip over)
+    val noFmt = wav(1, 8000, 8)
+    System.arraycopy("LIST".getBytes("US-ASCII"), 0, noFmt, 12, 4)
+    // fmt hidden behind more pre-chunks than the 8-chunk walk budget
+    val deep = wavChunked(
+      (1 to 9).map(i => s"jk0$i" -> Array.fill[Byte](2)(i.toByte)),
+      2, 44100, 16)
+    // corrupt chunk size 0xFFFFFFFF: must step past the bound and stop,
+    // not wrap negative (unsigned-read pin)
+    val hostile = wavChunked(Seq("LIST" -> Array.fill[Byte](4)(0)),
+      2, 44100, 16)
+    ByteBuffer.wrap(hostile, 16, 4).order(ByteOrder.LITTLE_ENDIAN)
+      .putInt(0xFFFFFFFF)
+    // fmt found but its payload truncated by the array bound
+    val truncated = wav(2, 44100, 16).take(23)
+    val r = Seq((wav(1, 8000, 8).take(30), png1x1, noFmt, deep, hostile,
+        truncated, wav(6, 96000, 24)))
+      .toDF("short", "png", "nofmt", "deep", "hostile", "trunc", "ok")
       .selectExpr("wav_bits_per_sample(short) AS a", "wav_channels(png) AS b",
-        "wav_sample_rate(late) AS c", "wav_channels(ok) AS d").head()
-    (0 until 3).foreach(i => assert(r.isNullAt(i), s"field $i"))
-    assert(r.getInt(3) == 6)
+        "wav_sample_rate(nofmt) AS c", "wav_channels(deep) AS d",
+        "wav_sample_rate(hostile) AS e", "wav_channels(trunc) AS f",
+        "wav_channels(ok) AS g").head()
+    (0 until 6).foreach(i => assert(r.isNullAt(i), s"field $i"))
+    assert(r.getInt(6) == 6)
   }
 
   test("interpreted eval matches codegen output") {
