@@ -2,7 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.Exact._
 import graft.functions.GraftFunctions
+import graft.operators.{Bpe, TextOps}
 import graft.sources.Tables
 
 /** Fiftieth coverage wave: NON-CANONICAL RIFF layouts through the
@@ -137,6 +139,133 @@ object Extras50 {
           expr("wav_sample_rate(blob)").as("sample_rate"),
           expr("wav_byte_rate(blob)").as("byte_rate"),
           expr("wav_bits_per_sample(blob)").as("bits"))
+    },
+
+    // ---- trained-BPE end-to-end -----------------------------------------
+    // Closes the r6 verdict's last tokenizer gap: `Bpe.trainMerges` was
+    // spec-only (sequential-reference BpeSpec); q162 oracled one merge
+    // step and q182 a FIXED artifact. Here the query TRAINS K=3 merges on
+    // the corpus (driver holds only the 3-row merge table — the actual
+    // merges.txt product) and encodes the corpus with them; the DuckDB
+    // oracle derives the SAME 3 merges from scratch — three unrolled
+    // rounds of (pair-count over the word-frequency table with
+    // per-position multiplicity → top-1 by (n DESC, a, b) → fixpoint
+    // leftmost-nonoverlap replace, one recursive CTE per round) — and
+    // applies them with q182's recursive encode. A single diverging
+    // merge reshapes n_bpe corpus-wide, so the hash match verifies the
+    // trainer end-to-end, not just the application. Fixpoint replace
+    // equals the greedy fold only for non-self-pair merges (the q182
+    // precondition, documented at Extras47.EncMerges); a trained
+    // artifact CAN contain self-pairs on repetitive corpora, so the
+    // builder asserts the precondition on the ARTIFACT and fails
+    // loudly rather than hash-diverging silently.
+    Qry(
+      "q187_bpe_train_encode", {
+        def round(k: Int, prev: String) =
+          s"""p$k AS (SELECT pr.a AS a, pr.b AS b, SUM(f) AS n FROM (
+             |    SELECT unnest(list_transform(range(1, len(sy)),
+             |        j -> {'a': sy[j], 'b': sy[j+1]})) AS pr, f
+             |    FROM (SELECT str_split(trim(s, '|'), '|') AS sy, f
+             |          FROM $prev))
+             |  GROUP BY 1, 2),
+             |t$k AS (SELECT '|' || a || '|' || b || '|' AS pat,
+             |    '|' || a || b || '|' AS rep
+             |  FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+             |r$k AS (SELECT s, f, FALSE AS done FROM $prev
+             |  UNION ALL
+             |  SELECT replace(s, pat, rep) AS s, f,
+             |    replace(s, pat, rep) = s AS done
+             |  FROM r$k, t$k WHERE NOT done),
+             |w$k AS (SELECT s, f FROM r$k WHERE done)""".stripMargin
+        s"""WITH RECURSIVE ${TextOps.oracleToksCte},
+           |words AS (SELECT w, COUNT(*) AS f
+           |  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+           |w0 AS (SELECT '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s, f
+           |  FROM words),
+           |${round(1, "w0")},
+           |${round(2, "w1")},
+           |${round(3, "w2")},
+           |pats AS (SELECT 1 AS i, pat, rep FROM t1
+           |  UNION ALL SELECT 2, pat, rep FROM t2
+           |  UNION ALL SELECT 3, pat, rep FROM t3),
+           |base AS (SELECT doc_id,
+           |    CAST(len(tk) AS BIGINT) AS n_words,
+           |    CAST(length(array_to_string(tk, '')) AS BIGINT) AS n_chars,
+           |    COALESCE(list_aggregate(list_transform(tk,
+           |      w -> '|' || regexp_replace(w, '(.)', '\\1|', 'g')),
+           |      'string_agg', ''), '') AS s
+           |  FROM toks WHERE len(tk) > 0),
+           |enc AS (
+           |  SELECT doc_id, s, 1 AS i FROM base
+           |  UNION ALL
+           |  SELECT e.doc_id, replace(e.s, p.pat, p.rep) AS s,
+           |    CASE WHEN replace(e.s, p.pat, p.rep) = e.s
+           |      THEN e.i + 1 ELSE e.i END AS i
+           |  FROM enc e JOIN pats p ON p.i = e.i
+           |  WHERE e.i <= 3),
+           |fin AS (SELECT doc_id,
+           |    CAST(length(s) - length(replace(s, '|', '')) AS BIGINT)
+           |      AS pipes
+           |  FROM enc WHERE i = 4)
+           |SELECT b.doc_id, b.n_words, b.n_chars,
+           |  fin.pipes - b.n_words AS n_bpe,
+           |  CASE WHEN fin.pipes - b.n_words > 0
+           |    THEN round(CAST(b.n_chars AS DOUBLE)
+           |      / (fin.pipes - b.n_words), 6) END AS compression
+           |FROM base b JOIN fin USING (doc_id)""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val trained = Bpe.trainMerges(docs, "text", 3)
+      require(trained.size == 3,
+        s"corpus trained only ${trained.size} of 3 merges")
+      val merges = trained.map(m => (m.left, m.right))
+      require(merges.forall { case (a, b) => a != b },
+        "trained artifact contains a self-pair merge — the oracle's " +
+          "fixpoint-replace formulation diverges from the greedy fold " +
+          "on such merges (Extras47 precondition); fail loudly")
+      Bpe.encodedCounts(docs, "doc_id", "text", merges)
+        .select($"doc_id", $"n_words", $"n_chars", $"n_bpe",
+          round($"compression", 6).as("compression"))
+    },
+
+    // ---- Avro round-trip ------------------------------------------------
+    // The one mainstream interchange format q183/q184 left out. The
+    // spark-avro CONNECTOR jar (which registers the "avro" shortName) is
+    // not in /opt/spark/jars, but Spark 4.1's spark-sql jar ships the
+    // complete avro FileFormat/serializer/deserializer stack
+    // (org.apache.spark.sql.avro.*) — only the
+    // META-INF DataSourceRegister entry is missing, so the format is
+    // addressed by its full class name. Unlike CSV/JSON, Avro is a
+    // BINARY format with the writer's schema embedded: doubles and
+    // timestamps survive bit-exact without the shortest-roundtrip
+    // rendering discipline the text formats needed. Same proof shape as
+    // q183: write a typed projection, read it back, aggregate; the
+    // oracle aggregates the original parquet, so the hash match proves
+    // bit-for-bit fidelity through the format.
+    Qry(
+      "q188_avro_roundtrip",
+      s"""SELECT p_brand, COUNT(*) AS n,
+         |  CAST(SUM(p_size) AS BIGINT) AS size_sum,
+         |  ${dsumSql("p_retailprice")} AS price_sum,
+         |  MIN(p_partkey) AS first_part,
+         |  MAX(p_partkey) AS last_part
+         |FROM part WHERE p_size % 3 = 0
+         |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+      val out = RoundTrip.dir(s"$dir#avro")
+      val src = Tables(spark, dir).part
+        .filter($"p_size" % 3 === 0)
+        .select($"p_partkey", $"p_brand", $"p_size", $"p_retailprice")
+      src.write.mode("overwrite").format(avroFmt).save(out)
+      spark.read.format(avroFmt).schema(src.schema).load(out)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum($"p_size").as("size_sum"),
+          dsum($"p_retailprice").as("price_sum"),
+          min($"p_partkey").as("first_part"),
+          max($"p_partkey").as("last_part"))
     }
   )
 }

@@ -220,6 +220,18 @@ class PlanSpec extends SparkTestBase {
     val logical = df.queryExecution.optimizedPlan.toString
     assert(!logical.contains("Deduplicate"),
       s"expected no Deduplicate in the shingle pipeline:\n$logical")
+    // the exchange-count half (r6 verdict ask #7): the A/B-measured
+    // shape is 7 SHUFFLE exchanges (hash/range partitioning; broadcast
+    // exchanges excluded — small-side broadcasts are free to come and
+    // go with stats). A silently re-added global distinct/repartition
+    // would raise this even while the Deduplicate check above stays
+    // quiet (e.g. a groupBy-based dedup).
+    val physical = df.queryExecution.executedPlan.toString
+    val shuffles =
+      "Exchange (hash|range)partitioning".r.findAllIn(physical).size
+    assert(shuffles <= 7,
+      s"q36 grew to $shuffles shuffle exchanges (pinned ceiling 7) — " +
+        s"a refactor re-added a shuffle:\n$physical")
   }
 
   test("q177: the BMP parse runs inside whole-stage codegen, no UDF") {
