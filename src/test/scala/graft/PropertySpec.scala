@@ -326,4 +326,50 @@ class PropertySpec extends SparkTestBase {
         r.getInt(5) == BmpBpp(Literal(bb)).eval())
     }
   }
+
+  test("property: WAV chunk walk inverts random-layout RIFF files") {
+    // Random metadata chunks (0-6, random ids/payload sizes incl. the
+    // odd-size pad-byte case) before fmt: the bounded walk must land on
+    // the fmt chunk wherever the layout put it — and must give up (NULL,
+    // not a wrong read) when the layout exceeds its 8-chunk budget.
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions._
+    def chunked(pre: Seq[(String, Array[Byte])], ch: Int, rate: Int,
+        bits: Int): Array[Byte] = {
+      val preLen =
+        pre.map { case (_, d) => 8 + d.length + (d.length & 1) }.sum
+      val total = 12 + preLen + 8 + 16
+      val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      b.put("WAVE".getBytes("US-ASCII"))
+      pre.foreach { case (id, d) =>
+        b.put(id.getBytes("US-ASCII")).putInt(d.length).put(d)
+        if ((d.length & 1) == 1) b.put(0.toByte)
+      }
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(ch.toShort).putInt(rate)
+      b.putInt(0).putShort(0).putShort(bits.toShort)
+      b.array()
+    }
+    // lowercase-alpha ids can never collide with "fmt " (trailing space)
+    val chunkGen = Gen.zip(
+      Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString),
+      Gen.choose(0, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 255).map(_.toByte)).map(_.toArray)))
+    val u16 = Gen.choose(0, 65535)
+    val pos31 = Gen.choose(1, Int.MaxValue)
+    check(Prop.forAll(Gen.choose(0, 6).flatMap(Gen.listOfN(_, chunkGen)),
+      u16, pos31, u16) { (pre, ch, rate, bits) =>
+      val b = chunked(pre, ch, rate, bits)
+      WavChannels(Literal(b)).eval() == ch &&
+      WavSampleRate(Literal(b)).eval() == rate &&
+      WavBitsPerSample(Literal(b)).eval() == bits &&
+      WavAudioFormat(Literal(b)).eval() == 1
+    }, tests = 40)
+    check(Prop.forAll(Gen.listOfN(9, chunkGen), u16, pos31, u16) {
+      (pre, ch, rate, bits) =>
+      WavChannels(Literal(chunked(pre, ch, rate, bits))).eval() == null
+    }, tests = 10)
+  }
 }
