@@ -78,6 +78,28 @@ object GraftFunctions {
     fn("wav_bits_per_sample",
       "WAV u16 LE bits per sample, fmt chunk @14 (chunk-walked; NULL if no fmt)",
       es => WavBitsPerSample(es.head)),
+    fn("gif_width", "GIF u16 LE width @6 (NULL unless GIF87a/89a)",
+      es => GifWidth(es.head)),
+    fn("gif_height", "GIF u16 LE height @8 (NULL unless GIF87a/89a)",
+      es => GifHeight(es.head)),
+    fn("jpeg_precision",
+      "JPEG u8 sample precision, SOF @0 (marker-walked; NULL if no SOF)",
+      es => JpegPrecision(es.head)),
+    fn("jpeg_height",
+      "JPEG u16 BE height, SOF @1 (marker-walked; NULL if no SOF)",
+      es => JpegHeight(es.head)),
+    fn("jpeg_width",
+      "JPEG u16 BE width, SOF @3 (marker-walked; NULL if no SOF)",
+      es => JpegWidth(es.head)),
+    fn("jpeg_components",
+      "JPEG u8 component count, SOF @5 (marker-walked; NULL if no SOF)",
+      es => JpegComponents(es.head)),
+    fn("mp4_timescale",
+      "MP4 u32 BE mvhd timescale (box-walked; NULL unless ftyp+moov/mvhd v0)",
+      es => Mp4Timescale(es.head)),
+    fn("mp4_duration",
+      "MP4 u32 BE mvhd duration (box-walked; NULL unless ftyp+moov/mvhd v0)",
+      es => Mp4Duration(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",

@@ -25,6 +25,17 @@ import org.apache.spark.sql.types._
   *    sample-rate @4, u32 LE byte-rate @8, u16 LE bits-per-sample @14
   *    within its payload — the audio modality's structural metadata,
   *    all little-endian.
+  *  - GIF: "GIF87a"/"GIF89a" signature, then the logical screen
+  *    descriptor: u16 LE width @6, u16 LE height @8 — fixed offsets.
+  *  - JPEG: SOI (FF D8) then u16-BE-length-prefixed marker segments;
+  *    dimensions live in the SOF0/SOF1/SOF2 frame header located by
+  *    [[JpegSofField]]'s bounded marker walk (real files carry
+  *    APP0/Exif/COM segments before SOF): u8 precision, u16 BE
+  *    height, u16 BE width, u8 components.
+  *  - MP4/ISO-BMFF: u32-BE-size-prefixed boxes; `moov`→`mvhd` located
+  *    by [[Mp4MvhdField]]'s bounded top-level box walk (ftyp-first
+  *    required): u32 BE timescale @20 / duration @24 of the mvhd box
+  *    — the video modality's structural metadata.
   *
   * One EXPRESSION PER FIELD (not one struct decode) so column pruning
   * reaches the parse: a projection that needs only `width` never touches
@@ -308,4 +319,285 @@ case class WavBitsPerSample(child: Expression) extends WavFmtField {
   override protected def withNewChildInternal(c: Expression): WavBitsPerSample =
     copy(child = c)
   override def prettyName: String = "wav_bits_per_sample"
+}
+
+/** Shared GIF magic: "GIF87a" or "GIF89a" at offset 0; the logical
+  * screen descriptor follows immediately (width u16 LE @6, height u16
+  * LE @8) — fixed offsets per the public GIF specification, so the
+  * simple [[HeaderField]] path applies (no walking needed). */
+trait GifMagic { self: HeaderField =>
+  protected def magicOk(a: Array[Byte]): Boolean =
+    a(0) == 0x47 && a(1) == 0x49 && a(2) == 0x46 && a(3) == 0x38 &&
+      (a(4) == 0x37 || a(4) == 0x39) && a(5) == 0x61
+  protected def magicJava(a: String): String =
+    s"$a[0] == 0x47 && $a[1] == 0x49 && $a[2] == 0x46 && $a[3] == 0x38" +
+      s" && ($a[4] == 0x37 || $a[4] == 0x39) && $a[5] == 0x61"
+  protected def bigEndian: Boolean = false
+}
+
+case class GifWidth(child: Expression) extends HeaderField with GifMagic {
+  protected val offset = 6; protected val size = 2
+  override protected def withNewChildInternal(c: Expression): GifWidth =
+    copy(child = c)
+  override def prettyName: String = "gif_width"
+}
+
+case class GifHeight(child: Expression) extends HeaderField with GifMagic {
+  protected val offset = 8; protected val size = 2
+  override protected def withNewChildInternal(c: Expression): GifHeight =
+    copy(child = c)
+  override def prettyName: String = "gif_height"
+}
+
+/** JPEG frame-header (SOF) fields located by a bounded MARKER-SEGMENT
+  * walk — the big-endian twin of [[WavFmtField]]'s RIFF walk, for the
+  * web's dominant image container.
+  *
+  * Layout per the public JPEG/JFIF specification: SOI (FF D8) then a
+  * sequence of marker segments — FF, marker id, u16 BE segment length
+  * (which INCLUDES the two length bytes) — until the scan data. The
+  * frame dimensions live in the SOF segment: FF C0 (baseline), FF C1
+  * (extended sequential) or FF C2 (progressive), payload = u8 sample
+  * precision, u16 BE height, u16 BE width, u8 component count. Real
+  * files put APP0/JFIF, APP1/Exif, COM and quantization tables before
+  * SOF, so a fixed-offset read cannot work — the walk skips at most 16
+  * segments. NULL when: the SOI magic fails, a segment doesn't start
+  * with FF (corrupt stream), a declared length is < 2 (would loop),
+  * SOS/EOI arrives before any SOF (scan data reached), the walk runs
+  * off the payload or its budget, or the SOF segment is too short for
+  * the field. Interpreted eval and codegen implement the identical
+  * walk. */
+abstract class JpegSofField extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  /** 0-based byte offset within the SOF payload (after the 2 length
+    * bytes): precision @0, height @1, width @3, components @5. */
+  protected def fieldOff: Int
+  protected def size: Int
+
+  protected final val segBudget = 16
+
+  /** Payload offset of the located SOF segment's data, or -1. */
+  private def sofBase(a: Array[Byte]): Int = {
+    if (a.length < 4 || (a(0) & 0xFF) != 0xFF || (a(1) & 0xFF) != 0xD8)
+      return -1
+    var p = 2
+    var i = 0
+    while (i < segBudget && p + 4 <= a.length) {
+      if ((a(p) & 0xFF) != 0xFF) return -1
+      val m = a(p + 1) & 0xFF
+      val len = ((a(p + 2) & 0xFF) << 8) | (a(p + 3) & 0xFF)
+      if (m == 0xC0 || m == 0xC1 || m == 0xC2)
+        return if (len >= 2 + fieldOff + size &&
+            p + 4 + fieldOff + size <= a.length) p + 4
+        else -1
+      if (m == 0xDA || m == 0xD9 || len < 2) return -1
+      p += 2 + len
+      i += 1
+    }
+    -1
+  }
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val a = bytes.asInstanceOf[Array[Byte]]
+    val base = sofBase(a)
+    if (base < 0) null
+    else {
+      var v = 0
+      var i = 0
+      while (i < size) { v = (v << 8) | (a(base + fieldOff + i) & 0xFF); i += 1 }
+      v
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val base = ctx.freshName("sofBase")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val len = ctx.freshName("len")
+      val need = fieldOff + size
+      val read = size match {
+        case 1 => s"$a[$base + $fieldOff] & 0xFF"
+        case 2 => s"((($a[$base + $fieldOff] & 0xFF) << 8)" +
+          s" | ($a[$base + $fieldOff + 1] & 0xFF))"
+      }
+      s"""int $base = -1;
+         |if ($a.length >= 4 && ($a[0] & 0xFF) == 0xFF
+         |    && ($a[1] & 0xFF) == 0xD8) {
+         |  int $p = 2;
+         |  for (int $i = 0; $i < $segBudget && $p + 4 <= $a.length; $i++) {
+         |    if (($a[$p] & 0xFF) != 0xFF) break;
+         |    int $m = $a[$p + 1] & 0xFF;
+         |    int $len = (($a[$p + 2] & 0xFF) << 8) | ($a[$p + 3] & 0xFF);
+         |    if ($m == 0xC0 || $m == 0xC1 || $m == 0xC2) {
+         |      if ($len >= 2 + $need && $p + 4 + $need <= $a.length) {
+         |        $base = $p + 4;
+         |      }
+         |      break;
+         |    }
+         |    if ($m == 0xDA || $m == 0xD9 || $len < 2) break;
+         |    $p += 2 + $len;
+         |  }
+         |}
+         |if ($base < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $read;
+         |}""".stripMargin
+    })
+}
+
+case class JpegPrecision(child: Expression) extends JpegSofField {
+  protected val fieldOff = 0; protected val size = 1
+  override protected def withNewChildInternal(c: Expression): JpegPrecision =
+    copy(child = c)
+  override def prettyName: String = "jpeg_precision"
+}
+
+case class JpegHeight(child: Expression) extends JpegSofField {
+  protected val fieldOff = 1; protected val size = 2
+  override protected def withNewChildInternal(c: Expression): JpegHeight =
+    copy(child = c)
+  override def prettyName: String = "jpeg_height"
+}
+
+case class JpegWidth(child: Expression) extends JpegSofField {
+  protected val fieldOff = 3; protected val size = 2
+  override protected def withNewChildInternal(c: Expression): JpegWidth =
+    copy(child = c)
+  override def prettyName: String = "jpeg_width"
+}
+
+case class JpegComponents(child: Expression) extends JpegSofField {
+  protected val fieldOff = 5; protected val size = 1
+  override protected def withNewChildInternal(c: Expression): JpegComponents =
+    copy(child = c)
+  override def prettyName: String = "jpeg_components"
+}
+
+/** MP4 / ISO-BMFF movie-header (mvhd) fields located by a bounded
+  * TOP-LEVEL BOX walk — the video modality's structural metadata.
+  *
+  * Layout per the public ISO base-media spec: the file is a sequence
+  * of boxes — u32 BE size (which includes the 8-byte header), 4-char
+  * type, payload. Real files lead with `ftyp` (the brand box, required
+  * "as early as possible" — this parser REQUIRES it first and treats
+  * its absence as unparseable, which is also what gives a corrupt
+  * corpus its NULL contract), may interleave `free`/`skip`/`wide`
+  * padding boxes, and carry the movie header inside `moov` → `mvhd`.
+  * The walk skips at most 8 top-level boxes looking for `moov`, then
+  * requires `mvhd` as its FIRST child (every real muxer's layout; a
+  * moov led by iods/udta is treated as unparseable rather than
+  * walked recursively — ONE bounded level keeps the hot loop flat).
+  * mvhd version must be 0 (u32 times; version 1's 64-bit times exceed
+  * IntegerType and are NULL by contract): timescale u32 BE @20 and
+  * duration u32 BE @24 from the mvhd box start.
+  *
+  * Box sizes are read UNSIGNED into a long (a corrupt size must step
+  * past the bound and terminate, not wrap); sizes < 8 (including the
+  * size-0 "to end of file" and size-1 "64-bit largesize" escapes)
+  * terminate the walk — bounded scope, documented. */
+abstract class Mp4MvhdField extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  /** 0-based byte offset of the u32 field from the mvhd BOX start. */
+  protected def fieldOff: Int
+
+  protected final val boxBudget = 8
+
+  private def is4cc(a: Array[Byte], p: Int, c: String): Boolean =
+    a(p) == c.charAt(0).toByte && a(p + 1) == c.charAt(1).toByte &&
+      a(p + 2) == c.charAt(2).toByte && a(p + 3) == c.charAt(3).toByte
+
+  /** Byte offset of the located mvhd box start, or -1. */
+  private def mvhdBase(a: Array[Byte]): Int = {
+    if (a.length < 12 || !is4cc(a, 4, "ftyp")) return -1
+    var p = 0L
+    var i = 0
+    while (i < boxBudget && p + 8 <= a.length) {
+      val q = p.toInt
+      val sz = java.nio.ByteBuffer.wrap(a, q, 4)
+        .order(java.nio.ByteOrder.BIG_ENDIAN).getInt() & 0xFFFFFFFFL
+      if (is4cc(a, q + 4, "moov")) {
+        val m = q + 8
+        return if (m + 12 <= a.length && is4cc(a, m + 4, "mvhd") &&
+            a(m + 8) == 0 && m + fieldOff + 4 <= a.length) m
+        else -1
+      }
+      if (sz < 8) return -1
+      p += sz
+      i += 1
+    }
+    -1
+  }
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val a = bytes.asInstanceOf[Array[Byte]]
+    val base = mvhdBase(a)
+    if (base < 0) null
+    else java.nio.ByteBuffer.wrap(a, base + fieldOff, 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).getInt()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val base = ctx.freshName("mvhdBase")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val q = ctx.freshName("q")
+      val m = ctx.freshName("m")
+      val sz = ctx.freshName("sz")
+      def cc(at: String, c: String) =
+        c.zipWithIndex.map { case (ch, k) =>
+          s"$a[$at + $k] == ${ch.toInt}"
+        }.mkString(" && ")
+      s"""int $base = -1;
+         |if ($a.length >= 12 && ${cc("4", "ftyp")}) {
+         |  long $p = 0;
+         |  for (int $i = 0; $i < $boxBudget && $p + 8 <= $a.length; $i++) {
+         |    int $q = (int) $p;
+         |    long $sz = java.nio.ByteBuffer.wrap($a, $q, 4)
+         |      .order(java.nio.ByteOrder.BIG_ENDIAN).getInt() & 0xFFFFFFFFL;
+         |    if (${cc(s"$q + 4", "moov")}) {
+         |      int $m = $q + 8;
+         |      if ($m + 12 <= $a.length && ${cc(s"$m + 4", "mvhd")}
+         |          && $a[$m + 8] == 0
+         |          && $m + $fieldOff + 4 <= $a.length) {
+         |        $base = $m;
+         |      }
+         |      break;
+         |    }
+         |    if ($sz < 8) break;
+         |    $p += $sz;
+         |  }
+         |}
+         |if ($base < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = java.nio.ByteBuffer.wrap($a, $base + $fieldOff, 4)
+         |    .order(java.nio.ByteOrder.BIG_ENDIAN).getInt();
+         |}""".stripMargin
+    })
+}
+
+case class Mp4Timescale(child: Expression) extends Mp4MvhdField {
+  protected val fieldOff = 20
+  override protected def withNewChildInternal(c: Expression): Mp4Timescale =
+    copy(child = c)
+  override def prettyName: String = "mp4_timescale"
+}
+
+case class Mp4Duration(child: Expression) extends Mp4MvhdField {
+  protected val fieldOff = 24
+  override protected def withNewChildInternal(c: Expression): Mp4Duration =
+    copy(child = c)
+  override def prettyName: String = "mp4_duration"
 }

@@ -177,6 +177,146 @@ class MediaHeaderSpec extends SparkTestBase {
     assert(r.getInt(6) == 6)
   }
 
+  /** Independent JPEG header serializer: SOI + arbitrary marker
+    * segments (u16 BE length INCLUDING the length bytes) + an SOF
+    * frame header — java.nio, not the le/be encode path the queries
+    * use. */
+  private def jpeg(pre: Seq[(Int, Array[Byte])], sofMarker: Int, prec: Int,
+      h: Int, w: Int, ncomp: Int): Array[Byte] = {
+    val preLen = pre.map { case (_, d) => 4 + d.length }.sum
+    val b = ByteBuffer.allocate(2 + preLen + 4 + 6)
+      .order(ByteOrder.BIG_ENDIAN)
+    b.put(0xFF.toByte).put(0xD8.toByte)
+    pre.foreach { case (m, d) =>
+      b.put(0xFF.toByte).put(m.toByte).putShort((2 + d.length).toShort)
+        .put(d)
+    }
+    b.put(0xFF.toByte).put(sofMarker.toByte).putShort(8.toShort)
+    b.put(prec.toByte).putShort(h.toShort).putShort(w.toShort)
+      .put(ncomp.toByte)
+    b.array()
+  }
+
+  /** Independent GIF header serializer (signature + logical screen
+    * descriptor). */
+  private def gif(ver: Char, w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(s"GIF8${ver}a".getBytes("US-ASCII"))
+    b.putShort(w.toShort).putShort(h.toShort)
+    b.put(0.toByte).put(0.toByte).put(0.toByte)
+    b.array()
+  }
+
+  test("JPEG marker walk: APP/COM segments before SOF0/SOF2 decode") {
+    val app0 = 0xE0 -> "JFIF data".getBytes("US-ASCII")
+    val exif = 0xE1 -> Array.fill[Byte](19)(7) // odd length: no padding in JPEG
+    val com = 0xFE -> "a comment".getBytes("US-ASCII")
+    val baseline = jpeg(Seq(app0), 0xC0, 8, 1080, 1920, 3)
+    val progressive = jpeg(Seq(app0, exif, com), 0xC2, 8, 480, 640, 3)
+    val bare = jpeg(Nil, 0xC1, 12, 7, 65535, 1)
+    val r = Seq((baseline, progressive, bare)).toDF("b", "p", "n")
+      .selectExpr("jpeg_width(b) AS a", "jpeg_height(b) AS bb",
+        "jpeg_precision(p) AS c", "jpeg_width(p) AS d",
+        "jpeg_height(p) AS e", "jpeg_components(p) AS f",
+        "jpeg_width(n) AS g", "jpeg_height(n) AS h").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+      r.getInt(5), r.getInt(6), r.getInt(7)) ==
+      ((1920, 1080, 8, 640, 480, 3, 65535, 7)))
+    // interpreted path walks identically
+    assert(JpegWidth(Literal(progressive)).eval() == 640)
+    assert(JpegComponents(Literal(bare)).eval() == 1)
+  }
+
+  test("JPEG NULL contract: no SOI, SOS before SOF, bad length, budget") {
+    val app0 = 0xE0 -> "JFIF".getBytes("US-ASCII")
+    // SOS (scan data) arrives before any SOF → stop, NULL
+    val sos = jpeg(Seq(app0, 0xDA -> Array.fill[Byte](5)(1)), 0xC0,
+      8, 10, 10, 3)
+    // a declared segment length of 0 would loop forever → NULL
+    val badLen = {
+      val b = jpeg(Seq(app0), 0xC0, 8, 10, 10, 3)
+      b(4) = 0; b(5) = 0 // APP0 length := 0
+      b
+    }
+    // 17 segments before SOF exceeds the 16-segment budget
+    val deep = jpeg((1 to 17).map(_ => 0xE5 -> Array.fill[Byte](2)(3)),
+      0xC0, 8, 10, 10, 3)
+    // truncated mid-SOF
+    val trunc = jpeg(Seq(app0), 0xC0, 8, 10, 10, 3).dropRight(3)
+    val r = Seq(("no".getBytes("UTF-8"), sos, badLen, deep, trunc))
+      .toDF("x", "s", "l", "d", "t")
+      .selectExpr("jpeg_width(x) AS a", "jpeg_width(s) AS b",
+        "jpeg_width(l) AS c", "jpeg_width(d) AS dd",
+        "jpeg_width(t) AS e").head()
+    (0 until 5).foreach(i => assert(r.isNullAt(i), s"field $i"))
+    assert(JpegWidth(Literal(sos)).eval() == null)
+  }
+
+  test("GIF: both signature versions decode; corrupt/short are NULL") {
+    val r = Seq((gif('9', 320, 200), gif('7', 65535, 1),
+        gif('9', 320, 200).take(8), "GIF10a??????".getBytes("US-ASCII")))
+      .toDF("a", "b", "c", "d")
+      .selectExpr("gif_width(a) w", "gif_height(a) h", "gif_width(b) w7",
+        "gif_height(b) h7", "gif_height(c) sh", "gif_width(d) bad").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) ==
+      ((320, 200, 65535, 1)))
+    assert(r.isNullAt(4) && r.isNullAt(5))
+    assert(GifWidth(Literal(gif('7', 12, 34))).eval() == 12)
+  }
+
+  /** Independent MP4 serializer: ftyp + arbitrary padding boxes + a
+    * moov whose first child is a v0 mvhd (java.nio, big-endian). */
+  private def mp4(pad: Seq[(String, Int)], timescale: Int,
+      duration: Int): Array[Byte] = {
+    val padLen = pad.map(_._2).sum
+    val b = ByteBuffer.allocate(24 + padLen + 8 + 28)
+      .order(ByteOrder.BIG_ENDIAN)
+    b.putInt(24).put("ftypisom".getBytes("US-ASCII"))
+      .putInt(512).put("isomiso2".getBytes("US-ASCII"))
+    pad.foreach { case (t, sz) =>
+      b.putInt(sz).put(t.getBytes("US-ASCII"))
+        .put(Array.fill[Byte](sz - 8)(0x6A))
+    }
+    b.putInt(36).put("moov".getBytes("US-ASCII"))
+    b.putInt(28).put("mvhd".getBytes("US-ASCII"))
+    b.putInt(0).putInt(0).putInt(0) // version0+flags, ctime, mtime
+    b.putInt(timescale).putInt(duration)
+    b.array()
+  }
+
+  test("MP4 box walk: padding boxes before moov decode; NULL contract") {
+    val canonical = mp4(Nil, 90000, 123456)
+    val padded = mp4(Seq("free" -> 16, "skip" -> 12), 600, Int.MaxValue)
+    // mvhd version 1 (64-bit times) is NULL by contract
+    val v1 = mp4(Nil, 1000, 42)
+    v1(24 + 16) = 1 // version byte inside mvhd
+    // no ftyp first
+    val noFtyp = mp4(Nil, 1000, 42)
+    noFtyp(4) = 'g'.toByte
+    // moov's first child is not mvhd
+    val udtaFirst = mp4(Nil, 1000, 42)
+    System.arraycopy("udta".getBytes("US-ASCII"), 0, udtaFirst, 24 + 12, 4)
+    // 9 padding boxes exceed the 8-box budget
+    val deep = mp4((1 to 9).map(i => "free" -> 16), 1000, 42)
+    // corrupt box size 0 would loop
+    val zeroSize = mp4(Seq("free" -> 16), 1000, 42)
+    ByteBuffer.wrap(zeroSize, 24, 4).putInt(0)
+    val r = Seq((canonical, padded, v1, noFtyp, udtaFirst, deep, zeroSize))
+      .toDF("c", "p", "v", "n", "u", "d", "z")
+      .selectExpr("mp4_timescale(c) a", "mp4_duration(c) b",
+        "mp4_timescale(p) cc", "mp4_duration(p) dd",
+        "mp4_duration(v) e", "mp4_duration(n) f",
+        "mp4_duration(u) g", "mp4_duration(d) h",
+        "mp4_duration(z) i").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) ==
+      ((90000, 123456, 600, Int.MaxValue)))
+    (4 until 9).foreach(i => assert(r.isNullAt(i), s"field $i"))
+    // interpreted path walks identically
+    assert(Mp4Timescale(Literal(padded)).eval() == 600)
+    assert(Mp4Duration(Literal(deep)).eval() == null)
+    assert(Mp4Duration(Literal(canonical.take(50))).eval() == null)
+  }
+
   test("interpreted eval matches codegen output") {
     // Literal.eval exercises nullSafeEval (the non-codegen path); the
     // DataFrame asserts above ran through whole-stage codegen
