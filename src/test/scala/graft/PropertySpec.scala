@@ -372,4 +372,69 @@ class PropertySpec extends SparkTestBase {
       WavChannels(Literal(chunked(pre, ch, rate, bits))).eval() == null
     }, tests = 10)
   }
+
+  test("property: JPEG marker walk and MP4 box walk invert random layouts") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions._
+    def jpeg(pre: Seq[(Int, Array[Byte])], sof: Int, prec: Int, h: Int,
+        w: Int, nc: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(2 + pre.map(4 + _._2.length).sum + 10)
+        .order(ByteOrder.BIG_ENDIAN)
+      b.put(0xFF.toByte).put(0xD8.toByte)
+      pre.foreach { case (m, d) =>
+        b.put(0xFF.toByte).put(m.toByte)
+          .putShort((2 + d.length).toShort).put(d)
+      }
+      b.put(0xFF.toByte).put(sof.toByte).putShort(8.toShort)
+      b.put(prec.toByte).putShort(h.toShort).putShort(w.toShort)
+        .put(nc.toByte)
+      b.array()
+    }
+    def mp4(pads: Seq[Int], ts: Int, dur: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(24 + pads.map(8 + _).sum + 36)
+        .order(ByteOrder.BIG_ENDIAN)
+      b.putInt(24).put("ftypisom".getBytes("US-ASCII"))
+        .putInt(512).put("isomiso2".getBytes("US-ASCII"))
+      pads.foreach { n =>
+        b.putInt(8 + n).put("free".getBytes("US-ASCII"))
+          .put(Array.fill[Byte](n)(0))
+      }
+      b.putInt(36).put("moov".getBytes("US-ASCII"))
+      b.putInt(28).put("mvhd".getBytes("US-ASCII"))
+      b.putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur)
+      b.array()
+    }
+    val u16 = Gen.choose(0, 65535)
+    val u8 = Gen.choose(0, 255)
+    // APPn/COM markers (never SOF/SOS), random payloads 0-20 bytes
+    val segGen = Gen.zip(
+      Gen.oneOf(Gen.choose(0xE0, 0xEF), Gen.const(0xFE)),
+      Gen.choose(0, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 255).map(_.toByte)).map(_.toArray)))
+    val sofGen = Gen.oneOf(0xC0, 0xC1, 0xC2)
+    check(Prop.forAll(Gen.choose(0, 8).flatMap(Gen.listOfN(_, segGen)),
+      sofGen, u8, u16, u16, u8) { (pre, sof, prec, h, w, nc) =>
+      val b = jpeg(pre, sof, prec, h, w, nc)
+      JpegPrecision(Literal(b)).eval() == prec &&
+      JpegHeight(Literal(b)).eval() == h &&
+      JpegWidth(Literal(b)).eval() == w &&
+      JpegComponents(Literal(b)).eval() == nc
+    }, tests = 40)
+    val pos31 = Gen.choose(1, Int.MaxValue)
+    check(Prop.forAll(Gen.choose(0, 6).flatMap(
+      Gen.listOfN(_, Gen.choose(0, 24))), pos31, pos31) { (pads, ts, dur) =>
+      val b = mp4(pads, ts, dur)
+      Mp4Timescale(Literal(b)).eval() == ts &&
+      Mp4Duration(Literal(b)).eval() == dur
+    }, tests = 40)
+    // beyond-budget layouts must be NULL, not a wrong read
+    check(Prop.forAll(Gen.listOfN(17, segGen), sofGen) { (pre, sof) =>
+      JpegWidth(Literal(jpeg(pre, sof, 8, 1, 1, 3))).eval() == null
+    }, tests = 10)
+    check(Prop.forAll(Gen.listOfN(9, Gen.choose(0, 24)), pos31) {
+      (pads, ts) =>
+      Mp4Duration(Literal(mp4(pads, ts, 1))).eval() == null
+    }, tests = 10)
+  }
 }
