@@ -28,15 +28,37 @@ class CatalogInvariantSpec extends SparkTestBase {
     "q130_stream_tws", "q147_rate_source", "q148_ring_dropoldest",
     "q149_ring_backpressure")
 
-  test("no catalog query plans an unpartitioned CartesianProduct") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, _) if streamingBacked(name) => None
-      case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
+  // one plan-build pass shared by the physical-plan invariants below
+  // (building 180+ plans at sf0.001 is the dominant cost; string scans
+  // are free)
+  private lazy val plans: Seq[(String, String)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !streamingBacked(name) =>
+        name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
+
+  test("no catalog query plans an unpartitioned CartesianProduct") {
+    val offenders =
+      plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
     assert(offenders.isEmpty,
       s"unpartitioned cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("no catalog query plans a ScalaUDF or Python eval") {
+    // Round-7 scan measured ZERO hits across the whole catalog — every
+    // scalar extension is a codegen'd Catalyst expression (LittleEndian,
+    // MediaHeader, ZOrder, GraftFunctions), never a closure UDF that
+    // breaks whole-stage codegen. Pin it: a convenience udf() sneaking
+    // into a hot path is the classic silent 2-5x scan regression at
+    // 100 TB. (Dataset.mapPartitions remains declared-legit for the
+    // codec-tier q48/q49 stubs — those nodes print as MapPartitions,
+    // not ScalaUDF.)
+    val offenders = plans.collect {
+      case (n, p) if p.contains("ScalaUDF")
+        || p.contains("BatchEvalPython") => n
+    }
+    assert(offenders.isEmpty,
+      s"UDF in the physical plan of: ${offenders.mkString(", ")}")
   }
 
   test("projected bench line fits the driver's stdout-tail capture window") {
