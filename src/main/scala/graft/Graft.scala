@@ -596,5 +596,50 @@ object Graft {
         .sortWithinPartitions("__zv")
         .drop("__zv")
     }
+
+    /** Sniff + normalize a heterogeneous media column: adds `fmt`
+      * ('bmp'/'png'/'gif'/'jpeg'/'wav'/'mp4'/'corrupt'), `width`/
+      * `height` (images), `rate` (audio) and `duration_ms` (video).
+      * Detection IS the decoders' never-throw NULL contract — a magic
+      * mismatch is the sniffer, so there is no separate detection code
+      * to disagree with the parser, and an undecodable payload lands in
+      * 'corrupt' instead of failing the job. All six parses are
+      * codegen'd Catalyst expressions (functions/MediaHeader.scala):
+      * one per-row map, no UDF, no shuffle. */
+    def mediaSniffed(blobCol: String): DataFrame = {
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      val b = blobCol
+      df.withColumn("fmt",
+          when(expr(s"bmp_bpp($b)").isNotNull, "bmp")
+            .when(expr(s"png_width($b)").isNotNull, "png")
+            .when(expr(s"gif_width($b)").isNotNull, "gif")
+            .when(expr(s"jpeg_width($b)").isNotNull, "jpeg")
+            .when(expr(s"wav_sample_rate($b)").isNotNull, "wav")
+            .when(expr(s"mp4_timescale($b)").isNotNull, "mp4")
+            .otherwise("corrupt"))
+        .withColumn("width", coalesce(expr(s"bmp_width($b)"),
+          expr(s"png_width($b)"), expr(s"gif_width($b)"),
+          expr(s"jpeg_width($b)")))
+        .withColumn("height", coalesce(expr(s"bmp_height($b)"),
+          expr(s"png_height($b)"), expr(s"gif_height($b)"),
+          expr(s"jpeg_height($b)")))
+        .withColumn("rate", expr(s"wav_sample_rate($b)"))
+        .withColumn("duration_ms", expr(s"CAST(mp4_duration($b) AS BIGINT)" +
+          s" * 1000 DIV mp4_timescale($b)"))
+    }
+
+    /** Per-format manifest of a heterogeneous media corpus (q192):
+      * [[mediaSniffed]] rolled up per detected format — doc count plus
+      * width/height/rate/duration sums (NULL for formats without the
+      * dimension). The curation pre-flight before a multimodal
+      * training run: what's in the bucket, how much of it is corrupt. */
+    def mediaManifest(blobCol: String): DataFrame =
+      df.mediaSniffed(blobCol)
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("width")).as("sum_w"),
+          sum(col("height")).as("sum_h"),
+          sum(col("rate")).as("sum_rate"),
+          sum(col("duration_ms")).as("sum_dur_ms"))
   }
 }

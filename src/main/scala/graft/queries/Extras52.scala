@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.Graft._
 import graft.functions.GraftFunctions
 import graft.sources.Tables
 
@@ -129,31 +130,9 @@ object Extras52 {
           when($"pick" === 0, bmp).when($"pick" === 1, png)
             .when($"pick" === 2, gif).when($"pick" === 3, jpeg)
             .when($"pick" === 4, wav).otherwise(mp4))
-        // type sniffing IS the decoders' NULL contract: exactly one of
-        // the six magic checks can pass, a corrupt payload passes none
-        .withColumn("fmt",
-          when(expr("bmp_bpp(blob)").isNotNull, "bmp")
-            .when(expr("png_width(blob)").isNotNull, "png")
-            .when(expr("gif_width(blob)").isNotNull, "gif")
-            .when(expr("jpeg_width(blob)").isNotNull, "jpeg")
-            .when(expr("wav_sample_rate(blob)").isNotNull, "wav")
-            .when(expr("mp4_timescale(blob)").isNotNull, "mp4")
-            .otherwise("corrupt"))
-        .withColumn("width", coalesce(expr("bmp_width(blob)"),
-          expr("png_width(blob)"), expr("gif_width(blob)"),
-          expr("jpeg_width(blob)")))
-        .withColumn("height", coalesce(expr("bmp_height(blob)"),
-          expr("png_height(blob)"), expr("gif_height(blob)"),
-          expr("jpeg_height(blob)")))
-        .withColumn("srate", expr("wav_sample_rate(blob)"))
-        .withColumn("dms", expr("CAST(mp4_duration(blob) AS BIGINT)" +
-          " * 1000 DIV mp4_timescale(blob)"))
-        .groupBy($"fmt")
-        .agg(count(lit(1)).as("n"),
-          sum($"width").as("sum_w"),
-          sum($"height").as("sum_h"),
-          sum($"srate").as("sum_rate"),
-          sum($"dms").as("sum_dur_ms"))
+        // sniff + rollup: Graft.mediaManifest (single source with the
+        // facade — type detection is the decoders' NULL contract)
+        .mediaManifest("blob")
     }
   )
 }

@@ -339,4 +339,46 @@ class GraftFacadeSpec extends SparkTestBase {
       enc.getAs[Long]("n_chars") == 7L &&
       enc.getAs[Long]("n_bpe") == 3L) // [the] + [the, n]
   }
+
+  test("facade: media sniff + manifest over a mixed binary column") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // independent serializers (java.nio), one payload per format
+    def gif(w: Int, h: Int) = {
+      val b = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes("US-ASCII"))
+      b.putShort(w.toShort).putShort(h.toShort).put(Array[Byte](0, 0, 0))
+      b.array()
+    }
+    def wav(rate: Int) = {
+      val b = ByteBuffer.allocate(36).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      b.put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(2).putInt(rate).putInt(rate * 4)
+      b.putShort(4).putShort(16)
+      b.array()
+    }
+    def mp4(ts: Int, dur: Int) = {
+      val b = ByteBuffer.allocate(60).order(ByteOrder.BIG_ENDIAN)
+      b.putInt(24).put("ftypisom".getBytes("US-ASCII"))
+        .putInt(512).put("isomiso2".getBytes("US-ASCII"))
+      b.putInt(36).put("moov".getBytes("US-ASCII"))
+      b.putInt(28).put("mvhd".getBytes("US-ASCII"))
+      b.putInt(0).putInt(0).putInt(0).putInt(ts).putInt(dur)
+      b.array()
+    }
+    val rows = Seq(
+      (1L, gif(320, 200)), (2L, wav(44100)), (3L, mp4(1000, 5500)),
+      (4L, "not media at all".getBytes("UTF-8")))
+      .toDF("id", "blob")
+    val sniffed = rows.mediaSniffed("blob").orderBy("id")
+      .select("fmt", "width", "rate", "duration_ms").collect()
+    assert(sniffed.map(_.getString(0)).toSeq ==
+      Seq("gif", "wav", "mp4", "corrupt"))
+    assert(sniffed(0).getInt(1) == 320 && sniffed(1).getInt(2) == 44100 &&
+      sniffed(2).getLong(3) == 5500L)
+    val man = rows.mediaManifest("blob").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(man == Map("gif" -> 1L, "wav" -> 1L, "mp4" -> 1L,
+      "corrupt" -> 1L))
+  }
 }
