@@ -247,6 +247,26 @@ class PlanSpec extends SparkTestBase {
       s"expected no UDF in the decode path:\n$plan")
   }
 
+  test("q189/q191: the JPEG marker walk and MP4 box walk stay codegen'd") {
+    // the bounded walks (loops in generated Java) must still live inside
+    // a whole-stage-codegen projection — a fallback to interpreted eval
+    // or a UDF would be the silent per-row regression at scan scale
+    val jp = finalPlan("q189_jpeg_header")
+    assert("""\*\(\d+\) Project .*jpeg_width""".r.findFirstIn(jp).isDefined,
+      s"expected jpeg_width inside a codegen'd (*) projection:\n$jp")
+    val mp = finalPlan("q191_mp4_header")
+    assert("""\*\(\d+\) Project .*mp4_timescale""".r.findFirstIn(mp)
+      .isDefined,
+      s"expected mp4_timescale inside a codegen'd (*) projection:\n$mp")
+    // q192's sniff stacks all six decoders in ONE projection — the
+    // composition must not break the codegen span either
+    val mf = finalPlan("q192_media_manifest")
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(mf).isDefined,
+      s"expected the manifest rollup inside whole-stage codegen:\n$mf")
+    Seq(jp, mp, mf).foreach(p =>
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython")))
+  }
+
   test("q181: the PNG big-endian parse runs inside whole-stage codegen, no UDF") {
     val plan = finalPlan("q181_png_header")
     assert("""\*\(\d+\) Project .*png_width""".r.findFirstIn(plan).isDefined,
