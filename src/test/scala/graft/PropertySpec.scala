@@ -285,6 +285,13 @@ class PropertySpec extends SparkTestBase {
       b.putInt(w).putInt(h).put(depth.toByte).put(color.toByte)
       b.array()
     }
+    def gif(ver: Char, w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(s"GIF8${ver}a".getBytes("US-ASCII"))
+      b.putShort(w.toShort).putShort(h.toShort)
+      b.put(0.toByte).put(0.toByte).put(0.toByte)
+      b.array()
+    }
     val u16 = Gen.choose(0, 65535)
     val u8 = Gen.choose(0, 255)
     val i32 = Gen.choose(Int.MinValue, Int.MaxValue)
@@ -292,8 +299,10 @@ class PropertySpec extends SparkTestBase {
     val wavGen = Gen.zip(u16, pos31, u16)
     val bmpGen = Gen.zip(i32, i32, u16)
     val pngGen = Gen.zip(pos31, pos31, u8, u8)
-    check(Prop.forAll(wavGen, bmpGen, pngGen) {
-      case ((ch, rate, bits), (bw, bh, bpp), (pw, ph, depth, color)) =>
+    val gifGen = Gen.zip(Gen.oneOf('7', '9'), u16, u16)
+    check(Prop.forAll(wavGen, bmpGen, pngGen, gifGen) {
+      case ((ch, rate, bits), (bw, bh, bpp), (pw, ph, depth, color),
+        (gv, gw, gh)) =>
       WavChannels(Literal(wav(ch, rate, bits))).eval() == ch &&
       WavSampleRate(Literal(wav(ch, rate, bits))).eval() == rate &&
       WavBitsPerSample(Literal(wav(ch, rate, bits))).eval() == bits &&
@@ -303,7 +312,9 @@ class PropertySpec extends SparkTestBase {
       PngWidth(Literal(png(pw, ph, depth, color))).eval() == pw &&
       PngHeight(Literal(png(pw, ph, depth, color))).eval() == ph &&
       PngBitDepth(Literal(png(pw, ph, depth, color))).eval() == depth &&
-      PngColorType(Literal(png(pw, ph, depth, color))).eval() == color
+      PngColorType(Literal(png(pw, ph, depth, color))).eval() == color &&
+      GifWidth(Literal(gif(gv, gw, gh))).eval() == gw &&
+      GifHeight(Literal(gif(gv, gw, gh))).eval() == gh
     }, tests = 40)
     // codegen path over one generated batch must agree with interpreted
     val rng = new scala.util.Random(42)
