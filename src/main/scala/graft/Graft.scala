@@ -624,8 +624,14 @@ object Graft {
           expr(s"png_height($b)"), expr(s"gif_height($b)"),
           expr(s"jpeg_height($b)")))
         .withColumn("rate", expr(s"wav_sample_rate($b)"))
+        // nullif, not a bare DIV: under ANSI mode a corrupt-but-
+        // magic-valid MP4 declaring timescale 0 would throw
+        // DIVIDE_BY_ZERO and fail the whole job — the exact opposite
+        // of the never-fail contract documented above (advisor r7).
+        // A zero timescale yields duration_ms NULL; fmt stays 'mp4'
+        // (the header parsed — only the derived rate is undefined).
         .withColumn("duration_ms", expr(s"CAST(mp4_duration($b) AS BIGINT)" +
-          s" * 1000 DIV mp4_timescale($b)"))
+          s" * 1000 DIV nullif(mp4_timescale($b), 0)"))
     }
 
     /** Per-format manifest of a heterogeneous media corpus (q192):

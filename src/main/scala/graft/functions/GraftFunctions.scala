@@ -100,6 +100,12 @@ object GraftFunctions {
     fn("mp4_duration",
       "MP4 u32 BE mvhd duration (box-walked; NULL unless ftyp+moov/mvhd v0)",
       es => Mp4Duration(es.head)),
+    fn("mp4_timescale64",
+      "MP4 mvhd timescale as BIGINT, version 0 or 1 (box-walked)",
+      es => Mp4Timescale64(es.head)),
+    fn("mp4_duration64",
+      "MP4 mvhd duration as BIGINT, version 0 u32 or version 1 u64",
+      es => Mp4Duration64(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",

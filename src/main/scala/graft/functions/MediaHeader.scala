@@ -480,8 +480,14 @@ case class JpegComponents(child: Expression) extends JpegSofField {
   override def prettyName: String = "jpeg_components"
 }
 
-/** MP4 / ISO-BMFF movie-header (mvhd) fields located by a bounded
-  * TOP-LEVEL BOX walk — the video modality's structural metadata.
+/** MP4 / ISO-BMFF movie-header (mvhd) locator shared by the interpreted
+  * AND generated paths of the mvhd field expressions below — one walk,
+  * one set of bounds checks, zero eval/codegen drift (the walk grew a
+  * second level and a version branch in round 8; duplicating it as
+  * inline Java text is where offset bugs breed). The JVM inlines a
+  * static call inside whole-stage codegen exactly as it does the
+  * ByteBuffer reads the other walks emit — no ScalaUDF node, no codegen
+  * break (CatalogInvariantSpec's catalog-wide pin still holds).
   *
   * Layout per the public ISO base-media spec: the file is a sequence
   * of boxes — u32 BE size (which includes the 8-byte header), 4-char
@@ -491,17 +497,110 @@ case class JpegComponents(child: Expression) extends JpegSofField {
   * corpus its NULL contract), may interleave `free`/`skip`/`wide`
   * padding boxes, and carry the movie header inside `moov` → `mvhd`.
   * The walk skips at most 8 top-level boxes looking for `moov`, then
-  * requires `mvhd` as its FIRST child (every real muxer's layout; a
-  * moov led by iods/udta is treated as unparseable rather than
-  * walked recursively — ONE bounded level keeps the hot loop flat).
-  * mvhd version must be 0 (u32 times; version 1's 64-bit times exceed
-  * IntegerType and are NULL by contract): timescale u32 BE @20 and
-  * duration u32 BE @24 from the mvhd box start.
+  * at most 4 child boxes INSIDE moov looking for `mvhd` (widened in
+  * round 8 from mvhd-first-only: iods/udta-led moovs are spec-legal
+  * and emitted by real muxers; the child walk stays bounded by moov's
+  * own declared size so a corrupt child size cannot escape the box).
+  * mvhd version 0 carries u32 BE timescale @20 / duration @24 from the
+  * box start; version 1 (64-bit times) carries u32 BE timescale @28 /
+  * u64 BE duration @32. The located box must DECLARE a size that holds
+  * its versioned fixed header through duration (28 bytes v0, 40 v1)
+  * and fit inside moov — a truncated-but-magic-valid mvhd returns the
+  * corrupt contract's NULL, never the bytes that happen to follow it.
   *
   * Box sizes are read UNSIGNED into a long (a corrupt size must step
   * past the bound and terminate, not wrap); sizes < 8 (including the
   * size-0 "to end of file" and size-1 "64-bit largesize" escapes)
   * terminate the walk — bounded scope, documented. */
+object Mp4Mvhd {
+  private final val TopBudget = 8
+  private final val ChildBudget = 4
+
+  private def is4cc(a: Array[Byte], p: Int, c: String): Boolean =
+    a(p) == c.charAt(0).toByte && a(p + 1) == c.charAt(1).toByte &&
+      a(p + 2) == c.charAt(2).toByte && a(p + 3) == c.charAt(3).toByte
+
+  private def u32(a: Array[Byte], p: Int): Long =
+    java.nio.ByteBuffer.wrap(a, p, 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).getInt() & 0xFFFFFFFFL
+
+  /** `(mvhd box start << 8) | version`, or -1 when unparseable under
+    * the contract above. */
+  def locate(a: Array[Byte]): Long = {
+    if (a.length < 12 || !is4cc(a, 4, "ftyp")) return -1L
+    var p = 0L
+    var i = 0
+    while (i < TopBudget && p + 8 <= a.length) {
+      val q = p.toInt
+      val sz = u32(a, q)
+      if (is4cc(a, q + 4, "moov")) {
+        if (sz < 8) return -1L
+        val moovEnd = math.min(q + sz, a.length.toLong)
+        var c = q + 8L
+        var j = 0
+        while (j < ChildBudget && c + 8 <= moovEnd) {
+          val m = c.toInt
+          val csz = u32(a, m)
+          if (is4cc(a, m + 4, "mvhd")) {
+            if (m + 9 > moovEnd) return -1L
+            val ver = a(m + 8) & 0xFF
+            val need = if (ver == 0) 28 else if (ver == 1) 40 else -1
+            return if (need > 0 && csz >= need && m + need <= moovEnd) {
+              (m.toLong << 8) | ver
+            } else -1L
+          }
+          if (csz < 8) return -1L
+          c += csz
+          j += 1
+        }
+        return -1L
+      }
+      if (sz < 8) return -1L
+      p += sz
+      i += 1
+    }
+    -1L
+  }
+
+  /** Version-0 u32 field at `fieldOff` from the mvhd box start; -1 =
+    * NULL (unparseable, version != 0, or value exceeds IntegerType —
+    * a spec-legal u32 >= 2^31 must NULL, not go negative). */
+  def v0Field(a: Array[Byte], fieldOff: Int): Int = {
+    val loc = locate(a)
+    if (loc < 0 || (loc & 0xFF) != 0) return -1
+    val v = java.nio.ByteBuffer.wrap(a, (loc >>> 8).toInt + fieldOff, 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).getInt()
+    if (v < 0) -1 else v
+  }
+
+  /** Timescale as BIGINT for either mvhd version (u32 in both; the
+    * offset moves). -1 = NULL. */
+  def ts64(a: Array[Byte]): Long = {
+    val loc = locate(a)
+    if (loc < 0) return -1L
+    val base = (loc >>> 8).toInt
+    if ((loc & 0xFF) == 0L) u32(a, base + 20) else u32(a, base + 28)
+  }
+
+  /** Duration as BIGINT: u32 for version 0, u64 for version 1 (NULL
+    * when the u64 exceeds LongType — the same exceeds-the-type rule as
+    * [[v0Field]], one type wider). -1 = NULL. */
+  def dur64(a: Array[Byte]): Long = {
+    val loc = locate(a)
+    if (loc < 0) return -1L
+    val base = (loc >>> 8).toInt
+    if ((loc & 0xFF) == 0L) u32(a, base + 24)
+    else java.nio.ByteBuffer.wrap(a, base + 32, 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).getLong() match {
+      case d if d < 0 => -1L
+      case d => d
+    }
+  }
+}
+
+/** Version-0 mvhd u32 fields (IntegerType — the common-case fast shape;
+  * [[Mp4MvhdField64]] is the version-spanning BIGINT form). Locator
+  * contract and NULL rules: [[Mp4Mvhd]]. */
 abstract class Mp4MvhdField extends UnaryExpression
     with ImplicitCastInputTypes with Serializable {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -511,79 +610,19 @@ abstract class Mp4MvhdField extends UnaryExpression
   /** 0-based byte offset of the u32 field from the mvhd BOX start. */
   protected def fieldOff: Int
 
-  protected final val boxBudget = 8
-
-  private def is4cc(a: Array[Byte], p: Int, c: String): Boolean =
-    a(p) == c.charAt(0).toByte && a(p + 1) == c.charAt(1).toByte &&
-      a(p + 2) == c.charAt(2).toByte && a(p + 3) == c.charAt(3).toByte
-
-  /** Byte offset of the located mvhd box start, or -1. */
-  private def mvhdBase(a: Array[Byte]): Int = {
-    if (a.length < 12 || !is4cc(a, 4, "ftyp")) return -1
-    var p = 0L
-    var i = 0
-    while (i < boxBudget && p + 8 <= a.length) {
-      val q = p.toInt
-      val sz = java.nio.ByteBuffer.wrap(a, q, 4)
-        .order(java.nio.ByteOrder.BIG_ENDIAN).getInt() & 0xFFFFFFFFL
-      if (is4cc(a, q + 4, "moov")) {
-        val m = q + 8
-        return if (m + 12 <= a.length && is4cc(a, m + 4, "mvhd") &&
-            a(m + 8) == 0 && m + fieldOff + 4 <= a.length) m
-        else -1
-      }
-      if (sz < 8) return -1
-      p += sz
-      i += 1
-    }
-    -1
-  }
-
   override def nullSafeEval(bytes: Any): Any = {
-    val a = bytes.asInstanceOf[Array[Byte]]
-    val base = mvhdBase(a)
-    if (base < 0) null
-    else java.nio.ByteBuffer.wrap(a, base + fieldOff, 4)
-      .order(java.nio.ByteOrder.BIG_ENDIAN).getInt()
+    val v = Mp4Mvhd.v0Field(bytes.asInstanceOf[Array[Byte]], fieldOff)
+    if (v < 0) null else v
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val base = ctx.freshName("mvhdBase")
-      val p = ctx.freshName("p")
-      val i = ctx.freshName("i")
-      val q = ctx.freshName("q")
-      val m = ctx.freshName("m")
-      val sz = ctx.freshName("sz")
-      def cc(at: String, c: String) =
-        c.zipWithIndex.map { case (ch, k) =>
-          s"$a[$at + $k] == ${ch.toInt}"
-        }.mkString(" && ")
-      s"""int $base = -1;
-         |if ($a.length >= 12 && ${cc("4", "ftyp")}) {
-         |  long $p = 0;
-         |  for (int $i = 0; $i < $boxBudget && $p + 8 <= $a.length; $i++) {
-         |    int $q = (int) $p;
-         |    long $sz = java.nio.ByteBuffer.wrap($a, $q, 4)
-         |      .order(java.nio.ByteOrder.BIG_ENDIAN).getInt() & 0xFFFFFFFFL;
-         |    if (${cc(s"$q + 4", "moov")}) {
-         |      int $m = $q + 8;
-         |      if ($m + 12 <= $a.length && ${cc(s"$m + 4", "mvhd")}
-         |          && $a[$m + 8] == 0
-         |          && $m + $fieldOff + 4 <= $a.length) {
-         |        $base = $m;
-         |      }
-         |      break;
-         |    }
-         |    if ($sz < 8) break;
-         |    $p += $sz;
-         |  }
-         |}
-         |if ($base < 0) {
+      val v = ctx.freshName("mvhdV")
+      s"""int $v = graft.functions.Mp4Mvhd.v0Field($a, $fieldOff);
+         |if ($v < 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = java.nio.ByteBuffer.wrap($a, $base + $fieldOff, 4)
-         |    .order(java.nio.ByteOrder.BIG_ENDIAN).getInt();
+         |  ${ev.value} = $v;
          |}""".stripMargin
     })
 }
@@ -600,4 +639,50 @@ case class Mp4Duration(child: Expression) extends Mp4MvhdField {
   override protected def withNewChildInternal(c: Expression): Mp4Duration =
     copy(child = c)
   override def prettyName: String = "mp4_duration"
+}
+
+/** Version-spanning mvhd fields as BIGINT: version 0's u32s read
+  * unsigned, version 1's 64-bit times read at their shifted offsets —
+  * the long-video path the IntegerType pair NULLs by contract. */
+abstract class Mp4MvhdField64 extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  /** The sentinel-returning static reader (Mp4Mvhd.ts64 / dur64). */
+  protected def readerName: String
+  protected def read(a: Array[Byte]): Long
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val v = read(bytes.asInstanceOf[Array[Byte]])
+    if (v < 0) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("mvhdV")
+      s"""long $v = graft.functions.Mp4Mvhd.$readerName($a);
+         |if ($v < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $v;
+         |}""".stripMargin
+    })
+}
+
+case class Mp4Timescale64(child: Expression) extends Mp4MvhdField64 {
+  protected val readerName = "ts64"
+  protected def read(a: Array[Byte]): Long = Mp4Mvhd.ts64(a)
+  override protected def withNewChildInternal(c: Expression): Mp4Timescale64 =
+    copy(child = c)
+  override def prettyName: String = "mp4_timescale64"
+}
+
+case class Mp4Duration64(child: Expression) extends Mp4MvhdField64 {
+  protected val readerName = "dur64"
+  protected def read(a: Array[Byte]): Long = Mp4Mvhd.dur64(a)
+  override protected def withNewChildInternal(c: Expression): Mp4Duration64 =
+    copy(child = c)
+  override def prettyName: String = "mp4_duration64"
 }

@@ -71,9 +71,13 @@ class CatalogInvariantSpec extends SparkTestBase {
     // (metric/value/unit/kb, ingest_k spread, lat, z95, rem, sf:
     // 1776 B observed at 185 queries ⇒ ~160 B fixed; round 7 added
     // "ing0" ~11 B, "st" ~18 B, and widened rem from 2 to ≤8 entries
-    // at ~10 B each ⇒ 250 B fixed), and fail HERE, at test time, when
-    // growth approaches the window — not a round later in the driver's
-    // artifact.
+    // at ~10 B each ⇒ 250 B fixed; round 8 added the re-measure-window
+    // steal sample "str" ~16 B ⇒ 266 B fixed — the rem criterion
+    // widening and the one-round watch list changed selection, not the
+    // ≤8 cap, so they cost nothing here. Calibration: the closing r7
+    // line measured 1589 B at 193 queries vs 1593 projected), and fail
+    // HERE, at test time, when growth approaches the window — not a
+    // round later in the driver's artifact.
     val names = SparkEntry.queries.keys.toSeq
     val keys = names.map(n => java.lang.Long.toString(
       n.takeWhile(_ != '_').stripPrefix("q").toLong, 36))
@@ -82,7 +86,7 @@ class CatalogInvariantSpec extends SparkTestBase {
     // (round-7 "qd":10 schema: times are integer deciseconds, typically
     // 2 digits — the 1-dp seconds form averaged ~3 digits)
     val queriesBlock = keys.map(_.length + 6).sum
-    val projected = 250 + queriesBlock
+    val projected = 266 + queriesBlock
     val window = 2048 - 80 // capture tail minus sbt's [success] line
     assert(projected <= window - 100,
       s"projected bench line ${projected} B is within 100 B of the " +

@@ -368,17 +368,22 @@ class GraftFacadeSpec extends SparkTestBase {
     }
     val rows = Seq(
       (1L, gif(320, 200)), (2L, wav(44100)), (3L, mp4(1000, 5500)),
-      (4L, "not media at all".getBytes("UTF-8")))
+      (4L, "not media at all".getBytes("UTF-8")),
+      // magic-valid MP4 declaring timescale 0: the never-fail contract
+      // means duration_ms NULLs — under ANSI mode a bare DIV here threw
+      // DIVIDE_BY_ZERO and killed the whole job (advisor r7)
+      (5L, mp4(0, 5500)))
       .toDF("id", "blob")
     val sniffed = rows.mediaSniffed("blob").orderBy("id")
       .select("fmt", "width", "rate", "duration_ms").collect()
     assert(sniffed.map(_.getString(0)).toSeq ==
-      Seq("gif", "wav", "mp4", "corrupt"))
+      Seq("gif", "wav", "mp4", "corrupt", "mp4"))
     assert(sniffed(0).getInt(1) == 320 && sniffed(1).getInt(2) == 44100 &&
       sniffed(2).getLong(3) == 5500L)
+    assert(sniffed(4).isNullAt(3), "timescale-0 MP4 must NULL, not fail")
     val man = rows.mediaManifest("blob").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(man == Map("gif" -> 1L, "wav" -> 1L, "mp4" -> 1L,
+    assert(man == Map("gif" -> 1L, "wav" -> 1L, "mp4" -> 2L,
       "corrupt" -> 1L))
   }
 }

@@ -293,7 +293,9 @@ class MediaHeaderSpec extends SparkTestBase {
     // no ftyp first
     val noFtyp = mp4(Nil, 1000, 42)
     noFtyp(4) = 'g'.toByte
-    // moov's first child is not mvhd
+    // moov's only child is not mvhd (the round-8 child walk finds a
+    // LATER mvhd — see the v1/child-walk test below — but a moov with
+    // no mvhd at all stays NULL)
     val udtaFirst = mp4(Nil, 1000, 42)
     System.arraycopy("udta".getBytes("US-ASCII"), 0, udtaFirst, 24 + 12, 4)
     // 9 padding boxes exceed the 8-box budget
@@ -315,6 +317,83 @@ class MediaHeaderSpec extends SparkTestBase {
     assert(Mp4Timescale(Literal(padded)).eval() == 600)
     assert(Mp4Duration(Literal(deep)).eval() == null)
     assert(Mp4Duration(Literal(canonical.take(50))).eval() == null)
+  }
+
+  /** Independent MP4 serializer, round-8 shape: moov may lead with
+    * non-mvhd children and mvhd may be version 0 (28 B) or 1 (40 B,
+    * 64-bit times). Field values passed as longs so v0 fixtures can
+    * carry u32s above Int.MaxValue. */
+  private def mp4v(children: Seq[(String, Int)], version: Int,
+      timescale: Long, duration: Long): Array[Byte] = {
+    val mvhdSz = if (version == 0) 28 else 40
+    val kidLen = children.map(_._2).sum
+    val b = ByteBuffer.allocate(24 + 8 + kidLen + mvhdSz)
+      .order(ByteOrder.BIG_ENDIAN)
+    b.putInt(24).put("ftypisom".getBytes("US-ASCII"))
+      .putInt(512).put("isomiso2".getBytes("US-ASCII"))
+    b.putInt(8 + kidLen + mvhdSz).put("moov".getBytes("US-ASCII"))
+    children.foreach { case (t, sz) =>
+      b.putInt(sz).put(t.getBytes("US-ASCII"))
+        .put(Array.fill[Byte](sz - 8)(0x6A))
+    }
+    b.putInt(mvhdSz).put("mvhd".getBytes("US-ASCII"))
+      .putInt(version << 24) // version byte + zero flags
+    if (version == 0)
+      b.putInt(0).putInt(0).putInt(timescale.toInt).putInt(duration.toInt)
+    else
+      b.putLong(0L).putLong(0L).putInt(timescale.toInt).putLong(duration)
+    b.array()
+  }
+
+  test("MP4 round-8 walk: non-first mvhd, version 1, declared-size and " +
+      "signedness contracts") {
+    // iods+udta before mvhd — spec-legal, emitted by real muxers
+    val late = mp4v(Seq("iods" -> 16, "udta" -> 24), 0, 90000L, 123456L)
+    // version 1: 64-bit times at shifted offsets, u64 duration > 2^32
+    val v1 = mp4v(Seq("udta" -> 12), 1, 90000L, 0x123456789AL)
+    // v0 u32 values above Int.MaxValue: IntegerType pair NULLs (never
+    // goes negative — advisor r7), BIGINT pair reads unsigned
+    val big = mp4v(Nil, 0, 0x80000001L, 0xFFFFFFFFL)
+    // v1 u64 duration with the sign bit set exceeds LongType -> NULL
+    val hugeDur = mp4v(Nil, 1, 1000L, java.lang.Long.MIN_VALUE | 7L)
+    // five children before mvhd exceed the 4-child budget
+    val deepKids = mp4v((1 to 5).map(_ => "free" -> 12), 0, 1000L, 42L)
+    // mvhd DECLARES size 20 (< the 28 its v0 header needs) but full
+    // bytes follow: must NULL, not read the bytes past the declared
+    // box (advisor r7 — the WavFmtField check, applied here)
+    val shortDecl = mp4v(Nil, 0, 1000L, 42L)
+    ByteBuffer.wrap(shortDecl, 24 + 8, 4).putInt(20)
+    // a child whose corrupt size would step past moov's end: the child
+    // walk is bounded by moov's own declared size, so the mvhd beyond
+    // is unreachable -> NULL
+    val escape = mp4v(Seq("udta" -> 12), 0, 1000L, 42L)
+    ByteBuffer.wrap(escape, 24 + 8, 4).putInt(4096)
+    val r = Seq((late, v1, big, hugeDur, deepKids, shortDecl, escape))
+      .toDF("l", "v", "b", "h", "d", "s", "e")
+      .selectExpr(
+        "mp4_timescale(l) a", "mp4_duration(l) b0",
+        "mp4_timescale64(l) c", "mp4_duration64(l) d0",
+        "mp4_timescale64(v) e0", "mp4_duration64(v) f",
+        "mp4_timescale(v) g", "mp4_duration(v) h0",
+        "mp4_timescale(b) i", "mp4_duration(b) j",
+        "mp4_timescale64(b) k", "mp4_duration64(b) l0",
+        "mp4_duration64(h) m", "mp4_duration64(d) n",
+        "mp4_duration64(s) o", "mp4_duration64(e) p").head()
+    assert((r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)) ==
+      ((90000, 123456, 90000L, 123456L)))
+    assert((r.getLong(4), r.getLong(5)) == ((90000L, 0x123456789AL)))
+    assert(r.isNullAt(6) && r.isNullAt(7), "v0 expressions NULL on v1")
+    assert(r.isNullAt(8) && r.isNullAt(9), "v0 high-bit u32 NULLs IntegerType")
+    assert((r.getLong(10), r.getLong(11)) == ((0x80000001L, 0xFFFFFFFFL)))
+    (12 until 16).foreach(i => assert(r.isNullAt(i), s"field $i"))
+    // interpreted path agrees with the codegen'd DataFrame run above
+    // (both delegate to the same Mp4Mvhd.locate, by construction)
+    assert(Mp4Duration64(Literal(v1)).eval() == 0x123456789AL)
+    assert(Mp4Timescale(Literal(late)).eval() == 90000)
+    assert(Mp4Timescale64(Literal(big)).eval() == 0x80000001L)
+    assert(Mp4Duration(Literal(big)).eval() == null)
+    assert(Mp4Duration64(Literal(shortDecl)).eval() == null)
+    assert(Mp4Duration64(Literal(deepKids)).eval() == null)
   }
 
   test("interpreted eval matches codegen output") {

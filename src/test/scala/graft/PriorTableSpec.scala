@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins `Bench.priorDriverSec` to the checked-in driver artifact it
+  * claims to be derived from (BENCH_r07.json). The r6->r7 gap where the
+  * compiled-in table silently lagged the latest driver round is exactly
+  * what let two movers (q149/q182) slip the re-measure net; this spec
+  * makes staleness a test failure instead of a judge finding.
+  *
+  * Derivation rule (mirrors the table's doc comment): per-query
+  * deciseconds from the artifact's parsed "queries" block (base-36 keys,
+  * declared by "kb"; scale declared by "qd"), rem-corrected where the
+  * artifact's own end-of-session re-measure read LOWER than the
+  * at-position time (a refuted spike), then three documented overrides
+  * kept at their ROUND-6 values because the r7 readings were themselves
+  * unrefuted suspected spikes (the r7 verdict `weak` set + q147) —
+  * copying a spike into the prior would blind the net where it fired.
+  */
+class PriorTableSpec extends AnyFunSuite {
+
+  // r6-valued overrides for r7's unrefuted movers; must match remWatch
+  private val overrides = Map(147 -> 1.5, 149 -> 2.0, 182 -> 1.0)
+
+  test("priorDriverSec matches the checked-in BENCH_r07 artifact") {
+    val f = new java.io.File("BENCH_r07.json")
+    assume(f.isFile, "BENCH_r07.json not present in working directory")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.readTree(f)
+    val parsed = root.get("parsed")
+    val qd = parsed.get("qd").asDouble()
+    def block(name: String): Map[Int, Double] = {
+      val node = parsed.get(name)
+      if (node == null) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        node.fieldNames().asScala.map { k =>
+          java.lang.Long.parseLong(k, 36).toInt ->
+            node.get(k).asDouble() / qd
+        }.toMap
+      }
+    }
+    val atPos = block("queries")
+    val rem = block("rem")
+    val derived = atPos.map { case (k, v) =>
+      k -> (rem.get(k).filter(r => r >= 0 && r < v).getOrElse(v) match {
+        case d => math.rint(d * 10) / 10
+      })
+    }
+    assert(derived.keySet == Bench.priorDriverSec.keySet,
+      "table/artifact query-set mismatch")
+    assert(overrides.keySet == Bench.remWatch.toSet,
+      "overrides must stay in the one-round watch list")
+    val bad = Bench.priorDriverSec.toSeq.filter { case (k, v) =>
+      math.abs(v - overrides.getOrElse(k, derived(k))) > 1e-9
+    }.map(_._1).sorted
+    assert(bad.isEmpty, s"stale priorDriverSec entries: ${bad.mkString(",")}")
+  }
+}

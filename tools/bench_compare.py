@@ -34,7 +34,8 @@ def norm(k, base=10):
 new = json.loads(Path(sys.argv[1]).read_text())
 kb = int(new.get("kb", 10))
 qd = int(new.get("qd", 1))
-nq = {norm(k, kb): v / qd for k, v in new["queries"].items()}
+nq = {norm(k, kb): (v / qd if v >= 0 else v)
+      for k, v in new["queries"].items()}
 
 
 def load(path):
@@ -64,11 +65,11 @@ def load(path):
     return out
 
 
+r7 = load("BENCH_r07.json")
 r6 = load("BENCH_r06.json")
-r5 = load("BENCH_r05.json")
 
 print(f"total={new['value']}s  n={len(nq)}")
-for ref, label in ((r6, "r6"), (r5, "r5")):
+for ref, label in ((r7, "r7"), (r6, "r6")):
     common = [k for k in nq if k in ref and nq[k] >= 0 and ref[k] >= 0]
     if not common:
         print(f"vs {label}: no comparable queries")
@@ -82,9 +83,10 @@ for ref, label in ((r6, "r6"), (r5, "r5")):
         print(f"  {k}: {ref[k]:.2f} -> {nq[k]:.2f}")
 print("slowest now:",
       sorted(nq.items(), key=lambda x: -x[1])[:10])
-for extra in ("ingest_k", "ing0", "st", "lat", "z95"):
+for extra in ("ingest_k", "ing0", "st", "str", "lat", "z95"):
     if extra in new:
         val = new[extra] / qd if extra == "z95" else new[extra]
         print(extra, "=", val)
 if "rem" in new:
-    print("rem =", {norm(k, kb): v / qd for k, v in new["rem"].items()})
+    print("rem =", {norm(k, kb): (v / qd if v >= 0 else v)
+                for k, v in new["rem"].items()})
