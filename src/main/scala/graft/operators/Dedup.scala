@@ -261,6 +261,52 @@ object Dedup {
       .select(col(idCol), col("band.band_idx"), col("band.band_key"))
   }
 
+  /** MinHash LSH band rows computed ROW-LOCALLY — no explode-groupBy,
+    * no shuffle, no state: tokens → distinct shingles → per-shingle
+    * hashes as an ARRAY column, then each of the K min-hashes is an
+    * `array_min(transform(...))` over it. Semantically identical to
+    * `lshBands(minhashSignatures(shingleHashes(df)))` (min over the
+    * same shingle-hash multiset, same (a,b,P) family, same band_key
+    * packing — q194's oracle pins the equality), but the plan is a pure
+    * per-row map + band explode, which makes it
+    *
+    *  (a) legal on a STREAMING frame in append mode (a groupBy minhash
+    *      is a stateful aggregation; this is a stateless projection —
+    *      the micro-batch ingest-dedup path), and
+    *  (b) the cheaper batch plan when the shingle table isn't needed
+    *      downstream: the exploded pipeline shuffles one row per
+    *      (doc, shingle); this shuffles nothing.
+    *
+    * Intermediates are materialized one per select so each appears only
+    * in ARGUMENT position of the next higher-order function (the
+    * TextOps.shingles lambda-capture rule); `__hs` is referenced K
+    * times, which keeps CollapseProject from inlining the md5 chain
+    * into every min. Docs with no shingles (< n tokens) produce no
+    * band rows, matching the exploded pipeline where they vanish at the
+    * explode. */
+  def lshBandsStateless(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, rows: Int, n: Int = 3,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(bands > 0 && rows > 0 && bands * rows == k,
+      s"k ($k) must equal bands*rows (${bands}x$rows)")
+    val keys = col(idCol) +: carry.map(col)
+    df.select(keys :+ TextOps.tokens(col(textCol)).as("__tk"): _*)
+      .select(keys :+
+        array_distinct(TextOps.shingles(col("__tk"), n)).as("__sg"): _*)
+      .select(keys :+
+        transform(col("__sg"), s => TextOps.hashMod(s)).as("__hs"): _*)
+      .filter(size(col("__hs")) >= 1)
+      .select(keys :+ array((0 until k).map(i =>
+        array_min(transform(col("__hs"),
+          h => (h * aParam(i) + bParam(i)) % P))): _*).as("__mh"): _*)
+      .select(keys :+ explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band_idx"),
+          concat_ws(":", (0 until rows).map(r =>
+            col("__mh").getItem(b * rows + r)): _*).as("band_key"))
+      }: _*)).as("band"): _*)
+      .select(keys ++ Seq(col("band.band_idx"), col("band.band_key")): _*)
+  }
+
   /** LSH candidate pairs (idA < idB) from signatures: B bands of R rows
     * (K = B·R); a pair is a candidate iff some band's R values all match.
     */

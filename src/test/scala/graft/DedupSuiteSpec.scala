@@ -76,6 +76,27 @@ class DedupSuiteSpec extends SparkTestBase {
       "doc_id", "source").count() == 0)
   }
 
+  test("row-local stateless banding equals the exploded minhash pipeline") {
+    // lshBandsStateless exists so STREAMING frames can band without a
+    // stateful aggregation; its contract is exact equality with the
+    // explode-groupBy pipeline on any batch frame — same hash family,
+    // same distinct-shingle set, same band_key packing. Pin it on the
+    // real fixture (sf0.001 documents, which carries planted
+    // near-dup clones AND sub-3-token short docs).
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaSig = Dedup.lshBands(
+      Dedup.minhashSignatures(
+        Dedup.shingleHashes(docs, "doc_id", "text"), "doc_id", "h", 16),
+      "doc_id", 4, 4)
+    val rowLocal = Dedup.lshBandsStateless(docs, "doc_id", "text", 16, 4, 4)
+      .select("doc_id", "band_idx", "band_key")
+    assert(viaSig.exceptAll(rowLocal).isEmpty &&
+      rowLocal.exceptAll(viaSig).isEmpty,
+      "stateless and exploded band rows must be identical")
+    assert(rowLocal.count() > 0)
+  }
+
   test("carry columns ride the shingle explode without changing the hashes") {
     val docsDf = Seq((1L, "alpha beta gamma delta", "s0"))
       .toDF("doc_id", "text", "source")

@@ -360,4 +360,25 @@ class PlanSpec extends SparkTestBase {
       !plan.contains("hashpartitioning(doc_id"),
       s"expected no corpus-keyed join in the boilerplate path:\n$plan")
   }
+
+  test("q196: the delta's bands broadcast against the corpus index; " +
+      "candidates stay batch x bands-bounded") {
+    // The decontamination asymmetry is the whole point: the corpus
+    // band index STREAMS through the probe join exactly once while the
+    // small delta side broadcasts, and the exact-cosine verify joins
+    // candidate ids back to the two vector tables — also broadcasts at
+    // any realistic delta size. A SortMergeJoin anywhere in this plan
+    // means a corpus-sized shuffle crept into the daily-ingest path; a
+    // missing LeftOuter broadcast means the per-row verdict stopped
+    // riding the tiny hit set.
+    val plan = finalPlan("q196_embed_delta_decontam")
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBhj >= 3,
+      s"expected probe + verify + verdict broadcasts, got $nBhj:\n$plan")
+    assert("BroadcastHashJoin \\[.*\\], LeftOuter, BuildRight".r
+      .findFirstIn(plan).isDefined,
+      s"expected the verdict join to broadcast the hit set:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"expected no corpus-sized shuffle join in the delta path:\n$plan")
+  }
 }
