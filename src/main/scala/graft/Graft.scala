@@ -335,6 +335,68 @@ object Graft {
       df.join(dupIds, Seq(idCol), "left_anti")
     }
 
+    /** Near-dup hits of `df` against a static `corpus` band index —
+      * `df` may be a STREAMING frame (q194): bands come from
+      * [[Dedup.lshBandsStateless]] (row-local, no stateful
+      * aggregation), the corpus index broadcasts through a semi join,
+      * and each hit id surfaces once per micro-batch arrival. Compose
+      * with `dropDuplicatesWithinWatermark` on `idCol` for an
+      * exactly-once verdict under at-least-once delivery; batch
+      * callers can just `.dropDuplicates(idCol)`. `carry` columns ride
+      * the band rows to the output. */
+    def nearDupHitsAgainst(corpus: DataFrame, idCol: String,
+        textCol: String, k: Int = 16, bands: Int = 4,
+        carry: Seq[String] = Nil): DataFrame = {
+      val rows = k / bands
+      val corpB = Dedup.lshBands(
+        Dedup.minhashSignatures(
+          Dedup.shingleHashes(corpus, idCol, textCol), idCol, "h", k),
+        idCol, bands, rows)
+        .select(col("band_idx").as("__ci"), col("band_key").as("__ck"))
+      Dedup.lshBandsStateless(df, idCol, textCol, k, bands, rows,
+          carry = carry)
+        .join(broadcast(corpB), col("band_idx") === col("__ci") &&
+          col("band_key") === col("__ck"), "left_semi")
+        .select((col(idCol) +: carry.map(col)): _*)
+    }
+
+    /** Embedding-space delta decontamination (q196): keep only `df`
+      * rows (`idCol`, `vecCol` array<double>) whose SRP band buckets
+      * find NO corpus candidate above `tau` exact cosine. `df` is the
+      * small incoming batch — its bands broadcast against the corpus
+      * band index; the corpus never self-joins and exact cosine runs
+      * on candidates only. */
+    def embedDeltaDecontaminated(corpus: DataFrame, idCol: String,
+        vecCol: String, tau: Double, bands: Int = 4,
+        planesPerBand: Int = 8): DataFrame = {
+      def withNorm(d: DataFrame) =
+        d.withColumn("__nr", Vectors.norm(col(vecCol)))
+      def banded(d: DataFrame, idAs: String) = d.select(
+        col(idCol).as(idAs),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("b"),
+            Vectors.srpBandBucket(col(vecCol), b, planesPerBand)
+              .as("bk"))
+        }: _*)).as("__band"))
+        .select(col(idAs), col("__band.b"), col("__band.bk"))
+      val cn = withNorm(corpus)
+      val dn = withNorm(df)
+      val corpB = banded(corpus, "__ci")
+        .withColumnRenamed("b", "__cb").withColumnRenamed("bk", "__cbk")
+      val cand = corpB.join(broadcast(banded(df, "__di")),
+          col("__cb") === col("b") && col("__cbk") === col("bk"))
+        .select(col("__di"), col("__ci")).distinct()
+      val hit = cand
+        .join(dn.select(col(idCol).as("__di2"), col(vecCol).as("__dv"),
+          col("__nr").as("__dnr")), col("__di") === col("__di2"))
+        .join(cn.select(col(idCol).as("__ci2"), col(vecCol).as("__cv"),
+          col("__nr").as("__cnr")), col("__ci") === col("__ci2"))
+        .filter(Vectors.cosine(Vectors.dot(col("__dv"), col("__cv")),
+          col("__dnr"), col("__cnr")) > tau)
+        .select(col("__di")).distinct()
+      df.join(broadcast(hit), col(idCol) === col("__di"), "left_anti")
+    }
+
     /** Deterministic weighted sample (q160): top-`k` rows per stratum
       * with inclusion probability ∝ `weightCol`, drawn by the
       * Efraimidis–Spirakis key ln(u)/w with the content hash as u —
@@ -598,14 +660,15 @@ object Graft {
     }
 
     /** Sniff + normalize a heterogeneous media column: adds `fmt`
-      * ('bmp'/'png'/'gif'/'jpeg'/'wav'/'mp4'/'corrupt'), `width`/
-      * `height` (images), `rate` (audio) and `duration_ms` (video).
-      * Detection IS the decoders' never-throw NULL contract — a magic
-      * mismatch is the sniffer, so there is no separate detection code
-      * to disagree with the parser, and an undecodable payload lands in
-      * 'corrupt' instead of failing the job. All six parses are
-      * codegen'd Catalyst expressions (functions/MediaHeader.scala):
-      * one per-row map, no UDF, no shuffle. */
+      * ('bmp'/'png'/'gif'/'jpeg'/'wav'/'mp3'/'flac'/'mp4'/'corrupt'),
+      * `width`/`height` (images), `rate` (audio) and `duration_ms`
+      * (video). Detection IS the decoders' never-throw NULL contract —
+      * a magic mismatch is the sniffer, so there is no separate
+      * detection code to disagree with the parser, and an undecodable
+      * payload lands in 'corrupt' instead of failing the job. All
+      * parses are codegen'd Catalyst expressions
+      * (functions/MediaHeader.scala): one per-row map, no UDF, no
+      * shuffle. */
     def mediaSniffed(blobCol: String): DataFrame = {
       graft.functions.GraftFunctions.register(df.sparkSession)
       val b = blobCol
@@ -615,6 +678,8 @@ object Graft {
             .when(expr(s"gif_width($b)").isNotNull, "gif")
             .when(expr(s"jpeg_width($b)").isNotNull, "jpeg")
             .when(expr(s"wav_sample_rate($b)").isNotNull, "wav")
+            .when(expr(s"mp3_sample_rate($b)").isNotNull, "mp3")
+            .when(expr(s"flac_sample_rate($b)").isNotNull, "flac")
             .when(expr(s"mp4_timescale($b)").isNotNull, "mp4")
             .otherwise("corrupt"))
         .withColumn("width", coalesce(expr(s"bmp_width($b)"),
@@ -623,7 +688,9 @@ object Graft {
         .withColumn("height", coalesce(expr(s"bmp_height($b)"),
           expr(s"png_height($b)"), expr(s"gif_height($b)"),
           expr(s"jpeg_height($b)")))
-        .withColumn("rate", expr(s"wav_sample_rate($b)"))
+        .withColumn("rate", coalesce(expr(s"wav_sample_rate($b)"),
+          expr(s"mp3_sample_rate($b)"),
+          expr(s"CAST(flac_sample_rate($b) AS INT)")))
         // nullif, not a bare DIV: under ANSI mode a corrupt-but-
         // magic-valid MP4 declaring timescale 0 would throw
         // DIVIDE_BY_ZERO and fail the whole job — the exact opposite

@@ -106,6 +106,24 @@ object GraftFunctions {
     fn("mp4_duration64",
       "MP4 mvhd duration as BIGINT, version 0 u32 or version 1 u64",
       es => Mp4Duration64(es.head)),
+    fn("mp3_bitrate_kbps",
+      "MPEG-1 Layer III bitrate (ID3v2-skipped; NULL if free/bad/no sync)",
+      es => Mp3BitrateKbps(es.head)),
+    fn("mp3_sample_rate",
+      "MPEG-1 Layer III sample rate Hz (ID3v2-skipped; NULL if reserved)",
+      es => Mp3SampleRate(es.head)),
+    fn("flac_sample_rate",
+      "FLAC STREAMINFO sample rate Hz (20-bit; NULL unless fLaC+type0)",
+      es => FlacSampleRate(es.head)),
+    fn("flac_channels",
+      "FLAC STREAMINFO channel count (3-bit field + 1)",
+      es => FlacChannels(es.head)),
+    fn("flac_bits_per_sample",
+      "FLAC STREAMINFO bits per sample (5-bit field + 1)",
+      es => FlacBitsPerSample(es.head)),
+    fn("flac_total_samples",
+      "FLAC STREAMINFO total samples (36-bit BIGINT)",
+      es => FlacTotalSamples(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",

@@ -686,3 +686,199 @@ case class Mp4Duration64(child: Expression) extends Mp4MvhdField64 {
     copy(child = c)
   override def prettyName: String = "mp4_duration64"
 }
+
+/** MP3 / MPEG-1 Layer III frame-header fields — the compressed-audio
+  * modality's structural metadata, per the public MPEG audio spec.
+  *
+  * Real files may lead with ONE ID3v2 tag: "ID3" + version(2) +
+  * flags(1) + a 28-bit SYNCSAFE size (4 bytes, 7 bits each — a size
+  * byte with its high bit set is corrupt by definition); the footer
+  * flag (0x10) adds 10 trailing bytes. The first MPEG frame header (4
+  * bytes) must sit EXACTLY at offset 0 or at the post-tag offset —
+  * this parser does not scan forward through garbage (bounded scope,
+  * the same contract as the MP4 walk's ftyp-first rule). Header
+  * layout, big-endian bit order: 11 sync bits (all 1), 2 version bits
+  * (11 = MPEG-1 — the only version decoded; others NULL), 2 layer
+  * bits (01 = Layer III), protection bit (either), then bitrate
+  * index (4 bits: 0 = free and 15 = bad are NULL) and sample-rate
+  * index (2 bits: 3 reserved -> NULL) in byte 2. Tables are the
+  * MPEG-1 Layer III columns of the public bitrate/sample-rate
+  * matrices. Shared static locator = one set of bounds checks for the
+  * interpreted and generated paths (the Mp4Mvhd precedent). */
+object Mp3Frame {
+  private val BitrateV1L3 = Array(
+    -1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val SampleRateV1 = Array(44100, 48000, 32000)
+
+  /** Offset of the MPEG-1 Layer III frame header, or -1. */
+  def frameBase(a: Array[Byte]): Int = {
+    var p = 0
+    if (a.length >= 10 && a(0) == 'I' && a(1) == 'D' && a(2) == '3') {
+      if (((a(6) | a(7) | a(8) | a(9)) & 0x80) != 0) return -1
+      p = 10 + ((a(6) & 0x7F) << 21 | (a(7) & 0x7F) << 14 |
+        (a(8) & 0x7F) << 7 | (a(9) & 0x7F))
+      if ((a(5) & 0x10) != 0) p += 10 // footer present
+    }
+    if (p < 0 || p + 4 > a.length) return -1
+    // 0xFF + sync(3)/version 11/layer 01 => second byte 0xFA or 0xFB
+    if ((a(p) & 0xFF) != 0xFF || (a(p + 1) & 0xFE) != 0xFA) return -1
+    p
+  }
+
+  /** Bitrate in kbps; -1 = NULL (no frame, free-format, or bad index). */
+  def bitrateKbps(a: Array[Byte]): Int = {
+    val p = frameBase(a)
+    if (p < 0) -1 else BitrateV1L3((a(p + 2) >> 4) & 0xF)
+  }
+
+  /** Sample rate in Hz; -1 = NULL (no frame or reserved index). */
+  def sampleRate(a: Array[Byte]): Int = {
+    val p = frameBase(a)
+    if (p < 0) return -1
+    val i = (a(p + 2) >> 2) & 0x3
+    if (i == 3) -1 else SampleRateV1(i)
+  }
+}
+
+/** FLAC STREAMINFO fields, per the public FLAC format spec: "fLaC"
+  * magic, then metadata blocks — a 1-byte header (bit 7 last-flag,
+  * bits 6..0 type) + u24 BE length + payload. STREAMINFO (type 0) is
+  * REQUIRED to be the first block, so offsets are fixed: block header
+  * @4, payload @8; the bit-packed region at payload offset 10 holds
+  * sample rate (20 bits), channels-1 (3), bits-per-sample-1 (5) and
+  * total samples (36) in one big-endian u64. A first block of any
+  * other type, a declared length that cannot hold the packed region
+  * (< 18), or a sample rate of 0 (invalid per spec) are NULL. */
+object FlacStreamInfo {
+  /** The packed u64 at STREAMINFO offset 10, or -1 when unparseable.
+    * (The real packed value always has sample-rate bits set, so a
+    * legitimate value can never be negative.) */
+  def packed(a: Array[Byte]): Long = {
+    if (a.length < 26 || a(0) != 'f' || a(1) != 'L' || a(2) != 'a' ||
+      a(3) != 'C') return -1L
+    if ((a(4) & 0x7F) != 0) return -1L // first block must be STREAMINFO
+    val len = (a(5) & 0xFF) << 16 | (a(6) & 0xFF) << 8 | (a(7) & 0xFF)
+    if (len < 18) return -1L
+    val v = java.nio.ByteBuffer.wrap(a, 18, 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).getLong()
+    if ((v >>> 44) == 0L) -1L else v // sample rate 0 is invalid
+  }
+  def sampleRate(a: Array[Byte]): Long = {
+    val v = packed(a); if (v < 0) -1L else v >>> 44
+  }
+  def channels(a: Array[Byte]): Long = {
+    val v = packed(a); if (v < 0) -1L else ((v >>> 41) & 0x7L) + 1L
+  }
+  def bitsPerSample(a: Array[Byte]): Long = {
+    val v = packed(a); if (v < 0) -1L else ((v >>> 36) & 0x1FL) + 1L
+  }
+  def totalSamples(a: Array[Byte]): Long = {
+    val v = packed(a); if (v < 0) -1L else v & 0xFFFFFFFFFL
+  }
+}
+
+/** Int-valued expression over a static reader with a -1 NULL sentinel
+  * (every legal field value is non-negative) — the shared shape of the
+  * MP3 fields. */
+abstract class Mp3FrameField extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  /** Static reader name on graft.functions.Mp3Frame. */
+  protected def readerName: String
+  protected def read(a: Array[Byte]): Int
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val v = read(bytes.asInstanceOf[Array[Byte]])
+    if (v < 0) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("mp3V")
+      s"""int $v = graft.functions.Mp3Frame.$readerName($a);
+         |if ($v < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $v;
+         |}""".stripMargin
+    })
+}
+
+case class Mp3BitrateKbps(child: Expression) extends Mp3FrameField {
+  protected val readerName = "bitrateKbps"
+  protected def read(a: Array[Byte]): Int = Mp3Frame.bitrateKbps(a)
+  override protected def withNewChildInternal(c: Expression): Mp3BitrateKbps =
+    copy(child = c)
+  override def prettyName: String = "mp3_bitrate_kbps"
+}
+
+case class Mp3SampleRate(child: Expression) extends Mp3FrameField {
+  protected val readerName = "sampleRate"
+  protected def read(a: Array[Byte]): Int = Mp3Frame.sampleRate(a)
+  override protected def withNewChildInternal(c: Expression): Mp3SampleRate =
+    copy(child = c)
+  override def prettyName: String = "mp3_sample_rate"
+}
+
+/** Long-valued expression over a static FlacStreamInfo reader with the
+  * -1 NULL sentinel. */
+abstract class FlacField extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  protected def readerName: String
+  protected def read(a: Array[Byte]): Long
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val v = read(bytes.asInstanceOf[Array[Byte]])
+    if (v < 0) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("flacV")
+      s"""long $v = graft.functions.FlacStreamInfo.$readerName($a);
+         |if ($v < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $v;
+         |}""".stripMargin
+    })
+}
+
+case class FlacSampleRate(child: Expression) extends FlacField {
+  protected val readerName = "sampleRate"
+  protected def read(a: Array[Byte]): Long = FlacStreamInfo.sampleRate(a)
+  override protected def withNewChildInternal(c: Expression): FlacSampleRate =
+    copy(child = c)
+  override def prettyName: String = "flac_sample_rate"
+}
+
+case class FlacChannels(child: Expression) extends FlacField {
+  protected val readerName = "channels"
+  protected def read(a: Array[Byte]): Long = FlacStreamInfo.channels(a)
+  override protected def withNewChildInternal(c: Expression): FlacChannels =
+    copy(child = c)
+  override def prettyName: String = "flac_channels"
+}
+
+case class FlacBitsPerSample(child: Expression) extends FlacField {
+  protected val readerName = "bitsPerSample"
+  protected def read(a: Array[Byte]): Long = FlacStreamInfo.bitsPerSample(a)
+  override protected def withNewChildInternal(c: Expression): FlacBitsPerSample =
+    copy(child = c)
+  override def prettyName: String = "flac_bits_per_sample"
+}
+
+case class FlacTotalSamples(child: Expression) extends FlacField {
+  protected val readerName = "totalSamples"
+  protected def read(a: Array[Byte]): Long = FlacStreamInfo.totalSamples(a)
+  override protected def withNewChildInternal(c: Expression): FlacTotalSamples =
+    copy(child = c)
+  override def prettyName: String = "flac_total_samples"
+}

@@ -340,6 +340,35 @@ class GraftFacadeSpec extends SparkTestBase {
       enc.getAs[Long]("n_bpe") == 3L) // [the] + [the, n]
   }
 
+  test("round-8 facade additions: streaming-capable near-dup probe + " +
+      "embedding delta decontamination") {
+    // nearDupHitsAgainst: doc 10 is a clone of corpus doc 1 -> hit;
+    // doc 11 shares nothing -> silent. Batch frame here; q194 runs the
+    // same operator on a streaming frame.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different corpus content sits here now"))
+      .toDF("id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "nothing in common with anything above at all"))
+      .toDF("id", "text")
+    val hits = delta.nearDupHitsAgainst(corpus, "id", "text")
+      .dropDuplicates("id").select("id").as[Long].collect().toSeq
+    assert(hits == Seq(10L), s"got $hits")
+
+    // embedDeltaDecontaminated: delta 10 is corpus 1's near-twin ->
+    // dropped; orthogonal-ish 11 survives
+    def v(seed: Int) = Array.tabulate(64)(i =>
+      math.sin(seed * 97 + i))
+    val near = v(1).clone(); near(0) = near(0) + 0.01
+    val corpusV = Seq((1L, v(1)), (2L, v(5))).toDF("id", "vec")
+    val deltaV = Seq((10L, near), (11L, v(9))).toDF("id", "vec")
+    val kept = deltaV.embedDeltaDecontaminated(corpusV, "id", "vec",
+      tau = 0.9).select("id").as[Long].collect().toSeq
+    assert(kept == Seq(11L), s"got $kept")
+  }
+
   test("facade: media sniff + manifest over a mixed binary column") {
     import java.nio.{ByteBuffer, ByteOrder}
     // independent serializers (java.nio), one payload per format
