@@ -124,6 +124,12 @@ object GraftFunctions {
     fn("flac_total_samples",
       "FLAC STREAMINFO total samples (36-bit BIGINT)",
       es => FlacTotalSamples(es.head)),
+    fn("webp_width",
+      "WebP canvas width (VP8X u24+1 / VP8L 14-bit packed / VP8 lossy)",
+      es => WebpWidth(es.head)),
+    fn("webp_height",
+      "WebP canvas height (VP8X u24+1 / VP8L 14-bit packed / VP8 lossy)",
+      es => WebpHeight(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",

@@ -882,3 +882,106 @@ case class FlacTotalSamples(child: Expression) extends FlacField {
     copy(child = c)
   override def prettyName: String = "flac_total_samples"
 }
+
+/** WebP canvas dimensions, per the public WebP container + bitstream
+  * specs. RIFF layout: "RIFF" + u32 LE file size + "WEBP", then the
+  * FIRST chunk decides the flavor (the container spec requires VP8X
+  * first when present; simple files carry a single VP8 /VP8L chunk):
+  *
+  *  - VP8X (extended): flags u32 @20 (byte + 3 reserved), then canvas
+  *    width-1 and height-1 as u24 LE @24/@27; declared chunk size must
+  *    be >= 10.
+  *  - VP8L (lossless): signature byte 0x2F @20, then width-1 (14 bits)
+  *    and height-1 (14 bits) bit-packed LSB-first across the next four
+  *    bytes — the format's one genuinely bit-level read.
+  *  - "VP8 " (lossy): 3-byte frame tag (bit 0 = 0 for the keyframe
+  *    that must open the stream) + start code 9D 01 2A, then width and
+  *    height as the low 14 bits of two u16 LE.
+  *
+  * Any other first chunk, a failed magic/start-code check, or a short
+  * payload is NULL — the same never-throw corrupt contract as every
+  * other decoder here. Shared static reader: one set of bounds checks
+  * for the interpreted and generated paths. */
+object WebpHeader {
+  /** `(width << 25) | height` — 25 bits per dimension holds the
+    * largest legal value of any flavor (VP8X stores width-1 as u24, so
+    * the canvas maxes at exactly 2^24; VP8/VP8L are 14-bit) — or -1
+    * when unparseable. */
+  def dims(a: Array[Byte]): Long = {
+    if (a.length < 25 || a(0) != 'R' || a(1) != 'I' || a(2) != 'F' ||
+      a(3) != 'F' || a(8) != 'W' || a(9) != 'E' || a(10) != 'B' ||
+      a(11) != 'P') return -1L
+    val sz = (a(16) & 0xFF) | (a(17) & 0xFF) << 8 | (a(18) & 0xFF) << 16 |
+      (a(19) & 0xFFL) << 24
+    def pack(w: Long, h: Long): Long =
+      if (w > (1L << 24) || h > (1L << 24)) -1L else (w << 25) | h
+    if (a(12) == 'V' && a(13) == 'P' && a(14) == '8' && a(15) == 'X') {
+      if (sz < 10 || a.length < 30) return -1L
+      pack(1L + ((a(24) & 0xFF) | (a(25) & 0xFF) << 8 |
+        (a(26) & 0xFF) << 16),
+        1L + ((a(27) & 0xFF) | (a(28) & 0xFF) << 8 | (a(29) & 0xFF) << 16))
+    } else if (a(12) == 'V' && a(13) == 'P' && a(14) == '8' &&
+        a(15) == 'L') {
+      if ((a(20) & 0xFF) != 0x2F) return -1L
+      val w = 1L + ((a(21) & 0xFF) | (a(22) & 0x3F) << 8)
+      val h = 1L + ((a(22) & 0xFF) >> 6 | (a(23) & 0xFF) << 2 |
+        (a(24) & 0xF) << 10)
+      pack(w, h)
+    } else if (a(12) == 'V' && a(13) == 'P' && a(14) == '8' &&
+        a(15) == ' ') {
+      if (a.length < 30 || (a(20) & 1) != 0 || (a(23) & 0xFF) != 0x9D ||
+        (a(24) & 0xFF) != 0x01 || (a(25) & 0xFF) != 0x2A) return -1L
+      pack(((a(26) & 0xFF) | (a(27) & 0xFF) << 8) & 0x3FFF,
+        ((a(28) & 0xFF) | (a(29) & 0xFF) << 8) & 0x3FFF)
+    } else -1L
+  }
+  def width(a: Array[Byte]): Long = {
+    val d = dims(a); if (d < 0) -1L else d >>> 25
+  }
+  def height(a: Array[Byte]): Long = {
+    val d = dims(a); if (d < 0) -1L else d & 0x1FFFFFFL
+  }
+}
+
+/** Int-valued WebP fields over the static reader (-1 NULL sentinel). */
+abstract class WebpField extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  protected def readerName: String
+  protected def read(a: Array[Byte]): Long
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val v = read(bytes.asInstanceOf[Array[Byte]])
+    if (v < 0) null else v.toInt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("webpV")
+      s"""long $v = graft.functions.WebpHeader.$readerName($a);
+         |if ($v < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (int) $v;
+         |}""".stripMargin
+    })
+}
+
+case class WebpWidth(child: Expression) extends WebpField {
+  protected val readerName = "width"
+  protected def read(a: Array[Byte]): Long = WebpHeader.width(a)
+  override protected def withNewChildInternal(c: Expression): WebpWidth =
+    copy(child = c)
+  override def prettyName: String = "webp_width"
+}
+
+case class WebpHeight(child: Expression) extends WebpField {
+  protected val readerName = "height"
+  protected def read(a: Array[Byte]): Long = WebpHeader.height(a)
+  override protected def withNewChildInternal(c: Expression): WebpHeight =
+    copy(child = c)
+  override def prettyName: String = "webp_height"
+}

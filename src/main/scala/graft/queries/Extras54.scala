@@ -165,6 +165,69 @@ object Extras54 {
             "DIV nullif(flac_sample_rate(b), 0)").as("dur_ms"))
     },
 
+    // ---- WebP canvas decode across all three container flavors ---------
+    Qry(
+      "q200_webp_header",
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h60
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |    h60 % 3 AS pick,
+         |    (h60 % 9 = 0) AS corrupt,
+         |    CASE WHEN h60 % 3 = 0 THEN 1 + (h60 // 16) % 16777216
+         |      ELSE 1 + (h60 // 16) % 16383 END AS w,
+         |    CASE WHEN h60 % 3 = 0 THEN 1 + (h60 // 1024) % 16777216
+         |      ELSE 1 + (h60 // 1024) % 16383 END AS hh
+         |  FROM d)
+         |SELECT doc_id,
+         |  CASE WHEN corrupt THEN NULL ELSE w END AS width,
+         |  CASE WHEN corrupt THEN NULL ELSE hh END AS height
+         |FROM p""".stripMargin) { (spark, dir) =>
+      graft.functions.GraftFunctions.register(spark)
+      def u24le(x: String) = concat(
+        expr(s"le_encode_u8(CAST(($x) % 256 AS INT))"),
+        expr(s"le_encode_u8(CAST(($x) DIV 256 % 256 AS INT))"),
+        expr(s"le_encode_u8(CAST(($x) DIV 65536 % 256 AS INT))"))
+      def u16le(x: String) = concat(
+        expr(s"le_encode_u8(CAST(($x) % 256 AS INT))"),
+        expr(s"le_encode_u8(CAST(($x) DIV 256 % 256 AS INT))"))
+      // "WEBP" form tag, last byte flipped on the corrupt slice
+      val riff = concat(lit("RIFF".getBytes("US-ASCII")),
+        expr("le_encode_u32(30)"), lit("WEB".getBytes("US-ASCII")),
+        expr("le_encode_u8(CASE WHEN corrupt THEN 81 ELSE 80 END)"))
+      val vp8x = concat(lit("VP8X".getBytes("US-ASCII")),
+        expr("le_encode_u32(10)"), bytesLit("00000000"),
+        u24le("w - 1"), u24le("hh - 1"))
+      // VP8L: 0x2F signature then width-1/height-1 as 14-bit fields
+      // packed LSB-first — the byte straddling both fields (b2) is the
+      // synthesis mirror of the decoder's bit split
+      val vp8l = concat(lit("VP8L".getBytes("US-ASCII")),
+        expr("le_encode_u32(5)"), bytesLit("2F"),
+        expr("le_encode_u8(CAST((w - 1) % 256 AS INT))"),
+        expr("le_encode_u8(CAST((w - 1) DIV 256 + ((hh - 1) % 4) * 64" +
+          " AS INT))"),
+        expr("le_encode_u8(CAST((hh - 1) DIV 4 % 256 AS INT))"),
+        expr("le_encode_u8(CAST((hh - 1) DIV 1024 AS INT))"))
+      val vp8 = concat(lit("VP8 ".getBytes("US-ASCII")),
+        expr("le_encode_u32(10)"), bytesLit("000000"),
+        bytesLit("9D012A"), u16le("w"), u16le("hh"))
+      h60Of(spark, dir)
+        .withColumn("pick", expr("CAST(h60 % 3 AS INT)"))
+        .withColumn("corrupt", expr("h60 % 9 = 0"))
+        .withColumn("w", expr("CASE WHEN pick = 0 " +
+          "THEN 1 + (h60 DIV 16) % 16777216 " +
+          "ELSE 1 + (h60 DIV 16) % 16383 END"))
+        .withColumn("hh", expr("CASE WHEN pick = 0 " +
+          "THEN 1 + (h60 DIV 1024) % 16777216 " +
+          "ELSE 1 + (h60 DIV 1024) % 16383 END"))
+        .withColumn("b", concat(riff,
+          when(col("pick") === 0, vp8x)
+            .when(col("pick") === 1, vp8l).otherwise(vp8)))
+        .select(col("doc_id"),
+          expr("CAST(webp_width(b) AS BIGINT)").as("width"),
+          expr("CAST(webp_height(b) AS BIGINT)").as("height"))
+    },
+
     // ---- per-document repetition signals (quality filtering) -----------
     Qry(
       "q199_repetition_signals",

@@ -396,6 +396,148 @@ class MediaHeaderSpec extends SparkTestBase {
     assert(Mp4Duration64(Literal(deepKids)).eval() == null)
   }
 
+  /** Independent MP3 serializer: optional ID3v2 tag (syncsafe size,
+    * optional footer flag) + one MPEG-1 Layer III frame header. */
+  private def mp3(tagSz: Int, footer: Boolean, bIdx: Int, sIdx: Int,
+      withTag: Boolean = true): Array[Byte] = {
+    val tag = if (!withTag) Array.empty[Byte] else {
+      val b = ByteBuffer.allocate(10 + tagSz + (if (footer) 10 else 0))
+      b.put("ID3".getBytes("US-ASCII")).put(4.toByte).put(0.toByte)
+        .put((if (footer) 0x10 else 0).toByte)
+      b.put(((tagSz >> 21) & 0x7F).toByte).put(((tagSz >> 14) & 0x7F).toByte)
+        .put(((tagSz >> 7) & 0x7F).toByte).put((tagSz & 0x7F).toByte)
+      b.put(Array.fill[Byte](tagSz + (if (footer) 10 else 0))(0x6A))
+      b.array()
+    }
+    tag ++ Array[Byte](0xFF.toByte, 0xFB.toByte,
+      ((bIdx << 4) | (sIdx << 2)).toByte, 0)
+  }
+
+  test("MP3: ID3v2 skip (incl. footer flag), tables, NULL contract") {
+    val plain = mp3(0, footer = false, 9, 0, withTag = false) // 128k/44100
+    val tagged = mp3(300, footer = false, 14, 1)              // 320k/48000
+    val footered = mp3(129, footer = true, 1, 2)              // 32k/32000
+    val freeFmt = mp3(0, footer = false, 0, 0, withTag = false)
+    val reservedRate = mp3(0, footer = false, 9, 3, withTag = false)
+    // syncsafe size byte with its high bit set is corrupt by definition
+    val badSyncsafe = mp3(300, footer = false, 9, 0)
+    badSyncsafe(9) = 0x80.toByte
+    // tag declares more payload than the file carries
+    val truncated = mp3(300, footer = false, 9, 0).dropRight(200)
+    // MPEG-2 version bits (FF F3) are outside the decoded profile
+    val mpeg2 = Array[Byte](0xFF.toByte, 0xF3.toByte, 0x94.toByte, 0)
+    val r = Seq((plain, tagged, footered, freeFmt, reservedRate,
+        badSyncsafe, truncated, mpeg2))
+      .toDF("p", "t", "f", "fr", "rr", "bs", "tr", "m2")
+      .selectExpr("mp3_bitrate_kbps(p) a", "mp3_sample_rate(p) b",
+        "mp3_bitrate_kbps(t) c", "mp3_sample_rate(t) d",
+        "mp3_bitrate_kbps(f) e", "mp3_sample_rate(f) g",
+        "mp3_bitrate_kbps(fr) h", "mp3_sample_rate(rr) i",
+        "mp3_bitrate_kbps(bs) j", "mp3_bitrate_kbps(tr) k",
+        "mp3_bitrate_kbps(m2) l").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getInt(5)) == ((128, 44100, 320, 48000, 32, 32000)))
+    (6 until 11).foreach(i => assert(r.isNullAt(i), s"field $i"))
+    // interpreted path agrees (same static reader by construction)
+    assert(Mp3BitrateKbps(Literal(tagged)).eval() == 320)
+    assert(Mp3SampleRate(Literal(footered)).eval() == 32000)
+    assert(Mp3BitrateKbps(Literal(truncated)).eval() == null)
+  }
+
+  /** Independent FLAC serializer: magic + first metadata block header
+    * + STREAMINFO with the four packed fields. */
+  private def flac(rate: Long, ch: Int, bps: Int, tot: Long,
+      blockType: Int = 0, last: Boolean = false,
+      declLen: Int = 34): Array[Byte] = {
+    val b = ByteBuffer.allocate(42).order(ByteOrder.BIG_ENDIAN)
+    b.put("fLaC".getBytes("US-ASCII"))
+    b.put(((if (last) 0x80 else 0) | blockType).toByte)
+    b.put((declLen >> 16).toByte).put((declLen >> 8).toByte)
+      .put(declLen.toByte)
+    b.putShort(4608.toShort).putShort(4608.toShort)
+    b.put(Array[Byte](0, 0, 0, 0, 0, 0)) // min/max framesize u24
+    b.putLong((rate << 44) | ((ch - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | tot)
+    b.put(Array.fill[Byte](16)(0)) // md5 slot
+    b.array()
+  }
+
+  test("FLAC: packed STREAMINFO fields, block-order and length contracts") {
+    val hiRes = flac(192000L, 8, 32, 0xFFFFFFFFFL, last = true)
+    val cd = flac(44100L, 2, 16, 1234567L)
+    val wrongFirst = flac(44100L, 2, 16, 99L, blockType = 4)
+    val shortDecl = flac(44100L, 2, 16, 99L, declLen = 10)
+    val zeroRate = flac(0L, 2, 16, 99L)
+    val r = Seq((hiRes, cd, wrongFirst, shortDecl, zeroRate))
+      .toDF("h", "c", "w", "s", "z")
+      .selectExpr("flac_sample_rate(h) a", "flac_channels(h) b",
+        "flac_bits_per_sample(h) cc", "flac_total_samples(h) d",
+        "flac_sample_rate(c) e", "flac_total_samples(c) f",
+        "flac_sample_rate(w) g", "flac_sample_rate(s) i",
+        "flac_sample_rate(z) j").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((192000L, 8L, 32L, 0xFFFFFFFFFL)))
+    assert((r.getLong(4), r.getLong(5)) == ((44100L, 1234567L)))
+    (6 until 9).foreach(i => assert(r.isNullAt(i), s"field $i"))
+    assert(FlacChannels(Literal(hiRes)).eval() == 8L)
+    assert(FlacSampleRate(Literal(cd.take(20))).eval() == null)
+    assert(FlacSampleRate(Literal(wrongFirst)).eval() == null)
+  }
+
+  /** Independent WebP serializer for the three flavors. */
+  private def webp(kind: String, w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(34).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(26)
+      .put("WEBP".getBytes("US-ASCII"))
+    kind match {
+      case "VP8X" =>
+        b.put("VP8X".getBytes("US-ASCII")).putInt(10).putInt(0)
+        val (a1, a2) = (w - 1, h - 1)
+        b.put(a1.toByte).put((a1 >> 8).toByte).put((a1 >> 16).toByte)
+        b.put(a2.toByte).put((a2 >> 8).toByte).put((a2 >> 16).toByte)
+      case "VP8L" =>
+        b.put("VP8L".getBytes("US-ASCII")).putInt(5).put(0x2F.toByte)
+        val (a1, a2) = (w - 1, h - 1)
+        b.put((a1 & 0xFF).toByte)
+          .put(((a1 >> 8) | (a2 & 3) << 6).toByte)
+          .put(((a2 >> 2) & 0xFF).toByte).put((a2 >> 10).toByte)
+      case _ =>
+        b.put("VP8 ".getBytes("US-ASCII")).putInt(10)
+        b.put(Array[Byte](0, 0, 0)) // keyframe tag
+        b.put(0x9D.toByte).put(0x01.toByte).put(0x2A.toByte)
+        b.putShort(w.toShort).putShort(h.toShort)
+    }
+    b.array()
+  }
+
+  test("WebP: three flavors decode; keyframe/start-code/chunk contracts") {
+    val x = webp("VP8X", 1 << 24, 1) // the largest legal VP8X canvas
+    val l = webp("VP8L", 16384, 5000) // 14-bit max straddles b2
+    val v = webp("VP8 ", 1920, 1080)
+    val notKey = webp("VP8 ", 64, 64); notKey(20) = 1 // interframe first
+    val badCode = webp("VP8 ", 64, 64); badCode(23) = 0x9C.toByte
+    val badSig = webp("VP8L", 64, 64); badSig(20) = 0x2E
+    val alph = webp("VP8X", 64, 64) // unknown first chunk type
+    System.arraycopy("ALPH".getBytes("US-ASCII"), 0, alph, 12, 4)
+    val notWebp = webp("VP8X", 64, 64)
+    notWebp(11) = 'Q'.toByte
+    val r = Seq((x, l, v, notKey, badCode, badSig, alph, notWebp))
+      .toDF("x", "l", "v", "nk", "bc", "bs", "al", "nw")
+      .selectExpr("webp_width(x) a", "webp_height(x) b",
+        "webp_width(l) c", "webp_height(l) d",
+        "webp_width(v) e", "webp_height(v) f",
+        "webp_width(nk) g", "webp_width(bc) h",
+        "webp_width(bs) i", "webp_width(al) j",
+        "webp_width(nw) k").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getInt(5)) ==
+      ((1 << 24, 1, 16384, 5000, 1920, 1080)))
+    (6 until 11).foreach(i => assert(r.isNullAt(i), s"field $i"))
+    assert(WebpWidth(Literal(l)).eval() == 16384)
+    assert(WebpHeight(Literal(x)).eval() == 1)
+    assert(WebpWidth(Literal(v.take(28))).eval() == null)
+  }
+
   test("interpreted eval matches codegen output") {
     // Literal.eval exercises nullSafeEval (the non-codegen path); the
     // DataFrame asserts above ran through whole-stage codegen
