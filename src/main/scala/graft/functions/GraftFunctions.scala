@@ -130,6 +130,27 @@ object GraftFunctions {
     fn("webp_height",
       "WebP canvas height (VP8X u24+1 / VP8L 14-bit packed / VP8 lossy)",
       es => WebpHeight(es.head)),
+    fn("tiff_width",
+      "TIFF ImageWidth via endian-aware IFD walk (II/MM; SHORT or LONG)",
+      es => TiffWidth(es.head)),
+    fn("tiff_height",
+      "TIFF ImageLength via endian-aware IFD walk (II/MM; SHORT or LONG)",
+      es => TiffHeight(es.head)),
+    fn("gzip_mtime",
+      "gzip member MTIME as unsigned u32 (RFC 1952; 0 = absent)",
+      es => GzipMtime(es.head)),
+    fn("gzip_os",
+      "gzip member OS byte (RFC 1952; 255 = unknown)",
+      es => GzipOs(es.head)),
+    fn("gzip_fname",
+      "gzip original file name (FEXTRA-skipped, zero-terminated, <=256)",
+      es => GzipFname(es.head)),
+    fn("zstd_content_size",
+      "zstd declared decompressed size (RFC 8878; NULL when undeclared)",
+      es => ZstdContentSize(es.head)),
+    fn("zstd_window_size",
+      "zstd window size from the descriptor (NULL when single-segment)",
+      es => ZstdWindowSize(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",

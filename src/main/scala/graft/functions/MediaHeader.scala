@@ -985,3 +985,281 @@ case class WebpHeight(child: Expression) extends WebpField {
     copy(child = c)
   override def prettyName: String = "webp_height"
 }
+
+/** TIFF dimension fields via a bounded IFD walk, per the public TIFF 6.0
+  * spec — the family's one ENDIANNESS-SWITCHING container: bytes 0-1
+  * declare the byte order ("II" little / "MM" big) and every later read
+  * honors it, including the magic 42 check. The first IFD (u32 offset
+  * @4) holds a u16 entry count then 12-byte entries — tag u16, type
+  * u16, count u32, value field — scanned (<= 64 entries, spec-sorted
+  * but not assumed so) for ImageWidth(256)/ImageLength(257). Values of
+  * type SHORT(3) and LONG(4) with count 1 are inline in the value
+  * field's FIRST bytes in file order; anything else (RATIONAL, arrays,
+  * out-of-file IFD offsets, truncation) is NULL. */
+object TiffHeader {
+  private final val EntryBudget = 64
+
+  /** Value of `tag` in the first IFD, or -1. */
+  def field(a: Array[Byte], tag: Int): Long = {
+    if (a.length < 8) return -1L
+    val le =
+      if (a(0) == 'I' && a(1) == 'I') true
+      else if (a(0) == 'M' && a(1) == 'M') false
+      else return -1L
+    def u16(p: Int): Int =
+      if (le) (a(p) & 0xFF) | (a(p + 1) & 0xFF) << 8
+      else (a(p) & 0xFF) << 8 | (a(p + 1) & 0xFF)
+    def u32(p: Int): Long =
+      if (le) (a(p) & 0xFFL) | (a(p + 1) & 0xFFL) << 8 |
+        (a(p + 2) & 0xFFL) << 16 | (a(p + 3) & 0xFFL) << 24
+      else (a(p) & 0xFFL) << 24 | (a(p + 1) & 0xFFL) << 16 |
+        (a(p + 2) & 0xFFL) << 8 | (a(p + 3) & 0xFFL)
+    if (u16(2) != 42) return -1L
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > a.length) return -1L
+    val n = math.min(u16(ifd.toInt), EntryBudget)
+    var i = 0
+    while (i < n) {
+      val p = ifd.toInt + 2 + 12 * i
+      if (p + 12 > a.length) return -1L
+      if (u16(p) == tag) {
+        if (u32(p + 4) != 1L) return -1L
+        return u16(p + 2) match {
+          case 3 => u16(p + 8).toLong
+          case 4 => u32(p + 8)
+          case _ => -1L
+        }
+      }
+      i += 1
+    }
+    -1L
+  }
+  def width(a: Array[Byte]): Long = field(a, 256)
+  def height(a: Array[Byte]): Long = field(a, 257)
+}
+
+/** Int-valued TIFF fields over the static reader (-1 NULL sentinel). */
+abstract class TiffField extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  protected def readerName: String
+  protected def read(a: Array[Byte]): Long
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val v = read(bytes.asInstanceOf[Array[Byte]])
+    if (v < 0) null else v.toInt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("tiffV")
+      s"""long $v = graft.functions.TiffHeader.$readerName($a);
+         |if ($v < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = (int) $v;
+         |}""".stripMargin
+    })
+}
+
+case class TiffWidth(child: Expression) extends TiffField {
+  protected val readerName = "width"
+  protected def read(a: Array[Byte]): Long = TiffHeader.width(a)
+  override protected def withNewChildInternal(c: Expression): TiffWidth =
+    copy(child = c)
+  override def prettyName: String = "tiff_width"
+}
+
+case class TiffHeight(child: Expression) extends TiffField {
+  protected val readerName = "height"
+  protected def read(a: Array[Byte]): Long = TiffHeader.height(a)
+  override protected def withNewChildInternal(c: Expression): TiffHeight =
+    copy(child = c)
+  override def prettyName: String = "tiff_height"
+}
+
+/** Gzip member header fields, per RFC 1952 — the compression layer a
+  * crawl corpus actually arrives in (WARC.gz, jsonl.gz): magic 1F 8B +
+  * CM 8 (deflate), FLG @3, MTIME u32 LE @4, OS @9; an FEXTRA field
+  * (u16 LE length + payload) may precede the zero-terminated FNAME.
+  * `fname` is the family's first STRING-valued decode (ISO-8859-1 per
+  * the RFC), bounded at 256 bytes — unterminated or overlong names are
+  * NULL, as is a missing FNAME flag. */
+object GzipHeader {
+  private def ok(a: Array[Byte]): Boolean =
+    a.length >= 10 && (a(0) & 0xFF) == 0x1F && (a(1) & 0xFF) == 0x8B &&
+      a(2) == 8
+
+  /** MTIME as unsigned u32 (0 = absent per RFC, kept verbatim); -1 =
+    * NULL (not a gzip member). */
+  def mtime(a: Array[Byte]): Long =
+    if (!ok(a)) -1L
+    else (a(4) & 0xFFL) | (a(5) & 0xFFL) << 8 | (a(6) & 0xFFL) << 16 |
+      (a(7) & 0xFFL) << 24
+
+  /** OS byte (255 = unknown); -1 = NULL. */
+  def os(a: Array[Byte]): Int = if (!ok(a)) -1 else a(9) & 0xFF
+
+  /** Original file name, or null (no FNAME flag, truncation, or an
+    * unterminated/overlong name). */
+  def fname(a: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    if (!ok(a) || (a(3) & 0x08) == 0) return null
+    var p = 10
+    if ((a(3) & 0x04) != 0) { // FEXTRA precedes FNAME
+      if (p + 2 > a.length) return null
+      p += 2 + ((a(p) & 0xFF) | (a(p + 1) & 0xFF) << 8)
+    }
+    val start = p
+    val limit = math.min(a.length, start + 256)
+    while (p < limit && a(p) != 0) p += 1
+    if (p >= limit) return null
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      new String(a, start, p - start, "ISO-8859-1"))
+  }
+}
+
+/** Zstandard frame-header fields, per RFC 8878: LE magic 28 B5 2F FD,
+  * then the frame-header descriptor byte — FCS size flag (bits 7-6),
+  * single-segment (bit 5), dictionary-id size flag (bits 1-0) — an
+  * optional window descriptor (absent when single-segment), the
+  * optional dictionary id, and the frame content size little-endian at
+  * its flag-determined width (flag 1 stores value-256 in 16 bits).
+  * Content size is NULL when the frame does not declare one (flag 0
+  * without single-segment) — exactly the case a pipeline must treat as
+  * "size unknown until decompressed". */
+object ZstdFrame {
+  private def ok(a: Array[Byte]): Boolean =
+    a.length >= 5 && (a(0) & 0xFF) == 0x28 && (a(1) & 0xFF) == 0xB5 &&
+      (a(2) & 0xFF) == 0x2F && (a(3) & 0xFF) == 0xFD
+
+  private def uLE(a: Array[Byte], p: Int, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v |= (a(p + i) & 0xFFL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** Declared decompressed size; -1 = NULL (no magic, no declared
+    * size, truncation, or a u64 size exceeding LongType). */
+  def contentSize(a: Array[Byte]): Long = {
+    if (!ok(a)) return -1L
+    val fhd = a(4) & 0xFF
+    val single = (fhd & 0x20) != 0
+    val fcsLen = (fhd >> 6) match {
+      case 0 => if (single) 1 else return -1L
+      case 1 => 2
+      case 2 => 4
+      case _ => 8
+    }
+    var p = 5
+    if (!single) p += 1 // window descriptor
+    p += ((fhd & 0x3) match {
+      case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4
+    })
+    if (p + fcsLen > a.length) return -1L
+    val v = uLE(a, p, fcsLen)
+    val sz = if (fcsLen == 2) v + 256 else v
+    if (sz < 0) -1L else sz
+  }
+
+  /** Window size from the window descriptor; -1 = NULL (absent when
+    * single-segment — the content size IS the window there). */
+  def windowSize(a: Array[Byte]): Long = {
+    if (!ok(a) || (a(4) & 0x20) != 0 || a.length < 6) return -1L
+    val wd = a(5) & 0xFF
+    val base = 1L << (10 + (wd >> 3))
+    base + (base / 8) * (wd & 0x7)
+  }
+}
+
+/** Long-valued expression over a static reader named by a fully
+  * qualified `Object.method` path (-1 NULL sentinel) — the common
+  * shape of the gzip/zstd numeric fields. */
+abstract class StaticLongField extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  /** Fully qualified static call target, e.g.
+    * "graft.functions.GzipHeader.mtime". */
+  protected def staticCall: String
+  protected def read(a: Array[Byte]): Long
+
+  override def nullSafeEval(bytes: Any): Any = {
+    val v = read(bytes.asInstanceOf[Array[Byte]])
+    if (v < 0) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("slf")
+      s"""long $v = $staticCall($a);
+         |if ($v < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $v;
+         |}""".stripMargin
+    })
+}
+
+case class GzipMtime(child: Expression) extends StaticLongField {
+  protected val staticCall = "graft.functions.GzipHeader.mtime"
+  protected def read(a: Array[Byte]): Long = GzipHeader.mtime(a)
+  override protected def withNewChildInternal(c: Expression): GzipMtime =
+    copy(child = c)
+  override def prettyName: String = "gzip_mtime"
+}
+
+case class GzipOs(child: Expression) extends StaticLongField {
+  protected val staticCall = "graft.functions.GzipHeader.os"
+  protected def read(a: Array[Byte]): Long = GzipHeader.os(a).toLong
+  override protected def withNewChildInternal(c: Expression): GzipOs =
+    copy(child = c)
+  override def prettyName: String = "gzip_os"
+}
+
+case class ZstdContentSize(child: Expression) extends StaticLongField {
+  protected val staticCall = "graft.functions.ZstdFrame.contentSize"
+  protected def read(a: Array[Byte]): Long = ZstdFrame.contentSize(a)
+  override protected def withNewChildInternal(c: Expression): ZstdContentSize =
+    copy(child = c)
+  override def prettyName: String = "zstd_content_size"
+}
+
+case class ZstdWindowSize(child: Expression) extends StaticLongField {
+  protected val staticCall = "graft.functions.ZstdFrame.windowSize"
+  protected def read(a: Array[Byte]): Long = ZstdFrame.windowSize(a)
+  override protected def withNewChildInternal(c: Expression): ZstdWindowSize =
+    copy(child = c)
+  override def prettyName: String = "zstd_window_size"
+}
+
+/** The family's one STRING-valued decode: gzip FNAME. */
+case class GzipFname(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(bytes: Any): Any =
+    GzipHeader.fname(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("gzName")
+      s"""org.apache.spark.unsafe.types.UTF8String $v =
+         |  graft.functions.GzipHeader.fname($a);
+         |if ($v == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $v;
+         |}""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): GzipFname =
+    copy(child = c)
+  override def prettyName: String = "gzip_fname"
+}

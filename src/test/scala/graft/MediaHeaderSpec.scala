@@ -538,6 +538,70 @@ class MediaHeaderSpec extends SparkTestBase {
     assert(WebpWidth(Literal(v.take(28))).eval() == null)
   }
 
+  test("TIFF/gzip/zstd: type, termination and declared-size contracts") {
+    // TIFF: RATIONAL(5) type and count!=1 are NULL; endianness honored
+    def tiff(le: Boolean, typ: Int, cnt: Int, v: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(30).order(
+        if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      b.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+        .putShort(42.toShort).putInt(8)
+      b.putShort(1.toShort) // one entry
+      b.putShort(256.toShort).putShort(typ.toShort).putInt(cnt)
+      if (typ == 3) b.putShort(v.toShort).putShort(0.toShort)
+      else b.putInt(v)
+      b.putInt(0)
+      b.array()
+    }
+    val r1 = Seq((tiff(le = true, 3, 1, 800), tiff(le = false, 4, 1, 900),
+        tiff(le = true, 5, 1, 800), tiff(le = true, 4, 2, 800)))
+      .toDF("a", "b", "c", "d")
+      .selectExpr("tiff_width(a) w1", "tiff_width(b) w2",
+        "tiff_width(c) w3", "tiff_width(d) w4").head()
+    assert((r1.getInt(0), r1.getInt(1)) == ((800, 900)))
+    assert(r1.isNullAt(2) && r1.isNullAt(3))
+    assert(TiffWidth(Literal(tiff(le = false, 4, 1, 900))).eval() == 900)
+
+    // gzip: unterminated name is NULL; FEXTRA skipped; flag honored
+    def gz(flg: Int, name: Array[Byte]): Array[Byte] =
+      Array[Byte](0x1F.toByte, 0x8B.toByte, 8, flg.toByte,
+        1, 2, 3, 4, 0, 3) ++ name
+    val named = gz(8, "a.txt\u0000".getBytes("ISO-8859-1"))
+    val unterminated = gz(8, "a.txt".getBytes("ISO-8859-1"))
+    val extraThenName = gz(12,
+      Array[Byte](2, 0, 9, 9) ++ "b.gz\u0000".getBytes("ISO-8859-1"))
+    val noFlag = gz(0, "a.txt\u0000".getBytes("ISO-8859-1"))
+    val r2 = Seq((named, unterminated, extraThenName, noFlag))
+      .toDF("a", "b", "c", "d")
+      .selectExpr("gzip_fname(a) f1", "gzip_fname(b) f2",
+        "gzip_fname(c) f3", "gzip_fname(d) f4",
+        "gzip_mtime(a) m", "gzip_os(a) o").head()
+    assert(r2.getString(0) == "a.txt" && r2.getString(2) == "b.gz")
+    assert(r2.isNullAt(1) && r2.isNullAt(3))
+    assert(r2.getLong(4) == 0x04030201L && r2.getLong(5) == 3L)
+    assert(GzipFname(Literal(extraThenName)).eval().toString == "b.gz")
+
+    // zstd: undeclared size (flag 0, not single-segment) and truncated
+    // fcs are NULL; the 16-bit form carries its +256 bias
+    def zf(fhd: Int, rest: Array[Byte]): Array[Byte] =
+      Array[Byte](0x28.toByte, 0xB5.toByte, 0x2F.toByte, 0xFD.toByte,
+        fhd.toByte) ++ rest
+    val biased = zf(0x40, Array[Byte](0x77, 0x10, 0x00)) // wd + u16 16
+    val undeclared = zf(0x00, Array[Byte](0x77))
+    val singleByte = zf(0x20, Array[Byte](0x2A)) // single-segment u8
+    val truncated = zf(0x80, Array[Byte](0x77, 0x01)) // u32 cut short
+    val r3 = Seq((biased, undeclared, singleByte, truncated))
+      .toDF("a", "b", "c", "d")
+      .selectExpr("zstd_content_size(a) c1", "zstd_content_size(b) c2",
+        "zstd_content_size(c) c3", "zstd_content_size(d) c4",
+        "zstd_window_size(a) w1", "zstd_window_size(c) w2").head()
+    assert(r3.getLong(0) == 16L + 256L && r3.getLong(2) == 0x2AL)
+    assert(r3.isNullAt(1) && r3.isNullAt(3))
+    // wd 0x77: exponent 14, mantissa 7 -> 2^24 + 2^21*7
+    assert(r3.getLong(4) == (1L << 24) + (1L << 21) * 7)
+    assert(r3.isNullAt(5), "single-segment frame has no window descriptor")
+    assert(ZstdContentSize(Literal(undeclared)).eval() == null)
+  }
+
   test("interpreted eval matches codegen output") {
     // Literal.eval exercises nullSafeEval (the non-codegen path); the
     // DataFrame asserts above ran through whole-stage codegen
