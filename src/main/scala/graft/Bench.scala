@@ -218,18 +218,36 @@ object Bench {
     }
     // Per-query times (and the rem/z95 re-measures, which must stay
     // comparable to them) are integer DECISECONDS, declared by "qd":10 —
-    // divide by 10 for seconds. Same precision as the old 1-dp seconds
-    // form at ~1.2 B/query less ("0.8" -> "8", "1.3" -> "13"): round 7's
-    // ing0/st fields and the widened rem block outgrew the stdout-tail
-    // window at 188 queries in 1-dp form (the CatalogInvariantSpec
-    // budget guard caught it at test time, as designed). Like "kb", the
-    // scale is DECLARED, never sniffed; tools/bench_compare.py
-    // normalizes all three generations off the kb/qd flags. The headline
-    // "value" total stays in seconds. Failures remain -1 sentinels.
+    // divide by 10 for seconds. Like "kb", the scale is DECLARED, never
+    // sniffed; tools/bench_compare.py normalizes all generations off
+    // the kb/qd/qe flags. The headline "value" total stays in seconds.
+    // Failures remain -1 sentinels.
     def ds(v: Double): String = math.rint(v * 10).toLong.toString
-    val qs = results.map { case (k, v) =>
-      "\"" + b36(k) + "\":" + (if (v < 0) "-1" else ds(v))
-    }.mkString("{", ",", "}")
+    // SCHEMA v4 (round 8): the full per-query vector moves from a keyed
+    // dict to "qt" — one fixed-width-2 base-36 value per query (capped
+    // at zz = 129.5 s; "--" = failure), POSITIONAL in sorted-query-name
+    // order (the exact order of the timed loop above; recoverable from
+    // the repo's catalog or any CORRECTNESS artifact's query list, and
+    // implemented in tools/bench_compare.py). Rationale: the keyed dict
+    // cost ~8 B/query and outgrew the driver's ~2 KB stdout-tail window
+    // at 205 queries (the CatalogInvariantSpec budget guard caught it
+    // at test time, as designed — its round-7 predecessor caught the
+    // 1-dp form at 188); 2 B/query buys headroom for a 700+-query
+    // catalog. "queries" remains for consumers expecting keyed entries,
+    // but carries only the TOP-12 SLOWEST (declared by "qtop":12) —
+    // the entries anyone reads individually; "qn" pins the vector
+    // length so truncation is detectable.
+    def enc2(v: Double): String =
+      if (v < 0) "--"
+      else {
+        val d = math.min(math.rint(v * 10).toLong, 1295L)
+        val s = java.lang.Long.toString(d, 36)
+        if (s.length < 2) "0" + s else s
+      }
+    val qt = results.map { case (_, v) => enc2(v) }.mkString
+    val qs = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + b36(k) + "\":" + ds(v) }
+      .mkString("{", ",", "}")
     // failures (-1 sentinels) are excluded — summing them would make a
     // failing round report a BETTER total than a clean one
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
@@ -434,7 +452,7 @@ object Bench {
     val strJson =
       if (stR0._1 < 0 || st1._1 < 0) ""
       else s""","str":[${st1._1 - stR0._1},${math.rint(st1._2 - stR0._2).toLong}]"""
-    val line = s"""{"metric":"total","value":${f1(total)},"unit":"sec","kb":36,"qd":10,"queries":$qs,"ingest_k":$ing$ing0Json$stJson$strJson$latBlock$z95Json$rem,"sf":"$sfName"}"""
+    val line = s"""{"metric":"total","value":${f1(total)},"unit":"sec","kb":36,"qd":10,"qe":"b36w2","qn":${results.size},"qt":"$qt","qtop":12,"queries":$qs,"ingest_k":$ing$ing0Json$stJson$strJson$latBlock$z95Json$rem,"sf":"$sfName"}"""
     // The JSON line is the LAST stdout the JVM emits: rounds 1/2/4 lost
     // the artifact because async executor logs (continuous-trigger
     // TaskKilled WARNs) landed AFTER the println and pushed the head of

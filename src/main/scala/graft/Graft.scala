@@ -660,8 +660,8 @@ object Graft {
     }
 
     /** Sniff + normalize a heterogeneous media column: adds `fmt`
-      * ('bmp'/'png'/'gif'/'jpeg'/'webp'/'wav'/'mp3'/'flac'/'mp4'/
-      * 'corrupt'),
+      * ('bmp'/'png'/'gif'/'jpeg'/'webp'/'tiff'/'wav'/'mp3'/'flac'/
+      * 'mp4'/'corrupt'),
       * `width`/`height` (images), `rate` (audio) and `duration_ms`
       * (video). Detection IS the decoders' never-throw NULL contract —
       * a magic mismatch is the sniffer, so there is no separate
@@ -679,6 +679,7 @@ object Graft {
             .when(expr(s"gif_width($b)").isNotNull, "gif")
             .when(expr(s"jpeg_width($b)").isNotNull, "jpeg")
             .when(expr(s"webp_width($b)").isNotNull, "webp")
+            .when(expr(s"tiff_width($b)").isNotNull, "tiff")
             .when(expr(s"wav_sample_rate($b)").isNotNull, "wav")
             .when(expr(s"mp3_sample_rate($b)").isNotNull, "mp3")
             .when(expr(s"flac_sample_rate($b)").isNotNull, "flac")
@@ -686,10 +687,12 @@ object Graft {
             .otherwise("corrupt"))
         .withColumn("width", coalesce(expr(s"bmp_width($b)"),
           expr(s"png_width($b)"), expr(s"gif_width($b)"),
-          expr(s"jpeg_width($b)"), expr(s"webp_width($b)")))
+          expr(s"jpeg_width($b)"), expr(s"webp_width($b)"),
+          expr(s"CAST(tiff_width($b) AS INT)")))
         .withColumn("height", coalesce(expr(s"bmp_height($b)"),
           expr(s"png_height($b)"), expr(s"gif_height($b)"),
-          expr(s"jpeg_height($b)"), expr(s"webp_height($b)")))
+          expr(s"jpeg_height($b)"), expr(s"webp_height($b)"),
+          expr(s"CAST(tiff_height($b) AS INT)")))
         .withColumn("rate", coalesce(expr(s"wav_sample_rate($b)"),
           expr(s"mp3_sample_rate($b)"),
           expr(s"CAST(flac_sample_rate($b) AS INT)")))

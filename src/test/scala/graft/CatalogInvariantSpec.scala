@@ -82,11 +82,13 @@ class CatalogInvariantSpec extends SparkTestBase {
     val keys = names.map(n => java.lang.Long.toString(
       n.takeWhile(_ != '_').stripPrefix("q").toLong, 36))
     assert(keys.distinct.size == keys.size, "base-36 keys must be unique")
-    // per entry: 2 quotes + colon + comma + deciseconds time = key + 6
-    // (round-7 "qd":10 schema: times are integer deciseconds, typically
-    // 2 digits — the 1-dp seconds form averaged ~3 digits)
-    val queriesBlock = keys.map(_.length + 6).sum
-    val projected = 266 + queriesBlock
+    // v4 schema (round 8, see Bench.scala): the full vector is "qt" at
+    // exactly 2 B per query; the keyed "queries" dict carries only the
+    // top-12 slowest (~9 B each, counted in the fixed overhead). Fixed
+    // = 266 B measured through r7 (metric/value/unit/kb/qd, ingest_k,
+    // ing0, st, str, lat, z95, rem<=8) + ~35 B of v4 flags
+    // (qe/qn/qtop + qt quotes) + ~108 B top-12 dict = ~410 B.
+    val projected = 410 + 2 * keys.size
     val window = 2048 - 80 // capture tail minus sbt's [success] line
     assert(projected <= window - 100,
       s"projected bench line ${projected} B is within 100 B of the " +

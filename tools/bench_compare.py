@@ -31,11 +31,37 @@ def norm(k, base=10):
     return str(int(k, base))
 
 
+def catalog_names():
+    """Sorted catalog query names, recovered from the repo sources —
+    the decoding key for the v4 positional "qt" vector (Bench runs its
+    timed loop in exactly this order). ASCII string sort matches
+    Scala's."""
+    names = set()
+    for f in Path(__file__).resolve().parent.parent.glob(
+            "src/main/scala/graft/queries/*.scala"):
+        names.update(re.findall(r'"(q\d+_[a-z0-9_]+)"', f.read_text()))
+    return sorted(names)
+
+
 new = json.loads(Path(sys.argv[1]).read_text())
 kb = int(new.get("kb", 10))
 qd = int(new.get("qd", 1))
-nq = {norm(k, kb): (v / qd if v >= 0 else v)
-      for k, v in new["queries"].items()}
+if "qt" in new:
+    # v4 (round 8+): fixed-width-2 base-36 deciseconds, positional in
+    # sorted-name order; "--" = failure; "qn" pins the length
+    names = catalog_names()
+    qt = new["qt"]
+    assert len(qt) == 2 * new["qn"], "qt length does not match qn"
+    assert len(names) == new["qn"], (
+        f"repo catalog ({len(names)}) != artifact qn ({new['qn']}) — "
+        "decode against the matching checkout")
+    nq = {}
+    for i, name in enumerate(names):
+        cell = qt[2 * i:2 * i + 2]
+        nq[norm(name, 10)] = -1.0 if cell == "--" else int(cell, 36) / qd
+else:
+    nq = {norm(k, kb): (v / qd if v >= 0 else v)
+          for k, v in new["queries"].items()}
 
 
 def load(path):
