@@ -69,8 +69,38 @@ object Extras56 {
     },
 
     // ---- ten-format media manifest capstone -----------------------------
-    Qry(
-      "q205_media_manifest10",
+    Qry("q205_media_manifest10", Manifest10Oracle) { (spark, dir) =>
+      withMediaBlob10(spark, Tables(spark, dir).documents)
+        .mediaManifest("blob")
+    },
+
+    // ---- the same ten-format manifest under Structured Streaming --------
+    // q193's stream/batch-equivalence pattern at the full decoder
+    // matrix: documents arrive as a file stream, the synthesis + the
+    // ten-decoder sniff run as a stateless projection per micro-batch,
+    // and the manifest is a streaming aggregation in complete mode
+    // sharing q205's oracle VERBATIM — the hash match IS the
+    // equivalence proof.
+    Qry("q206_stream_media10", Manifest10Oracle) { (spark, dir) =>
+      import graft.streaming.Streams
+      val agg = withMediaBlob10(spark,
+          Streams.fileStream(spark, dir, "documents"))
+        .mediaSniffed("blob")
+        .groupBy(col("fmt"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("width")).as("sum_w"),
+          sum(col("height")).as("sum_h"),
+          sum(col("rate")).as("sum_rate"),
+          sum(col("duration_ms")).as("sum_dur_ms"))
+      Streams.runToMemory(agg, "complete")
+    }
+  )
+
+  /** Parameter-level oracle shared verbatim by q205 (batch) and q206
+    * (streaming) — identical expected manifests put stream/batch
+    * equivalence inside the gate hash (the q192/q193 pattern). */
+  // lazy: declared after `all`, which references it at object init
+  private lazy val Manifest10Oracle: String =
       s"""WITH d AS (SELECT doc_id,
          |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h60
          |  FROM documents),
@@ -106,7 +136,14 @@ object Extras56 {
          |  CAST(SUM(height) AS BIGINT) AS sum_h,
          |  CAST(SUM(rate) AS BIGINT) AS sum_rate,
          |  CAST(SUM(dms) AS BIGINT) AS sum_dur_ms
-         |FROM r GROUP BY 1""".stripMargin) { (spark, dir) =>
+         |FROM r GROUP BY 1""".stripMargin
+
+  /** Hash-synthesized ten-format media payload per document (adds
+    * `blob` + derivation columns). Every expression is stateless, so
+    * batch and streaming frames share this single source. */
+  private def withMediaBlob10(spark: SparkSession,
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       graft.functions.GraftFunctions.register(spark)
       def bytes(hex: String) = lit(
         hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
@@ -161,7 +198,7 @@ object Extras56 {
         ascii("typisom"), bytes("00000200"), ascii("isomiso2"),
         bytes("000000246D6F6F760000001C6D766864000000000000000000000000"),
         be32("ts"), be32("dur"))
-      Tables(spark, dir).documents
+      docs
         .select(col("doc_id"),
           expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
             .as("h60"))
@@ -182,7 +219,5 @@ object Extras56 {
             .when(col("pick") === 4, webp).when(col("pick") === 5, tiff)
             .when(col("pick") === 6, wav).when(col("pick") === 7, mp3)
             .when(col("pick") === 8, flac).otherwise(mp4))
-        .mediaManifest("blob")
-    }
-  )
+  }
 }
