@@ -151,6 +151,24 @@ object GraftFunctions {
     fn("zstd_window_size",
       "zstd window size from the descriptor (NULL when single-segment)",
       es => ZstdWindowSize(es.head)),
+    fn("opus_channels",
+      "Opus channel count from OpusHead on a BOS Ogg page (RFC 7845)",
+      es => OpusChannels(es.head)),
+    fn("opus_pre_skip",
+      "Opus pre-skip samples u16 LE from OpusHead",
+      es => OpusPreSkip(es.head)),
+    fn("opus_input_sample_rate",
+      "Opus original input sample rate u32 LE from OpusHead",
+      es => OpusInputSampleRate(es.head)),
+    fn("tfrecord_length",
+      "TFRecord payload length, gated on the masked-CRC32C length check",
+      es => TfRecordLength(es.head)),
+    fn("tfrecord_payload_ok",
+      "1/0 payload CRC32C verdict for a parsed TFRecord frame",
+      es => TfRecordPayloadOk(es.head)),
+    fn("tfrecord_frame",
+      "wrap a binary payload in TFRecord framing (length+CRC32C x2)",
+      es => TfRecordFrame(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",

@@ -1263,3 +1263,171 @@ case class GzipFname(child: Expression) extends UnaryExpression
     copy(child = c)
   override def prettyName: String = "gzip_fname"
 }
+
+/** Ogg-encapsulated Opus identification header, per RFCs 3533 (Ogg
+  * page) + 7845 (OpusHead) — the speech-dataset codec. Layout: an Ogg
+  * page starts "OggS" + version 0 @4, header-type @5 (bit 1 = BOS set
+  * on the first page), u64 LE granule, u32 LE serial/sequence/CRC,
+  * then a segment count @26 and that many lacing values; the first
+  * packet begins after the lacing table. For an Opus stream that
+  * packet is "OpusHead": version(1) @8, channel count u8 @9, pre-skip
+  * u16 LE @10, input sample rate u32 LE @12. The page must be a BOS
+  * page and the packet must carry the OpusHead magic — anything else
+  * is NULL (an Ogg/Vorbis or Ogg/FLAC stream fails the magic, by
+  * design). */
+object OpusHead {
+  /** Offset of the OpusHead packet, or -1. */
+  private def packetBase(a: Array[Byte]): Int = {
+    if (a.length < 28 || a(0) != 'O' || a(1) != 'g' || a(2) != 'g' ||
+      a(3) != 'S' || a(4) != 0) return -1
+    if ((a(5) & 0x02) == 0) return -1 // not a beginning-of-stream page
+    val nsegs = a(26) & 0xFF
+    val p = 27 + nsegs
+    if (p + 19 > a.length) return -1
+    val magic = "OpusHead"
+    var i = 0
+    while (i < 8) {
+      if (a(p + i) != magic.charAt(i).toByte) return -1
+      i += 1
+    }
+    p
+  }
+  def channels(a: Array[Byte]): Long = {
+    val p = packetBase(a); if (p < 0) -1L else (a(p + 9) & 0xFF).toLong
+  }
+  def preSkip(a: Array[Byte]): Long = {
+    val p = packetBase(a)
+    if (p < 0) -1L
+    else ((a(p + 10) & 0xFF) | (a(p + 11) & 0xFF) << 8).toLong
+  }
+  def inputSampleRate(a: Array[Byte]): Long = {
+    val p = packetBase(a)
+    if (p < 0) -1L
+    else (a(p + 12) & 0xFFL) | (a(p + 13) & 0xFFL) << 8 |
+      (a(p + 14) & 0xFFL) << 16 | (a(p + 15) & 0xFFL) << 24
+  }
+}
+
+case class OpusChannels(child: Expression) extends StaticLongField {
+  protected val staticCall = "graft.functions.OpusHead.channels"
+  protected def read(a: Array[Byte]): Long = OpusHead.channels(a)
+  override protected def withNewChildInternal(c: Expression): OpusChannels =
+    copy(child = c)
+  override def prettyName: String = "opus_channels"
+}
+
+case class OpusPreSkip(child: Expression) extends StaticLongField {
+  protected val staticCall = "graft.functions.OpusHead.preSkip"
+  protected def read(a: Array[Byte]): Long = OpusHead.preSkip(a)
+  override protected def withNewChildInternal(c: Expression): OpusPreSkip =
+    copy(child = c)
+  override def prettyName: String = "opus_pre_skip"
+}
+
+case class OpusInputSampleRate(child: Expression) extends StaticLongField {
+  protected val staticCall = "graft.functions.OpusHead.inputSampleRate"
+  protected def read(a: Array[Byte]): Long = OpusHead.inputSampleRate(a)
+  override protected def withNewChildInternal(c: Expression)
+      : OpusInputSampleRate = copy(child = c)
+  override def prettyName: String = "opus_input_sample_rate"
+}
+
+/** TFRecord framing, per the public TensorFlow format: u64 LE payload
+  * length, u32 LE MASKED CRC32C of those 8 length bytes, the payload,
+  * then the masked CRC32C of the payload. The mask is the published
+  * rotate-and-add: masked = ((crc >> 15) | (crc << 17)) + 0xa282ead8.
+  * CRC32C (Castagnoli) comes from java.util.zip.CRC32C — the JDK's
+  * hardware-accelerated implementation, the same one real readers
+  * use. `lengthChecked` returns the record length ONLY when the
+  * length CRC verifies — a corrupted frame reads NULL, never a bogus
+  * length that would mis-slice the rest of a multi-record file. */
+object TfRecord {
+  private def maskedCrc(a: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32C
+    c.update(a, off, len)
+    val v = c.getValue
+    (((v >>> 15) | (v << 17)) + 0xa282ead8L) & 0xFFFFFFFFL
+  }
+  private def u32(a: Array[Byte], p: Int): Long =
+    (a(p) & 0xFFL) | (a(p + 1) & 0xFFL) << 8 | (a(p + 2) & 0xFFL) << 16 |
+      (a(p + 3) & 0xFFL) << 24
+  private def u64(a: Array[Byte], p: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v |= (a(p + i) & 0xFFL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** Declared payload length, gated on the length-CRC verifying;
+    * -1 = NULL (short frame, CRC mismatch, or a length whose u64
+    * exceeds LongType). */
+  def lengthChecked(a: Array[Byte]): Long = {
+    if (a.length < 12) return -1L
+    val len = u64(a, 0)
+    if (len < 0) return -1L
+    if (u32(a, 8) != maskedCrc(a, 0, 8)) return -1L
+    len
+  }
+
+  /** Wrap `payload` in a complete TFRecord frame (writer dual). */
+  def frame(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    val out = java.nio.ByteBuffer.allocate(16 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.putLong(n.toLong)
+    out.putInt(maskedCrc(out.array(), 0, 8).toInt)
+    out.put(payload)
+    out.putInt(maskedCrc(out.array(), 12, n).toInt)
+    out.array()
+  }
+
+  /** 1 when the payload's masked CRC32C verifies too (frame complete
+    * and intact), 0 when the frame parses but the payload check
+    * fails/truncates; -1 = NULL (no valid length frame at all). */
+  def payloadOk(a: Array[Byte]): Long = {
+    val len = lengthChecked(a)
+    if (len < 0) return -1L
+    if (len > a.length - 16L) return 0L
+    val n = len.toInt
+    if (u32(a, 12 + n) == maskedCrc(a, 12, n)) 1L else 0L
+  }
+}
+
+case class TfRecordLength(child: Expression) extends StaticLongField {
+  protected val staticCall = "graft.functions.TfRecord.lengthChecked"
+  protected def read(a: Array[Byte]): Long = TfRecord.lengthChecked(a)
+  override protected def withNewChildInternal(c: Expression): TfRecordLength =
+    copy(child = c)
+  override def prettyName: String = "tfrecord_length"
+}
+
+case class TfRecordPayloadOk(child: Expression) extends StaticLongField {
+  protected val staticCall = "graft.functions.TfRecord.payloadOk"
+  protected def read(a: Array[Byte]): Long = TfRecord.payloadOk(a)
+  override protected def withNewChildInternal(c: Expression)
+      : TfRecordPayloadOk = copy(child = c)
+  override def prettyName: String = "tfrecord_payload_ok"
+}
+
+/** TFRecord frame WRITER — the encode dual of [[TfRecordLength]] /
+  * [[TfRecordPayloadOk]]: wraps a payload in the published framing
+  * (u64 LE length, masked length CRC32C, payload, masked payload
+  * CRC32C). Synthesis side of the q208 roundtrip; the mask constant
+  * is additionally pinned against the published CRC32C check vector
+  * in MediaHeaderSpec, because writer and reader sharing one helper
+  * would otherwise let a wrong constant cancel out. */
+case class TfRecordFrame(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(bytes: Any): Any =
+    TfRecord.frame(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TfRecord.frame($a)")
+
+  override protected def withNewChildInternal(c: Expression): TfRecordFrame =
+    copy(child = c)
+  override def prettyName: String = "tfrecord_frame"
+}

@@ -602,6 +602,69 @@ class MediaHeaderSpec extends SparkTestBase {
     assert(ZstdContentSize(Literal(undeclared)).eval() == null)
   }
 
+  test("Opus/TFRecord: BOS, packet-magic, and CRC32C contracts") {
+    // Ogg/Opus serializer: page header + lacing table + OpusHead
+    def ogg(bos: Boolean, magic: String, nsegs: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(27 + nsegs + 19)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put("OggS".getBytes("US-ASCII")).put(0.toByte)
+        .put((if (bos) 2 else 0).toByte)
+      b.put(Array.fill[Byte](20)(0)) // granule+serial+seq+crc
+      b.put(nsegs.toByte).put(Array.fill[Byte](nsegs)(19))
+      b.put(magic.getBytes("US-ASCII")).put(1.toByte).put(6.toByte)
+      b.putShort(312.toShort).putInt(48000)
+      b.put(Array.fill[Byte](19 - magic.length - 8)(0))
+      b.array()
+    }
+    val good = ogg(bos = true, "OpusHead", 1)
+    val wideTable = ogg(bos = true, "OpusHead", 5)
+    val notBos = ogg(bos = false, "OpusHead", 1)
+    val vorbis = ogg(bos = true, "vorbis ", 1)
+    val r = Seq((good, wideTable, notBos, vorbis))
+      .toDF("g", "w", "n", "v")
+      .selectExpr("opus_channels(g) a", "opus_pre_skip(g) b",
+        "opus_input_sample_rate(g) c", "opus_channels(w) d",
+        "opus_channels(n) e", "opus_channels(v) f").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 312L, 48000L, 6L)))
+    assert(r.isNullAt(4) && r.isNullAt(5))
+    assert(OpusChannels(Literal(good.take(30))).eval() == null)
+
+    // TFRecord: the CRC32C core pinned against the PUBLISHED
+    // Castagnoli check vector (crc32c("123456789") = 0xE3069283),
+    // with the mask formula restated here independently — writer and
+    // reader share one helper, so a wrong constant there would
+    // otherwise cancel out
+    val check = {
+      val c = new java.util.zip.CRC32C
+      c.update("123456789".getBytes("US-ASCII"))
+      c.getValue
+    }
+    assert(check == 0xE3069283L, f"CRC32C check vector: $check%x")
+    val fr = TfRecord.frame("123456789".getBytes("US-ASCII"))
+    val maskedExpected =
+      (((check >>> 15) | (check << 17)) + 0xa282ead8L) & 0xFFFFFFFFL
+    val payloadCrc = ByteBuffer.wrap(fr, 12 + 9, 4)
+      .order(ByteOrder.LITTLE_ENDIAN).getInt() & 0xFFFFFFFFL
+    assert(payloadCrc == maskedExpected,
+      f"frame payload CRC $payloadCrc%x != masked check $maskedExpected%x")
+    // roundtrip + gating: clean verifies; a flipped length-CRC byte
+    // NULLs the length (never mis-slices); a flipped payload byte
+    // reads 0 from the verdict
+    assert(TfRecord.lengthChecked(fr) == 9L && TfRecord.payloadOk(fr) == 1L)
+    val badLen = fr.clone(); badLen(9) = (badLen(9) ^ 0x40).toByte
+    val badPay = fr.clone(); badPay(14) = (badPay(14) ^ 0x40).toByte
+    val truncated = fr.dropRight(2)
+    val r2 = Seq((fr, badLen, badPay, truncated))
+      .toDF("g", "bl", "bp", "tr")
+      .selectExpr("tfrecord_length(g) a", "tfrecord_payload_ok(g) b",
+        "tfrecord_length(bl) c", "tfrecord_payload_ok(bp) d",
+        "tfrecord_payload_ok(tr) e").head()
+    assert(r2.getLong(0) == 9L && r2.getLong(1) == 1L)
+    assert(r2.isNullAt(2))
+    assert(r2.getLong(3) == 0L && r2.getLong(4) == 0L)
+  }
+
   test("interpreted eval matches codegen output") {
     // Literal.eval exercises nullSafeEval (the non-codegen path); the
     // DataFrame asserts above ran through whole-stage codegen
