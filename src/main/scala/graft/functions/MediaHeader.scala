@@ -750,9 +750,13 @@ object Mp3Frame {
   * other type, a declared length that cannot hold the packed region
   * (< 18), or a sample rate of 0 (invalid per spec) are NULL. */
 object FlacStreamInfo {
-  /** The packed u64 at STREAMINFO offset 10, or -1 when unparseable.
-    * (The real packed value always has sample-rate bits set, so a
-    * legitimate value can never be negative.) */
+  /** The packed u64 at STREAMINFO offset 10, or EXACTLY -1 when
+    * unparseable. The packed value is a RAW u64 and may be negative as
+    * a signed long whenever the sample rate has bit 19 set (rates >=
+    * 524288 Hz are absurd but spec-legal), so callers test `== -1L`,
+    * never `< 0`. The one legitimate value colliding with the
+    * sentinel (all 64 bits set: rate 0xFFFFF, 8ch, 32bps, max total)
+    * is treated as corrupt — documented, one in 2^64. */
   def packed(a: Array[Byte]): Long = {
     if (a.length < 26 || a(0) != 'f' || a(1) != 'L' || a(2) != 'a' ||
       a(3) != 'C') return -1L
@@ -764,16 +768,16 @@ object FlacStreamInfo {
     if ((v >>> 44) == 0L) -1L else v // sample rate 0 is invalid
   }
   def sampleRate(a: Array[Byte]): Long = {
-    val v = packed(a); if (v < 0) -1L else v >>> 44
+    val v = packed(a); if (v == -1L) -1L else v >>> 44
   }
   def channels(a: Array[Byte]): Long = {
-    val v = packed(a); if (v < 0) -1L else ((v >>> 41) & 0x7L) + 1L
+    val v = packed(a); if (v == -1L) -1L else ((v >>> 41) & 0x7L) + 1L
   }
   def bitsPerSample(a: Array[Byte]): Long = {
-    val v = packed(a); if (v < 0) -1L else ((v >>> 36) & 0x1FL) + 1L
+    val v = packed(a); if (v == -1L) -1L else ((v >>> 36) & 0x1FL) + 1L
   }
   def totalSamples(a: Array[Byte]): Long = {
-    val v = packed(a); if (v < 0) -1L else v & 0xFFFFFFFFFL
+    val v = packed(a); if (v == -1L) -1L else v & 0xFFFFFFFFFL
   }
 }
 
@@ -1038,7 +1042,12 @@ object TiffHeader {
   def height(a: Array[Byte]): Long = field(a, 257)
 }
 
-/** Int-valued TIFF fields over the static reader (-1 NULL sentinel). */
+/** Int-valued TIFF fields over the static reader (-1 NULL sentinel).
+  * A LONG-typed IFD value is spec-legal up to 2^32-1, past IntegerType:
+  * such values NULL (the exceeds-the-type rule the mvhd fields follow)
+  * rather than wrapping negative through a raw int cast (round-8
+  * review-pass catch — the same class as the r7 mp4_duration
+  * advisory). */
 abstract class TiffField extends UnaryExpression
     with ImplicitCastInputTypes with Serializable {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -1050,14 +1059,14 @@ abstract class TiffField extends UnaryExpression
 
   override def nullSafeEval(bytes: Any): Any = {
     val v = read(bytes.asInstanceOf[Array[Byte]])
-    if (v < 0) null else v.toInt
+    if (v < 0 || v > Int.MaxValue) null else v.toInt
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val v = ctx.freshName("tiffV")
       s"""long $v = graft.functions.TiffHeader.$readerName($a);
-         |if ($v < 0) {
+         |if ($v < 0 || $v > 2147483647L) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = (int) $v;

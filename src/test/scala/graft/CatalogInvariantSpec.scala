@@ -62,6 +62,28 @@ class CatalogInvariantSpec extends SparkTestBase {
       s"UDF in the physical plan of: ${offenders.mkString(", ")}")
   }
 
+  test("v4 positional decode contract: quoted-name source scan == catalog") {
+    // tools/bench_compare.py decodes the v4 "qt" vector by recovering
+    // the sorted name list from a quoted-string scan over
+    // queries/*.scala. That contract breaks SILENTLY if a full query
+    // name ever appears quoted where it isn't a catalog entry (a
+    // scaladoc example, an oracle string) or a catalog entry's name
+    // stops matching the pattern — so pin scan == SparkEntry.queries
+    // here, where the comparison is exact.
+    val re = """"(q\d+_[a-z0-9_]+)"""".r
+    val scanned = new java.io.File("src/main/scala/graft/queries")
+      .listFiles().filter(_.getName.endsWith(".scala")).flatMap { f =>
+        // ISO-8859-1: byte-tolerant (the pattern is pure ASCII; the
+        // sources carry UTF-8 arrows the default codec may reject)
+        val src = scala.io.Source.fromFile(f, "ISO-8859-1")
+        try re.findAllMatchIn(src.mkString).map(_.group(1)).toList
+        finally src.close()
+      }.toSet
+    assert(scanned == SparkEntry.queries.keySet,
+      s"v4 decode drift — only-in-scan: ${(scanned -- SparkEntry.queries.keySet).mkString(",")}; " +
+        s"only-in-catalog: ${(SparkEntry.queries.keySet -- scanned).mkString(",")}")
+  }
+
   test("projected bench line fits the driver's stdout-tail capture window") {
     // The driver keeps ~2 KB of stdout tail and sbt appends a ~75 B
     // [success] line after the bench JSON; a line that outgrows the

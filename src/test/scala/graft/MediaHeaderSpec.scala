@@ -482,6 +482,12 @@ class MediaHeaderSpec extends SparkTestBase {
     assert(FlacChannels(Literal(hiRes)).eval() == 8L)
     assert(FlacSampleRate(Literal(cd.take(20))).eval() == null)
     assert(FlacSampleRate(Literal(wrongFirst)).eval() == null)
+    // review-pass pin: a spec-legal rate with bit 19 set makes the RAW
+    // packed u64 negative as a signed long — the sentinel is exactly
+    // -1, so such a rate must still decode (round-8 second look)
+    val absurd = flac(1000000L, 2, 16, 42L)
+    assert(FlacSampleRate(Literal(absurd)).eval() == 1000000L)
+    assert(FlacTotalSamples(Literal(absurd)).eval() == 42L)
   }
 
   /** Independent WebP serializer for the three flavors. */
@@ -560,6 +566,10 @@ class MediaHeaderSpec extends SparkTestBase {
     assert((r1.getInt(0), r1.getInt(1)) == ((800, 900)))
     assert(r1.isNullAt(2) && r1.isNullAt(3))
     assert(TiffWidth(Literal(tiff(le = false, 4, 1, 900))).eval() == 900)
+    // review-pass pin: a LONG value past IntegerType NULLs, never
+    // wraps negative (the exceeds-the-type rule)
+    assert(TiffWidth(Literal(tiff(le = true, 4, 1, 0x90000000.toInt)))
+      .eval() == null)
 
     // gzip: unterminated name is NULL; FEXTRA skipped; flag honored
     def gz(flg: Int, name: Array[Byte]): Array[Byte] =
