@@ -67,7 +67,11 @@ else:
 def load(path):
     """Extract per-query seconds from an artifact's stdout tail, scoped
     to the "queries":{...} block so flag/diagnostic fields ("kb", "b50",
-    "st", ...) can't masquerade as base-36 query keys."""
+    "st", ...) can't masquerade as base-36 query keys. v4 artifacts
+    (round 8+) carry the full vector in "qt" instead — decoded
+    positionally against the CURRENT repo's sorted catalog, which is
+    only valid when the artifact was produced at a same-catalog
+    checkout (the qn assert guards that)."""
     try:
         tail = json.loads(Path(path).read_text()).get("tail", "")
     except Exception:
@@ -76,6 +80,17 @@ def load(path):
     base = int(m.group(1)) if m else 10
     m = re.search(r'"qd":(\d+)', tail)
     div = int(m.group(1)) if m else 1
+    mqt = re.search(r'"qn":(\d+),"qt":"([0-9a-z-]+)"', tail)
+    if mqt:
+        names = catalog_names()
+        qn, qt = int(mqt.group(1)), mqt.group(2)
+        if len(names) != qn or len(qt) != 2 * qn:
+            print(f"note: {path} is v4 with qn={qn} != repo catalog "
+                  f"{len(names)} — skipping (decode needs its checkout)")
+            return {}
+        return {norm(n, 10): (-1.0 if qt[2*i:2*i+2] == "--"
+                              else int(qt[2*i:2*i+2], 36) / div)
+                for i, n in enumerate(names)}
     # non-greedy up to the first '}' covers complete lines; a truncated
     # tail (r2) simply yields whatever pairs survived truncation
     m = re.search(r'"queries":\{([^}]*)', tail)
