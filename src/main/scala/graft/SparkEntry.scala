@@ -27,7 +27,8 @@ object SparkEntry {
       Extras46.all ++ Extras47.all ++ Extras48.all ++ Extras49.all ++
       Extras50.all ++ Extras51.all ++ Extras52.all ++ Extras53.all ++
       Extras54.all ++ Extras55.all ++ Extras56.all ++
-      Extras57.all ++ Extras58.all
+      Extras57.all ++ Extras58.all ++
+      Extras59.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

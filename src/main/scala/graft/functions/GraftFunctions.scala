@@ -169,6 +169,12 @@ object GraftFunctions {
     fn("tfrecord_frame",
       "wrap a binary payload in TFRecord framing (length+CRC32C x2)",
       es => TfRecordFrame(es.head)),
+    fn("pb_varint_field",
+      "first wire-type-0 value of a protobuf field (any field order)",
+      es => PbVarintField(es(0), es(1))),
+    fn("pb_len_field",
+      "byte length of a protobuf length-delimited field",
+      es => PbLenField(es(0), es(1))),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",

@@ -1440,3 +1440,129 @@ case class TfRecordFrame(child: Expression) extends UnaryExpression
     copy(child = c)
   override def prettyName: String = "tfrecord_frame"
 }
+
+/** Protobuf WIRE-FORMAT field scan, per the public protobuf encoding
+  * spec — the framing under tf.Example/TFRecord pipelines: a message
+  * is a sequence of (tag varint, value) pairs, tag = field_number << 3
+  * | wire_type; varints are 7 bits per byte, LSB-first, continuation
+  * in the high bit, at most 10 bytes. The scan walks top-level fields
+  * (budget 32), SKIPPING values by their declared wire type (varint /
+  * fixed64 / length-delimited / fixed32 — groups are rejected), and
+  * returns the FIRST match: `varintField` the value of a wire-type-0
+  * field, `lenField` the byte length of a wire-type-2 field. Fields
+  * may appear in any order (the spec allows it; the scan does not
+  * assume sorting). Malformed input — truncated varint, 11-byte
+  * varint, value past the buffer, deprecated group types — is NULL,
+  * never a misread. Values with bit 63 set exceed LongType and NULL
+  * (the exceeds-the-type rule). */
+object ProtoScan {
+  private final val FieldBudget = 32
+
+  /** Decode the varint at `p`; returns (value, nextPos) packed as
+    * value in `vOut(0)` — implemented with a tiny inlined loop per
+    * call site instead. -1 position = malformed. */
+  private def varintEnd(a: Array[Byte], p: Int): Int = {
+    var i = p
+    while (i < a.length && i - p < 10) {
+      if ((a(i) & 0x80) == 0) return i + 1
+      i += 1
+    }
+    -1
+  }
+
+  private def varintVal(a: Array[Byte], p: Int, end: Int): Long = {
+    var v = 0L
+    var i = end - 1
+    while (i >= p) { v = (v << 7) | (a(i) & 0x7FL); i -= 1 }
+    v
+  }
+
+  private def scan(a: Array[Byte], fieldNo: Int, wantType: Int): Long = {
+    var p = 0
+    var n = 0
+    while (p < a.length && n < FieldBudget) {
+      val tagEnd = varintEnd(a, p)
+      if (tagEnd < 0) return -1L
+      val tag = varintVal(a, p, tagEnd)
+      val fld = (tag >>> 3).toInt
+      val wt = (tag & 0x7).toInt
+      p = tagEnd
+      wt match {
+        case 0 =>
+          val e = varintEnd(a, p)
+          if (e < 0) return -1L
+          if (fld == fieldNo && wantType == 0) {
+            val v = varintVal(a, p, e)
+            return if (v < 0) -1L else v
+          }
+          p = e
+        case 1 =>
+          if (p + 8 > a.length) return -1L
+          p += 8
+        case 2 =>
+          val e = varintEnd(a, p)
+          if (e < 0) return -1L
+          val len = varintVal(a, p, e)
+          if (len < 0 || e + len > a.length) return -1L
+          if (fld == fieldNo && wantType == 2) return len
+          p = e + len.toInt
+        case 5 =>
+          if (p + 4 > a.length) return -1L
+          p += 4
+        case _ => return -1L // groups (3/4) and reserved types
+      }
+      n += 1
+    }
+    -1L
+  }
+
+  def varintField(a: Array[Byte], fieldNo: Int): Long = scan(a, fieldNo, 0)
+  def lenField(a: Array[Byte], fieldNo: Int): Long = scan(a, fieldNo, 2)
+}
+
+/** Binary + field-number expression over a ProtoScan reader. */
+abstract class ProtoField extends BinaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  protected def readerName: String
+  protected def read(a: Array[Byte], fld: Int): Long
+
+  override def nullSafeEval(bytes: Any, fld: Any): Any = {
+    val v = read(bytes.asInstanceOf[Array[Byte]], fld.asInstanceOf[Int])
+    if (v < 0) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, f) => {
+      val v = ctx.freshName("pbV")
+      s"""long $v = graft.functions.ProtoScan.$readerName($a, $f);
+         |if ($v < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $v;
+         |}""".stripMargin
+    })
+}
+
+case class PbVarintField(left: Expression, right: Expression)
+    extends ProtoField {
+  protected val readerName = "varintField"
+  protected def read(a: Array[Byte], fld: Int): Long =
+    ProtoScan.varintField(a, fld)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): PbVarintField = copy(left = l, right = r)
+  override def prettyName: String = "pb_varint_field"
+}
+
+case class PbLenField(left: Expression, right: Expression)
+    extends ProtoField {
+  protected val readerName = "lenField"
+  protected def read(a: Array[Byte], fld: Int): Long =
+    ProtoScan.lenField(a, fld)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): PbLenField = copy(left = l, right = r)
+  override def prettyName: String = "pb_len_field"
+}

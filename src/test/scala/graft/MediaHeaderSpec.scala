@@ -675,6 +675,40 @@ class MediaHeaderSpec extends SparkTestBase {
     assert(r2.getLong(3) == 0L && r2.getLong(4) == 0L)
   }
 
+  test("protobuf scan: wire-type skipping, budget, and malformed input") {
+    def vint(v: Long): Array[Byte] = {
+      var x = v; val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      while (x >= 0x80) { b += ((x & 0x7F) | 0x80).toByte; x >>= 7 }
+      b += x.toByte; b.toArray
+    }
+    def tag(fld: Int, wt: Int) = vint((fld << 3 | wt).toLong)
+    // field 7 varint sits behind a fixed64 (field 2), a nested
+    // length-delimited (field 3) and a fixed32 (field 4) — all skipped
+    // by declared wire type, none decoded
+    val msg = tag(2, 1) ++ Array.fill[Byte](8)(0x55) ++
+      tag(3, 2) ++ vint(5) ++ Array.fill[Byte](5)(0x66) ++
+      tag(4, 5) ++ Array.fill[Byte](4)(0x77) ++
+      tag(7, 0) ++ vint(300L)
+    val group = tag(1, 3) ++ vint(1) // deprecated group wire type
+    val longVarint = tag(1, 0) ++ Array.fill[Byte](11)(0x80.toByte)
+    val lenPastEnd = tag(3, 2) ++ vint(99)
+    val bigVal = tag(1, 0) ++ vint(-1L) // 10-byte varint, bit 63 set
+    val r = Seq((msg, group, longVarint, lenPastEnd, bigVal))
+      .toDF("m", "g", "lv", "pe", "bv")
+      .selectExpr("pb_varint_field(m, 7) a", "pb_len_field(m, 3) b",
+        "pb_varint_field(m, 5) c", "pb_varint_field(g, 1) d",
+        "pb_varint_field(lv, 1) e", "pb_len_field(pe, 3) f",
+        "pb_varint_field(bv, 1) g").head()
+    assert(r.getLong(0) == 300L && r.getLong(1) == 5L)
+    (2 until 7).foreach(i => assert(r.isNullAt(i), s"field $i"))
+    // 33 fields exceed the 32-field scan budget
+    val deep = (1 to 33).flatMap(i => tag(i, 0) ++ vint(1L)).toArray ++
+      (tag(40, 0) ++ vint(9L))
+    assert(PbVarintField(Literal(deep), Literal(40)).eval() == null)
+    assert(PbVarintField(Literal(msg), Literal(7)).eval() == 300L)
+    assert(PbLenField(Literal(msg.dropRight(1)), Literal(3)).eval() == 5L)
+  }
+
   test("interpreted eval matches codegen output") {
     // Literal.eval exercises nullSafeEval (the non-codegen path); the
     // DataFrame asserts above ran through whole-stage codegen
