@@ -21,6 +21,9 @@ import graft.sources.Tables
   *    channels (3), bits-per-sample (5) and total samples (36) share
   *    one big-endian u64; the oracle re-derives all four from the
   *    synthesis parameters, so a single shifted bit fails the hash.
+  *  - q200: WebP canvas decode across all three container flavors
+  *    (VP8X extended, VP8L lossless with its 14-bit LSB-first
+  *    bit-packing, lossy VP8 behind the keyframe start code).
   *  - q199: repetition signals per document — max single-token
   *    frequency and duplicate-3-gram fraction (ppm). Entirely
   *    ROW-LOCAL on the Spark side: the top-token count is an O(L)

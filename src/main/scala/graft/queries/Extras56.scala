@@ -25,6 +25,8 @@ import graft.sources.Tables
   *    rolled up per format. Each format's corrupt form flips its lead
   *    byte to a value matching NO other format's magic, so the
   *    detection chain's order can never mask a misclassification.
+  *  - q206: q205 under Structured Streaming, sharing the oracle
+  *    VERBATIM — stream/batch equivalence inside the gate hash.
   */
 object Extras56 {
 
