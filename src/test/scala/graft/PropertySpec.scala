@@ -448,4 +448,124 @@ class PropertySpec extends SparkTestBase {
       Mp4Duration(Literal(mp4(pads, ts, 1))).eval() == null
     }, tests = 10)
   }
+
+  test("property: round-8 walkers invert random layouts " +
+      "(mvhd children, ID3 tags, TIFF IFDs, protobuf fields)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions._
+    // MP4: random non-mvhd children (0-3) before a v0 or v1 mvhd —
+    // the round-8 child walk (budget 4 INCLUDING mvhd) must land on
+    // it; 4+ preceding children push mvhd past the budget -> NULL
+    def mp4k(kids: Seq[Int], ver: Int, ts: Long, dur: Long): Array[Byte] = {
+      val mvhdSz = if (ver == 0) 28 else 40
+      val kidLen = kids.map(8 + _).sum
+      val b = ByteBuffer.allocate(24 + 8 + kidLen + mvhdSz)
+        .order(ByteOrder.BIG_ENDIAN)
+      b.putInt(24).put("ftypisom".getBytes("US-ASCII"))
+        .putInt(512).put("isomiso2".getBytes("US-ASCII"))
+      b.putInt(8 + kidLen + mvhdSz).put("moov".getBytes("US-ASCII"))
+      kids.foreach { n =>
+        b.putInt(8 + n).put("udta".getBytes("US-ASCII"))
+          .put(Array.fill[Byte](n)(1))
+      }
+      b.putInt(mvhdSz).put("mvhd".getBytes("US-ASCII"))
+        .putInt(ver << 24)
+      if (ver == 0)
+        b.putInt(0).putInt(0).putInt(ts.toInt).putInt(dur.toInt)
+      else b.putLong(0L).putLong(0L).putInt(ts.toInt).putLong(dur)
+      b.array()
+    }
+    val tsGen = Gen.choose(1L, Int.MaxValue.toLong)
+    val kidsGen = Gen.choose(0, 3).flatMap(
+      Gen.listOfN(_, Gen.choose(0, 16)))
+    check(Prop.forAll(kidsGen, Gen.oneOf(0, 1), tsGen, tsGen) {
+      (kids, ver, ts, dur) =>
+      val b = mp4k(kids, ver, ts, dur)
+      Mp4Timescale64(Literal(b)).eval() == ts &&
+      Mp4Duration64(Literal(b)).eval() == dur
+    }, tests = 40)
+    check(Prop.forAll(Gen.listOfN(4, Gen.choose(0, 16)), tsGen) {
+      (kids, ts) =>
+      Mp4Duration64(Literal(mp4k(kids, 0, ts, 1L))).eval() == null
+    }, tests = 10)
+    // MP3: random syncsafe tag size (incl. > 2^14, exercising three
+    // size bytes) and footer flag — the frame must be found past it
+    def mp3t(tagSz: Int, footer: Boolean, bIdx: Int,
+        sIdx: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(10 + tagSz + (if (footer) 10 else 0) + 4)
+      b.put("ID3".getBytes("US-ASCII")).put(4.toByte).put(0.toByte)
+        .put((if (footer) 0x10 else 0).toByte)
+      b.put(((tagSz >> 21) & 0x7F).toByte)
+        .put(((tagSz >> 14) & 0x7F).toByte)
+        .put(((tagSz >> 7) & 0x7F).toByte).put((tagSz & 0x7F).toByte)
+      b.put(Array.fill[Byte](tagSz + (if (footer) 10 else 0))(0x6A))
+      b.put(0xFF.toByte).put(0xFB.toByte)
+        .put(((bIdx << 4) | (sIdx << 2)).toByte).put(0.toByte)
+      b.array()
+    }
+    val Bitrates = Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      160, 192, 224, 256, 320)
+    val Rates = Array(44100, 48000, 32000)
+    check(Prop.forAll(Gen.choose(0, 40000), Gen.oneOf(true, false),
+      Gen.choose(1, 14), Gen.choose(0, 2)) { (sz, foot, bi, si) =>
+      val b = mp3t(sz, foot, bi, si)
+      Mp3BitrateKbps(Literal(b)).eval() == Bitrates(bi) &&
+      Mp3SampleRate(Literal(b)).eval() == Rates(si)
+    }, tests = 40)
+    // TIFF: random endianness, SHORT/LONG type, 0-3 padding entries
+    def tiffG(le: Boolean, pads: Int, typ: Int, w: Long,
+        h: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(10 + 12 * (pads + 2) + 4).order(
+        if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+      b.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+        .putShort(42.toShort).putInt(8)
+      b.putShort((pads + 2).toShort)
+      (0 until pads).foreach { i =>
+        b.putShort((100 + i).toShort).putShort(4.toShort).putInt(1)
+          .putInt(0)
+      }
+      Seq(256 -> w, 257 -> h).foreach { case (tag, v) =>
+        b.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+        if (typ == 3) { b.putShort(v.toShort); b.putShort(0.toShort) }
+        else b.putInt(v.toInt)
+      }
+      b.putInt(0)
+      b.array()
+    }
+    val dimGen = Gen.zip(Gen.oneOf(3, 4), Gen.oneOf(true, false),
+      Gen.choose(0, 3))
+    check(Prop.forAll(dimGen, Gen.choose(1L, 65535L),
+      Gen.choose(1L, 65535L)) { case ((typ, le, pads), w, h) =>
+      val b = tiffG(le, pads, typ, w, h)
+      TiffWidth(Literal(b)).eval() == w.toInt &&
+      TiffHeight(Literal(b)).eval() == h.toInt
+    }, tests = 40)
+    // protobuf: a random permutation of varint/len/fixed fields — the
+    // scan must find the target varint and the target len field
+    // wherever the order put them
+    def vint(v: Long): Array[Byte] = {
+      var x = v; val b = scala.collection.mutable.ArrayBuffer[Byte]()
+      while (x >= 0x80) { b += ((x & 0x7F) | 0x80).toByte; x >>= 7 }
+      b += x.toByte; b.toArray
+    }
+    def tag(fld: Int, wt: Int) = vint((fld << 3 | wt).toLong)
+    check(Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(0, 30),
+      Gen.choose(0L, 1000000L)) { (idVal, payLen, extra) =>
+      val f1 = tag(1, 0) ++ vint(idVal)
+      val f2 = tag(2, 2) ++ vint(payLen.toLong) ++
+        Array.fill[Byte](payLen)(0x78)
+      val f9 = tag(9, 0) ++ vint(extra)
+      val fx = tag(4, 1) ++ Array.fill[Byte](8)(0x22) // skipped fixed64
+      // three deterministic-but-varied orders driven by the inputs
+      val msg = ((idVal + payLen + extra) % 3) match {
+        case 0 => f1 ++ f2 ++ f9 ++ fx
+        case 1 => fx ++ f9 ++ f2 ++ f1
+        case _ => f2 ++ fx ++ f1 ++ f9
+      }
+      PbVarintField(Literal(msg), Literal(1)).eval() == idVal &&
+      PbLenField(Literal(msg), Literal(2)).eval() == payLen.toLong &&
+      PbVarintField(Literal(msg), Literal(9)).eval() == extra
+    }, tests = 40)
+  }
 }
