@@ -706,6 +706,28 @@ object Graft {
           s" * 1000 DIV nullif(mp4_timescale($b), 0)"))
     }
 
+    /** Sniff the TRANSPORT codec of a heterogeneous blob column
+      * (q210): adds `codec` ('gzip'/'zstd'/'tfrecord'/'corrupt') and
+      * `declared_size` (the payload size the header CLAIMS — zstd's
+      * frame content size, TFRecord's CRC-gated length; gzip declares
+      * none in its header, so NULL by contract). Classification is
+      * the decoders' never-throw NULL contract, same as
+      * [[mediaSniffed]]: no separate sniffer to drift from the
+      * parsers, and the codec question costs zero decompression
+      * cycles. */
+    def codecSniffed(blobCol: String): DataFrame = {
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      val b = blobCol
+      df.withColumn("codec",
+          when(expr(s"gzip_os($b)").isNotNull, "gzip")
+            .when(expr(s"zstd_content_size($b)").isNotNull ||
+              expr(s"zstd_window_size($b)").isNotNull, "zstd")
+            .when(expr(s"tfrecord_length($b)").isNotNull, "tfrecord")
+            .otherwise("corrupt"))
+        .withColumn("declared_size", coalesce(
+          expr(s"zstd_content_size($b)"), expr(s"tfrecord_length($b)")))
+    }
+
     /** Per-format manifest of a heterogeneous media corpus (q192):
       * [[mediaSniffed]] rolled up per detected format — doc count plus
       * width/height/rate/duration sums (NULL for formats without the

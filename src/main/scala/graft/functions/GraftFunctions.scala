@@ -175,6 +175,9 @@ object GraftFunctions {
     fn("pb_len_field",
       "byte length of a protobuf length-delimited field",
       es => PbLenField(es(0), es(1))),
+    fn("utf8_valid",
+      "strict UTF-8 validity (overlong/surrogate/truncation all false)",
+      es => Utf8Valid(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",

@@ -1566,3 +1566,61 @@ case class PbLenField(left: Expression, right: Expression)
       r: Expression): PbLenField = copy(left = l, right = r)
   override def prettyName: String = "pb_len_field"
 }
+
+/** Strict UTF-8 validity scan, per the public Unicode/RFC 3629 rules —
+  * the text-ingestion hygiene primitive: overlong encodings, lone or
+  * missing continuation bytes, CESU-8/surrogate code points
+  * (U+D800..DFFF), code points past U+10FFFF and truncated multi-byte
+  * tails all fail. One linear pass, no allocation; the expression
+  * returns a boolean so a corpus can be split clean/mojibake in one
+  * scan predicate. */
+object Utf8Scan {
+  /** 1 = valid UTF-8, 0 = invalid (never throws). */
+  def valid(a: Array[Byte]): Long = {
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val b0 = a(i) & 0xFF
+      if (b0 < 0x80) i += 1
+      else if (b0 < 0xC2) return 0L // continuation or overlong lead
+      else if (b0 < 0xE0) { // 2-byte
+        if (i + 1 >= n || (a(i + 1) & 0xC0) != 0x80) return 0L
+        i += 2
+      } else if (b0 < 0xF0) { // 3-byte
+        if (i + 2 >= n) return 0L
+        val b1 = a(i + 1) & 0xFF
+        if ((b1 & 0xC0) != 0x80 || (a(i + 2) & 0xC0) != 0x80) return 0L
+        if (b0 == 0xE0 && b1 < 0xA0) return 0L // overlong
+        if (b0 == 0xED && b1 >= 0xA0) return 0L // surrogates
+        i += 3
+      } else if (b0 < 0xF5) { // 4-byte
+        if (i + 3 >= n) return 0L
+        val b1 = a(i + 1) & 0xFF
+        if ((b1 & 0xC0) != 0x80 || (a(i + 2) & 0xC0) != 0x80 ||
+          (a(i + 3) & 0xC0) != 0x80) return 0L
+        if (b0 == 0xF0 && b1 < 0x90) return 0L // overlong
+        if (b0 == 0xF4 && b1 >= 0x90) return 0L // past U+10FFFF
+        i += 4
+      } else return 0L // F5..FF never appear in UTF-8
+    }
+    1L
+  }
+}
+
+case class Utf8Valid(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(bytes: Any): Any =
+    Utf8Scan.valid(bytes.asInstanceOf[Array[Byte]]) == 1L
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.Utf8Scan.valid($a) == 1L")
+
+  override protected def withNewChildInternal(c: Expression): Utf8Valid =
+    copy(child = c)
+  override def prettyName: String = "utf8_valid"
+}

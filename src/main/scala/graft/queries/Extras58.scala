@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.Graft._
 import graft.sources.Tables
 
 /** Fifty-eighth coverage wave: transport capstone + data profiling.
@@ -83,17 +84,10 @@ object Extras58 {
         .withColumn("fr", expr("tfrecord_frame(CAST(text AS BINARY))"))
         .withColumn("b", when(col("pick") === 0, gz)
           .when(col("pick") === 1, zstd).otherwise(tfr))
-        .withColumn("codec",
-          when(expr("gzip_os(b)").isNotNull, "gzip")
-            .when(expr("zstd_content_size(b)").isNotNull ||
-              expr("zstd_window_size(b)").isNotNull, "zstd")
-            .when(expr("tfrecord_length(b)").isNotNull, "tfrecord")
-            .otherwise("corrupt"))
-        .withColumn("declared", coalesce(
-          expr("zstd_content_size(b)"), expr("tfrecord_length(b)")))
+        .codecSniffed("b")
         .groupBy(col("codec"))
         .agg(count(lit(1)).as("n"),
-          sum(col("declared")).as("sum_declared"))
+          sum(col("declared_size")).as("sum_declared"))
     },
 
     // ---- one-pass table profiler ----------------------------------------

@@ -709,6 +709,35 @@ class MediaHeaderSpec extends SparkTestBase {
     assert(PbLenField(Literal(msg.dropRight(1)), Literal(3)).eval() == 5L)
   }
 
+  test("utf8_valid: acceptance boundaries per RFC 3629") {
+    def bs(hex: String) = hex.grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    val valid = Seq(
+      "" -> "empty", "7F" -> "ascii max", "C280" -> "U+0080 min 2-byte",
+      "DFBF" -> "U+07FF max 2-byte", "E0A080" -> "U+0800 min 3-byte",
+      "ED9FBF" -> "U+D7FF below surrogates",
+      "EE8080" -> "U+E000 above surrogates",
+      "EFBFBF" -> "U+FFFF", "F0908080" -> "U+10000 min 4-byte",
+      "F48FBFBF" -> "U+10FFFF max code point")
+    val invalid = Seq(
+      "80" -> "lone continuation", "C0AF" -> "overlong slash",
+      "C1BF" -> "overlong lead C1", "E09F80" -> "overlong 3-byte",
+      "EDA080" -> "surrogate D800", "EDBFBF" -> "surrogate DFFF",
+      "F08F8080" -> "overlong 4-byte", "F4908080" -> "past U+10FFFF",
+      "F5808080" -> "lead F5", "FF" -> "lead FF",
+      "E282" -> "truncated 3-byte", "F09080" -> "truncated 4-byte",
+      "C2" -> "truncated 2-byte", "E28080E2" -> "trailing lead")
+    valid.foreach { case (h, why) =>
+      assert(Utf8Valid(Literal(bs(h))).eval() == true, s"$why ($h)") }
+    invalid.foreach { case (h, why) =>
+      assert(Utf8Valid(Literal(bs(h))).eval() == false, s"$why ($h)") }
+    // codegen path agrees on a mixed batch
+    val r = Seq((bs("F48FBFBF"), bs("F4908080")))
+      .toDF("a", "b").selectExpr("utf8_valid(a) x", "utf8_valid(b) y")
+      .head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
   test("interpreted eval matches codegen output") {
     // Literal.eval exercises nullSafeEval (the non-codegen path); the
     // DataFrame asserts above ran through whole-stage codegen
