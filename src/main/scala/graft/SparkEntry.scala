@@ -28,7 +28,8 @@ object SparkEntry {
       Extras50.all ++ Extras51.all ++ Extras52.all ++ Extras53.all ++
       Extras54.all ++ Extras55.all ++ Extras56.all ++
       Extras57.all ++ Extras58.all ++
-      Extras59.all ++ Extras60.all
+      Extras59.all ++ Extras60.all ++
+      Extras61.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
