@@ -37,10 +37,11 @@ import graft.sources.Tables
   */
 object Extras62 {
 
-  // ---- q218 Bloom geometry (shared by Spark plan and oracle SQL) ------
-  private val MBits = 65536       // 2^16 bits
-  private val Words = MBits / 32  // 2048 packed 32-bit words in BIGINTs
-  private val KHash = 4
+  // ---- q218 Bloom geometry (shared by Spark plan and oracle SQL, and
+  // by the q222 streaming gate in Extras64) ----------------------------
+  private[queries] val MBits = 65536       // 2^16 bits
+  private[queries] val Words = MBits / 32  // 2048 packed 32-bit words
+  private[queries] val KHash = 4
 
   private def posA(i: Int): Long = TextOps.aParam(i)
   private def posB(i: Int): Long = TextOps.bParam(i)
@@ -55,8 +56,37 @@ object Extras62 {
     * the ~0.05% the (m, k, n) geometry predicts. The mod-P pass mixes
     * the high bits in (same affine family as MinHash; products < 2^62,
     * no overflow either engine). */
-  private def posSql(i: Int, h: String): String =
+  private[queries] def posSql(i: Int, h: String): String =
     s"(((${posA(i)} * $h + ${posB(i)}) % ${TextOps.P}) % $MBits)"
+
+  /** One-row DataFrame holding the whole bitset as a dense `Words`-slot
+    * BIGINT array (absent words zero-filled) — the form that broadcasts
+    * to every executor as a few KB. `evh` must be a single-column `h`
+    * frame of the member hashes. */
+  private[queries] def bloomDense(spark: org.apache.spark.sql.SparkSession,
+      evh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pos = (0 until KHash).map(i =>
+      evh.select(expr(posSql(i, "h")).as("pos")))
+      .reduce(_ unionByName _)
+    val words = pos
+      .select((col("pos") / 32).cast(LongType).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+          .as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+    spark.range(Words).select(col("id").as("w"))
+      .join(words, Seq("w"), "left")
+      .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
+      .agg(array_sort(collect_list(struct(col("w"), col("bits")))).as("ws"))
+      .select(transform(col("ws"), e => e.getField("bits")).as("blm"))
+  }
+
+  /** SQL boolean: all KHash bloom bits set for hash expression `h`,
+    * probing the dense array column `blm` (1-based element_at). */
+  private[queries] def probeSql(h: String): String =
+    (0 until KHash).map { i =>
+      s"((shiftright(element_at(blm, CAST(${posSql(i, h)} / 32 AS INT) + 1), " +
+        s"CAST(${posSql(i, h)} % 32 AS INT)) & 1) = 1)"
+    }.mkString("(", " AND ", ")")
 
   val all: Seq[Qry] = Seq(
 
@@ -203,28 +233,10 @@ object Extras62 {
       // ONE row holding the whole bitset as a dense 2048-slot array
       // (absent words zero-filled), broadcast to the probe side. The
       // benchmark set never shuffles against the corpus.
-      val pos = (0 until KHash).map(i =>
-        evh.select(expr(posSql(i, "h")).as("pos")))
-        .reduce(_ unionByName _)
-      val words = pos
-        .select(($"pos" / 32).cast(LongType).as("w"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-            .as("m"))
-        .groupBy($"w").agg(expr("bit_or(m)").as("bits"))
-      val dense = spark.range(Words).select($"id".as("w"))
-        .join(words, Seq("w"), "left")
-        .select($"w", coalesce($"bits", lit(0L)).as("bits"))
-        .agg(array_sort(collect_list(struct($"w", $"bits"))).as("ws"))
-        .select(transform($"ws", e => e.getField("bits")).as("blm"))
+      val dense = bloomDense(spark, evh)
       val tr = sh.filter(!$"is_eval").select($"doc_id", $"source", $"h")
       val probed = tr.crossJoin(broadcast(dense))
-        .withColumn("bloom_hit",
-          (0 until KHash).map { i =>
-            (expr(s"shiftright(element_at(blm, CAST(" +
-              s"${posSql(i, "h")} / 32 AS INT) + 1), " +
-              s"CAST(${posSql(i, "h")} % 32 AS INT))")
-              .bitwiseAND(lit(1L)) === 1L)
-          }.reduce(_ && _).cast("int"))
+        .withColumn("bloom_hit", expr(probeSql("h")).cast("int"))
         .join(evh.select($"h", lit(1).as("exact_hit")), Seq("h"), "left")
         .select($"doc_id", $"source", $"bloom_hit",
           coalesce($"exact_hit", lit(0)).as("exact_hit"))

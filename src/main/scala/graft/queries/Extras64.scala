@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.TextOps
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** Sixty-fourth coverage wave: the Bloom gate moved to the ingest
+  * stream, and the packer's per-document manifest.
+  *
+  *  - q222: STREAMING Bloom contamination gate. q218's one-row dense
+  *    bitset (built in batch from the benchmark slice) rides a
+  *    stream-static equi-join on a constant key — the static side
+  *    broadcasts, so each micro-batch pays a per-row array probe and
+  *    NOTHING shuffles against the benchmark set. Per-document
+  *    contaminated-shingle counts come from a single
+  *    aggregate(transform(...)) expression pair — the whole probe is
+  *    codegen-friendly column algebra inside the stream. This is the
+  *    crawl-ingest shape q194 (band-join near-dup) pays a join for,
+  *    at membership-only fidelity for a few KB of broadcast state.
+  *  - q223: sequence-packing ASSIGNMENT manifest. q215 sized the
+  *    packed corpus; this emits the per-document placement the packer
+  *    actually needs: running token offset within the source's
+  *    concatenation order (window prefix-sum — the range-partitioned
+  *    cumulative pattern at scale), first/last 2048-token window
+  *    touched, and whether the document straddles a window boundary
+  *    (the rows a loss-masking trainer treats specially). Pure integer
+  *    window arithmetic, oracle-identical.
+  */
+object Extras64 {
+
+  private val SeqLen = 2048L
+
+  /** SQL for the shared mod-P hash of a lambda variable `s` (TextOps
+    * .hashMod spelled as parser-friendly text — conv() returns STRING,
+    * hence the cast). */
+  private def hashModSql(s: String): String =
+    s"(CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT) % ${TextOps.P})"
+
+  val all: Seq[Qry] = Seq(
+
+    // ---- streaming Bloom contamination gate -----------------------------
+    Qry(
+      "q222_stream_bloom_gate", {
+        val posUnions = (0 until Extras62.KHash).map(i =>
+          s"SELECT ${Extras62.posSql(i, "h")} AS pos FROM evh")
+          .mkString("\nUNION ALL ")
+        val probeJoins = (0 until Extras62.KHash).map { i =>
+          s"LEFT JOIN bloom b$i ON b$i.w = ${Extras62.posSql(i, "tr.h")} // 32"
+        }.mkString("\n")
+        val allSet = (0 until Extras62.KHash).map { i =>
+          s"((COALESCE(b$i.bits, 0) >> CAST(${Extras62.posSql(i, "tr.h")} % 32 AS INT)) & 1) = 1"
+        }.mkString(" AND ")
+        s"""WITH ${TextOps.oracleToksCte},
+           |${TextOps.oracleSh3Cte},
+           |d AS (SELECT doc_id, source,
+           |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % 10 = 0
+           |      AS is_eval
+           |  FROM documents),
+           |evh AS (SELECT DISTINCT h FROM sh JOIN d USING (doc_id)
+           |  WHERE is_eval),
+           |pos AS ($posUnions),
+           |bloom AS (SELECT pos // 32 AS w,
+           |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+           |  FROM pos GROUP BY 1),
+           |tr AS (SELECT d.doc_id, d.source, sh.h FROM d
+           |  LEFT JOIN sh USING (doc_id) WHERE NOT is_eval),
+           |hits AS (SELECT tr.doc_id, tr.source,
+           |    SUM(CASE WHEN tr.h IS NOT NULL AND $allSet
+           |      THEN 1 ELSE 0 END) AS c
+           |  FROM tr
+           |$probeJoins
+           |  GROUP BY 1, 2)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dirty,
+           |  CAST(SUM(c) AS BIGINT) AS hit_shingles
+           |FROM hits GROUP BY 1""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      // batch side: the benchmark bitset (one row, dense 2048-slot
+      // array) keyed by a constant so the stream joins it as a
+      // broadcast equi-join — Spark plans stream-static inner joins,
+      // and the static side is a few KB
+      val evh = graft.operators.Dedup.shingleHashes(docs, "doc_id", "text")
+        .join(docs.select($"doc_id",
+          (TextOps.md5Long($"text") % 10 === 0).as("is_eval")), "doc_id")
+        .filter($"is_eval").select($"h").distinct()
+      val dense = broadcast(
+        Extras62.bloomDense(spark, evh).withColumn("k", lit(1)))
+      // per-document contaminated count: hash each distinct shingle,
+      // fold the probe — two higher-order functions, zero explode
+      val probeAgg =
+        s"aggregate(transform(shs, s -> ${hashModSql("s")}), " +
+          s"CAST(0 AS BIGINT), (acc, h) -> acc + " +
+          s"IF(${Extras62.probeSql("h")}, 1, 0))"
+      val perDoc = Streams.fileStream(spark, dir, "documents")
+        .select($"doc_id", $"source",
+          (TextOps.md5Long($"text") % 10 === 0).as("is_eval"),
+          TextOps.tokens($"text").as("__tk"))
+        .filter(!$"is_eval")
+        .withColumn("shs", array_distinct(TextOps.shingles($"__tk", 3)))
+        .withColumn("k", lit(1))
+        .join(dense, "k")
+        .withColumn("c", expr(probeAgg))
+      val agg = perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"c" > 0, 1).otherwise(0)).cast(LongType).as("n_dirty"),
+          sum($"c").cast(LongType).as("hit_shingles"))
+      Streams.runToMemory(agg, "complete")
+    },
+
+    // ---- sequence-packing assignment manifest ---------------------------
+    Qry(
+      "q223_packing_assignment",
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(text, '${TextOps.BpeTokSql}'))
+         |      + 1 AS BIGINT) AS toks
+         |  FROM documents),
+         |o AS (SELECT doc_id, source, toks,
+         |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY source
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM t)
+         |SELECT doc_id, source, toks, tok_offset,
+         |  tok_offset // $SeqLen AS first_window,
+         |  (tok_offset + toks - 1) // $SeqLen AS last_window,
+         |  (tok_offset // $SeqLen)
+         |    <> ((tok_offset + toks - 1) // $SeqLen) AS spans_boundary
+         |FROM o""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      // +1 = the per-document EOS, as in q215; concatenation order is
+      // (source, doc_id) — deterministic and the order a resumable
+      // packer would use. The prefix sum is per-source (range-
+      // partitionable at scale); everything after is row-local.
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(spark, dir).documents
+        .select($"doc_id", $"source",
+          (TextOps.bpeTokenCount($"text") + 1L).as("toks"))
+        .withColumn("tok_offset", coalesce(sum($"toks").over(w), lit(0L)))
+        .select($"doc_id", $"source", $"toks", $"tok_offset",
+          expr(s"tok_offset div $SeqLen").as("first_window"),
+          expr(s"(tok_offset + toks - 1) div $SeqLen").as("last_window"),
+          (expr(s"tok_offset div $SeqLen") =!=
+            expr(s"(tok_offset + toks - 1) div $SeqLen"))
+            .as("spans_boundary"))
+    }
+  )
+}
