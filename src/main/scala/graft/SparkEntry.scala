@@ -29,7 +29,8 @@ object SparkEntry {
       Extras54.all ++ Extras55.all ++ Extras56.all ++
       Extras57.all ++ Extras58.all ++
       Extras59.all ++ Extras60.all ++
-      Extras61.all ++ Extras62.all ++ Extras63.all ++ Extras64.all
+      Extras61.all ++ Extras62.all ++ Extras63.all ++ Extras64.all ++
+      Extras65.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
