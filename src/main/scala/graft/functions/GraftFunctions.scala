@@ -178,6 +178,15 @@ object GraftFunctions {
     fn("utf8_valid",
       "strict UTF-8 validity (overlong/surrogate/truncation all false)",
       es => Utf8Valid(es.head)),
+    fn("tar_members",
+      "ustar member count via bounded header walk (0 = valid empty)",
+      es => TarMembers(es.head)),
+    fn("tar_payload_bytes",
+      "ustar total declared payload bytes across members (BIGINT)",
+      es => TarPayloadBytes(es.head)),
+    fn("tar_first_name",
+      "ustar first member name, NUL-trimmed (NULL when empty/corrupt)",
+      es => TarFirstName(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",
