@@ -187,6 +187,9 @@ object GraftFunctions {
     fn("tar_first_name",
       "ustar first member name, NUL-trimmed (NULL when empty/corrupt)",
       es => TarFirstName(es.head)),
+    fn("tar_member_names",
+      "ustar member names in archive order (empty array = empty archive)",
+      es => TarMemberNames(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",

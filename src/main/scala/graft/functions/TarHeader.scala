@@ -37,6 +37,39 @@ import org.apache.spark.unsafe.types.UTF8String
 object TarWalk {
   final val MemberBudget = 16
 
+  /** All member names in archive order (NUL-trimmed), or null when the
+    * walk rejects the archive — same validation as [[walk]], by
+    * construction: it calls walk first, then re-reads the (now known
+    * valid) headers. An empty archive yields an empty array. */
+  def memberNames(a: Array[Byte]): Array[UTF8String] = {
+    val w = walk(a)
+    if (w == null) return null
+    val out = new Array[UTF8String](w(0).toInt)
+    var p = 0
+    var m = 0
+    while (m < out.length) {
+      var n = p
+      val nEnd = p + 100
+      while (n < nEnd && a(n) != 0) n += 1
+      out(m) = UTF8String.fromBytes(a, p, n - p)
+      // size re-parse (validated by walk): octal @124
+      var j = p + 124
+      val end = p + 136
+      while (j < end && a(j) == ' ') j += 1
+      var sz = 0L
+      var done = false
+      while (!done && j < end) {
+        val c = a(j)
+        if (c >= '0' && c <= '7') sz = (sz << 3) | (c - '0')
+        else done = true
+        j += 1
+      }
+      p += 512 + (((sz + 511L) >> 9) << 9).toInt
+      m += 1
+    }
+    out
+  }
+
   /** `[members, payloadBytes, firstNameOff, firstNameLen]`, or null if
     * the archive is corrupt under the contract above. firstNameOff is
     * -1 for an empty archive. */
@@ -140,6 +173,35 @@ case class TarPayloadBytes(child: Expression) extends TarField {
   protected def pickJava(a: String, w: String, ev: ExprCode): String =
     s"${ev.value} = $w[1];"
   override protected def withNewChildInternal(c: Expression): TarPayloadBytes =
+    copy(child = c)
+}
+
+/** All member names in archive order; empty array for a valid empty
+  * archive, NULL when corrupt — the WebDataset sample-pairing input. */
+case class TarMemberNames(child: Expression) extends TarField {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(bytes: Any): Any = {
+    val names = TarWalk.memberNames(bytes.asInstanceOf[Array[Byte]])
+    if (names == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      names.asInstanceOf[Array[Any]])
+  }
+  protected def pick(a: Array[Byte], w: Array[Long]): Any =
+    throw new IllegalStateException("unused — nullSafeEval overridden")
+  protected def pickJava(a: String, w: String, ev: ExprCode): String = ""
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("tarNames")
+      s"""org.apache.spark.unsafe.types.UTF8String[] $n =
+         |  graft.functions.TarWalk.memberNames($a);
+         |if ($n == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util
+         |    .GenericArrayData((Object[]) $n);
+         |}""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): TarMemberNames =
     copy(child = c)
 }
 
