@@ -723,14 +723,16 @@ object Graft {
             .when(expr(s"zstd_content_size($b)").isNotNull ||
               expr(s"zstd_window_size($b)").isNotNull, "zstd")
             .when(expr(s"tfrecord_length($b)").isNotNull, "tfrecord")
-            // >= 1, not isNotNull: the walk legally returns 0 for an
-            // all-zero "empty archive", and a zero-led junk blob must
-            // stay in the corrupt bucket, not become a tar
+            // >= 1, not isNotNull: both archive walks legally return 0
+            // for a valid EMPTY archive, and zero-led junk (tar) or a
+            // bare EOCD (zip) must stay in the corrupt bucket rather
+            // than claim a format
             .when(expr(s"tar_members($b) >= 1"), "tar")
+            .when(expr(s"zip_entries($b) >= 1"), "zip")
             .otherwise("corrupt"))
         .withColumn("declared_size", coalesce(
           expr(s"zstd_content_size($b)"), expr(s"tfrecord_length($b)"),
-          expr(s"tar_payload_bytes($b)")))
+          expr(s"tar_payload_bytes($b)"), expr(s"zip_comp_bytes($b)")))
     }
 
     /** Per-format manifest of a heterogeneous media corpus (q192):

@@ -190,6 +190,15 @@ object GraftFunctions {
     fn("tar_member_names",
       "ustar member names in archive order (empty array = empty archive)",
       es => TarMemberNames(es.head)),
+    fn("zip_entries",
+      "PKZIP entry count via LFH walk (data-descriptor zips -> NULL)",
+      es => ZipEntries(es.head)),
+    fn("zip_comp_bytes",
+      "PKZIP total compressed bytes across LFH entries (BIGINT)",
+      es => ZipCompBytes(es.head)),
+    fn("zip_first_name",
+      "PKZIP first entry name (NULL when empty/corrupt)",
+      es => ZipFirstName(es.head)),
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",
