@@ -568,4 +568,74 @@ class PropertySpec extends SparkTestBase {
       PbVarintField(Literal(msg), Literal(9)).eval() == extra
     }, tests = 40)
   }
+
+  test("property: archive walks invert random tar and zip layouts") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.{TarWalk, ZipFirstName, ZipWalk}
+    // independent serializers (octal by hand; LE via ByteBuffer) —
+    // NOT the query-side builders, so a shared bug can't self-verify
+    def tarOf(members: List[(String, Int)]): Array[Byte] = {
+      val blocks = members.map { case (name, size) =>
+        val h = new Array[Byte](512)
+        name.getBytes.copyToArray(h, 0)
+        java.lang.Long.toOctalString(size.toLong).reverse.padTo(11, '0')
+          .reverse.getBytes.copyToArray(h, 124)
+        "ustar".getBytes.copyToArray(h, 257)
+        h ++ new Array[Byte](((size + 511) / 512) * 512)
+      }
+      (blocks :+ new Array[Byte](1024)).reduce(_ ++ _)
+    }
+    val memGen = Gen.listOfN(3, Gen.zip(
+      Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)),
+      Gen.chooseNum(0, 1500)))
+      .flatMap(ms => Gen.chooseNum(1, 3).map(k => ms.take(k)))
+    check(Prop.forAll(memGen) { ms =>
+      val a = tarOf(ms)
+      val w = TarWalk.walk(a)
+      val names = TarWalk.memberNames(a).map(_.toString).toList
+      w(0) == ms.length &&
+        w(1) == ms.map(_._2.toLong).sum &&
+        names == ms.map(_._1) &&
+        // boundary truncation = clean EOF with the prefix's members
+        (ms.length < 2 || {
+          val cut = 512 + ((ms.head._2 + 511) / 512) * 512
+          TarWalk.walk(a.take(cut))(0) == 1
+        }) &&
+        // mid-data truncation is corrupt, not a short read
+        (ms.head._2 < 2 || TarWalk.walk(a.take(513)) == null)
+    }, tests = 40)
+    def zipOf(entries: List[(String, Int, Int)],
+        flag3: Boolean): Array[Byte] = {
+      val parts = entries.map { case (name, extraLen, size) =>
+        val n = name.getBytes
+        val b = java.nio.ByteBuffer.allocate(30 + n.length + extraLen + size)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.putInt(0x04034B50).putShort(20)
+          .putShort(if (flag3) 8 else 0).putShort(0)
+        b.putShort(0).putShort(0).putInt(0)
+        b.putInt(size).putInt(size)
+        b.putShort(n.length.toShort).putShort(extraLen.toShort)
+        b.put(n).put(new Array[Byte](extraLen + size))
+        b.array()
+      }
+      val eocd = java.nio.ByteBuffer.allocate(22)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0x06054B50).array()
+      (parts :+ eocd).reduce(_ ++ _)
+    }
+    val entGen = Gen.listOfN(3, Gen.zip(
+      Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)),
+      Gen.chooseNum(0, 8), Gen.chooseNum(0, 300)))
+      .flatMap(es => Gen.chooseNum(1, 3).map(k => es.take(k)))
+    check(Prop.forAll(entGen) { es =>
+      val ok = zipOf(es, flag3 = false)
+      val streaming = zipOf(es, flag3 = true)
+      val w = ZipWalk.walk(ok)
+      w(0) == es.length &&
+        w(1) == es.map(_._3.toLong).sum &&
+        ZipFirstName(Literal(ok)).eval().toString == es.head._1 &&
+        ZipWalk.walk(streaming) == null
+    }, tests = 40)
+  }
 }
