@@ -381,4 +381,49 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"),
       s"expected no corpus-sized shuffle join in the delta path:\n$plan")
   }
+
+  /** AQE's executedPlan toString carries BOTH the final and the initial
+    * plan; counts over the raw string double-count every node. Pin
+    * against the final section only. */
+  private def aqeFinalSection(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("q218: the Bloom bitset rides ONE broadcast nested-loop row, " +
+      "never a shuffle") {
+    // the whole point of the dense one-row array: the benchmark set
+    // reaches every probe task as a broadcast, so the only non-equi
+    // join in the plan is that single one-row cross
+    val plan = aqeFinalSection("q218_bloom_decontam")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj == 1,
+      s"expected exactly one bitset broadcast NLJ, got $bnlj:\n$plan")
+  }
+
+  test("q219: the lossless simjoin stays inside a bounded shuffle budget") {
+    // staged shingle leaf + df/size aggregates + prefix window +
+    // candidate self-join + verify joins; a refactor that re-tokenizes
+    // or re-shuffles the corpus shows up here first
+    val plan = aqeFinalSection("q219_prefix_simjoin")
+    val shuffles =
+      "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(shuffles <= 12,
+      s"q219 grew to $shuffles shuffle exchanges (pinned ceiling 12):\n$plan")
+  }
+
+  test("q233: resharding analysis is one map + one aggregate exchange") {
+    // both assignments (mod and the 20-way HRW argmax) are pure
+    // per-row hashing: anything beyond the single rollup shuffle means
+    // someone turned a map stage into a join
+    val plan = aqeFinalSection("q233_shard_rebalance")
+    val shuffles =
+      "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"expected exactly the rollup exchange, got $shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"expected no joins at all:\n$plan")
+  }
 }
