@@ -339,11 +339,13 @@ object Graft {
       * `df` may be a STREAMING frame (q194): bands come from
       * [[Dedup.lshBandsStateless]] (row-local, no stateful
       * aggregation), the corpus index broadcasts through a semi join,
-      * and each hit id surfaces once per micro-batch arrival. Compose
-      * with `dropDuplicatesWithinWatermark` on `idCol` for an
-      * exactly-once verdict under at-least-once delivery; batch
-      * callers can just `.dropDuplicates(idCol)`. `carry` columns ride
-      * the band rows to the output. */
+      * and each arrival of an id surfaces up to `bands` rows (one per
+      * band whose key matched — the semi join dedups corpus rows, not
+      * the probe side's bands). The recommended composition collapses
+      * both that band fan-out AND at-least-once redelivery to one
+      * verdict per id: `dropDuplicatesWithinWatermark` on `idCol` for
+      * streams, `.dropDuplicates(idCol)` for batch callers. `carry`
+      * columns ride the band rows to the output. */
     def nearDupHitsAgainst(corpus: DataFrame, idCol: String,
         textCol: String, k: Int = 16, bands: Int = 4,
         carry: Seq[String] = Nil): DataFrame = {
@@ -683,7 +685,11 @@ object Graft {
             .when(expr(s"wav_sample_rate($b)").isNotNull, "wav")
             .when(expr(s"mp3_sample_rate($b)").isNotNull, "mp3")
             .when(expr(s"flac_sample_rate($b)").isNotNull, "flac")
-            .when(expr(s"mp4_timescale($b)").isNotNull, "mp4")
+            // the 64-bit reader, not mp4_timescale: it accepts BOTH mvhd
+            // versions, so a spec-legal version-1 MP4 (64-bit times — what
+            // real muxers emit for long content) classifies as 'mp4'
+            // instead of falling through to 'corrupt' (advisor r8)
+            .when(expr(s"mp4_timescale64($b)").isNotNull, "mp4")
             .otherwise("corrupt"))
         .withColumn("width", coalesce(expr(s"bmp_width($b)"),
           expr(s"png_width($b)"), expr(s"gif_width($b)"),
@@ -702,8 +708,11 @@ object Graft {
         // of the never-fail contract documented above (advisor r7).
         // A zero timescale yields duration_ms NULL; fmt stays 'mp4'
         // (the header parsed — only the derived rate is undefined).
-        .withColumn("duration_ms", expr(s"CAST(mp4_duration($b) AS BIGINT)" +
-          s" * 1000 DIV nullif(mp4_timescale($b), 0)"))
+        // 64-bit readers throughout (both already BIGINT, so the
+        // guard carries over): version-1 durations and u32 values
+        // past Int range survive instead of NULLing (advisor r8).
+        .withColumn("duration_ms", expr(s"mp4_duration64($b)" +
+          s" * 1000 DIV nullif(mp4_timescale64($b), 0)"))
     }
 
     /** Sniff the TRANSPORT codec of a heterogeneous blob column

@@ -208,7 +208,7 @@ class MediaHeaderSpec extends SparkTestBase {
   }
 
   test("JPEG marker walk: APP/COM segments before SOF0/SOF2 decode") {
-    val app0 = 0xE0 -> "JFIF data".getBytes("US-ASCII")
+    val app0 = 0xE0 -> "JFIF\u0000data".getBytes("US-ASCII")
     val exif = 0xE1 -> Array.fill[Byte](19)(7) // odd length: no padding in JPEG
     val com = 0xFE -> "a comment".getBytes("US-ASCII")
     val baseline = jpeg(Seq(app0), 0xC0, 8, 1080, 1920, 3)
@@ -629,7 +629,7 @@ class MediaHeaderSpec extends SparkTestBase {
     val good = ogg(bos = true, "OpusHead", 1)
     val wideTable = ogg(bos = true, "OpusHead", 5)
     val notBos = ogg(bos = false, "OpusHead", 1)
-    val vorbis = ogg(bos = true, "vorbis ", 1)
+    val vorbis = ogg(bos = true, "\u0001vorbis ", 1)
     val r = Seq((good, wideTable, notBos, vorbis))
       .toDF("g", "w", "n", "v")
       .selectExpr("opus_channels(g) a", "opus_pre_skip(g) b",

@@ -48,7 +48,11 @@ kb = int(new.get("kb", 10))
 qd = int(new.get("qd", 1))
 if "qt" in new:
     # v4 (round 8+): fixed-width-2 base-36 deciseconds, positional in
-    # sorted-name order; "--" = failure; "qn" pins the length
+    # sorted-name order; "--" = failure; "qn" pins the length.
+    # "zz" (1295 ds) is a SATURATION sentinel, not an exact reading —
+    # Bench.enc2 caps at 129.5 s, so a 600 s catastrophe also encodes
+    # as "zz"; decode it as ">= 129.5 s" and flag it. The true value
+    # survives in the top-12 keyed "queries" dict when it ranks there.
     names = catalog_names()
     qt = new["qt"]
     assert len(qt) == 2 * new["qn"], "qt length does not match qn"
@@ -58,6 +62,9 @@ if "qt" in new:
     nq = {}
     for i, name in enumerate(names):
         cell = qt[2 * i:2 * i + 2]
+        if cell == "zz":
+            print(f"note: {name} qt cell saturated — value is "
+                  f">= {1295 / qd:.1f} s (check the keyed 'queries' dict)")
         nq[norm(name, 10)] = -1.0 if cell == "--" else int(cell, 36) / qd
 else:
     nq = {norm(k, kb): (v / qd if v >= 0 else v)
