@@ -415,6 +415,22 @@ class PlanSpec extends SparkTestBase {
       s"q219 grew to $shuffles shuffle exchanges (pinned ceiling 12):\n$plan")
   }
 
+  test("q223: the packer's prefix sum never sorts a corpus slice in one task") {
+    // two-pass shape (r8 judge): the corpus-sized window must partition
+    // by (source, bkt) — a Window partitioned by `source` alone and
+    // ordered by doc_id is the low-cardinality serialization the rework
+    // removed (the only per-source window left runs over the tiny
+    // per-bucket subtotal table, ordered by bkt)
+    val plan = aqeFinalSection("q223_packing_assignment")
+    assert(!"""\[source#\d+\], \[doc_id#\d+L?""".r.findFirstIn(plan).isDefined,
+      s"expected no corpus window partitioned by source alone:\n$plan")
+    assert("""\[source#\d+, bkt#\d+L?\], \[doc_id#\d+L?""".r
+      .findFirstIn(plan).isDefined,
+      s"expected the bucket-local window on (source, bkt):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the per-bucket offsets to broadcast back:\n$plan")
+  }
+
   test("q233: resharding analysis is one map + one aggregate exchange") {
     // both assignments (mod and the 20-way HRW argmax) are pure
     // per-row hashing: anything beyond the single rollup shuffle means
