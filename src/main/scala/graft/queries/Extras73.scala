@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+import graft.streaming.Streams
+
+/** One enriched tick: the error event plus the latest click at or
+  * before its event time (None when the user has no prior click). */
+final case class EnrichedTick(event_id: Long, user_id: Long, ms: Long,
+    value: Double, click_id: Option[Long], click_ms: Option[Long],
+    click_value: Option[Double])
+
+/** Per-user streaming as-of state: the latest reference (click) row seen
+  * so far, as (ms, event_id, value). Ticks and reference rows arrive in
+  * ONE keyed stream (kind flag `is_ref`); within a micro-batch the rows
+  * are applied in event-time order (references before ticks at equal
+  * time — the as-of bound is inclusive; among same-ms references the
+  * highest event_id wins, q25's tie-break), and the ValueState carries
+  * the latest reference ACROSS batches, so the state is O(1) per key —
+  * the canonical tsdb stream-enrichment shape, not a buffered join.
+  *
+  * Cross-batch contract (documented, spec-pinned): enrichment is exact
+  * when micro-batches respect event-time order per key (an in-order bus,
+  * or a watermark-disciplined source). A reference row arriving in a
+  * LATER batch than a tick it should have enriched is late data — the
+  * same contract every as-of stream processor documents. Top-level class
+  * so the closure serializes without a query-module reference. */
+class LatestRefEnrich extends StatefulProcessor[
+    Long, (Long, Long, Boolean, Long, Double), EnrichedTick] {
+  @transient private var latest: ValueState[(Long, Long, Double)] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    latest = getHandle.getValueState[(Long, Long, Double)]("latest",
+      Encoders.product[(Long, Long, Double)], TTLConfig.NONE)
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Boolean, Long, Double)],
+      timerValues: TimerValues): Iterator[EnrichedTick] = {
+    // (user_id, ms, is_ref, event_id, value) in event-time order;
+    // references first at equal ms (inclusive as-of), ascending
+    // event_id so the last applied same-ms reference is the max id
+    val ordered = rows.toArray.sortBy(r => (r._2, !r._3, r._4))
+    var cur = if (latest.exists()) latest.get() else null
+    val out = Vector.newBuilder[EnrichedTick]
+    ordered.foreach { case (uid, ms, isRef, eid, v) =>
+      if (isRef) {
+        if (cur == null || ms > cur._1 || (ms == cur._1 && eid > cur._2))
+          cur = (ms, eid, v)
+      } else out += (if (cur == null)
+        EnrichedTick(eid, uid, ms, v, None, None, None)
+      else EnrichedTick(eid, uid, ms, v,
+        Some(cur._2), Some(cur._1), Some(cur._3)))
+    }
+    if (cur != null) latest.update(cur)
+    out.result().iterator
+  }
+}
+
+/** Seventy-third coverage wave: stream-time as-of enrichment — the r8
+  * verdict's top ask and the canonical tsdb stream operation the batch
+  * as-of family (q25/q73/q104/q129) lacked a streaming form of.
+  *
+  *  - q238: enrich a live tick stream (errors) with the latest
+  *    reference row (click) at or before each tick's event time.
+  *    Mechanism: ticks and references flow as ONE user-keyed stream
+  *    through `transformWithState` (q130's RocksDB provider); per-key
+  *    state is a single latest-reference ValueState — O(1) per key, no
+  *    buffered join state, no row amplification (a stream-static
+  *    `c.ms <= e.ms` join would pay |ticks| x |prior clicks| before
+  *    aggregating it back down). Oracle: the BATCH as-of q25 CTE
+  *    restricted to the streamed slice, so stream/batch equivalence is
+  *    inside the gate hash (the q194 proof pattern). Reference tie:
+  *    consumer-side enrichment/lag analytics,
+  *    /root/reference/src/tests/integration_test.rs:241-270.
+  */
+object Extras73 {
+
+  val all: Seq[Qry] = Seq(
+
+    Qry(
+      "q238_stream_asof",
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type, value
+        |  FROM events)
+        |SELECT event_id, user_id, ms, value,
+        |  click_id, click_ms, click_value,
+        |  ms - click_ms AS gap_ms
+        |FROM (
+        |  SELECT err.*, c.event_id AS click_id, c.ms AS click_ms,
+        |    c.value AS click_value,
+        |    row_number() OVER (PARTITION BY err.event_id
+        |                       ORDER BY c.ms DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM e WHERE event_type = 'error') err
+        |  LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+        |    ON err.user_id = c.user_id AND c.ms <= err.ms)
+        |WHERE rn = 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val src = Streams.fileStream(spark, dir, "events")
+          .filter($"event_type".isin("click", "error"))
+          .select($"user_id", unix_millis($"ts").as("ms"),
+            ($"event_type" === "click").as("is_ref"),
+            $"event_id", $"value")
+          .as[(Long, Long, Boolean, Long, Double)]
+        val out = src.groupByKey(_._1)
+          .transformWithState(new LatestRefEnrich, TimeMode.None(),
+            OutputMode.Append())
+          .toDF()
+        Streams.runToMemory(out, "append")
+          .select($"event_id", $"user_id", $"ms", $"value",
+            $"click_id", $"click_ms", $"click_value",
+            ($"ms" - $"click_ms").as("gap_ms"))
+      } finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  )
+}
