@@ -45,9 +45,12 @@ import org.apache.spark.sql.types._
   * most 8 chunk headers). Null-safe: a payload that is too short or
   * fails the magic check decodes to NULL (never throws), so a
   * mixed/corrupt corpus degrades to NULL metadata rather than a failed
-  * job. Codec-requiring work (pixel decode, frame extraction) remains on
-  * the [[graft.operators.Multimodal]] opaque path; header fields never
-  * need a codec.
+  * job. Genuinely codec-requiring work (pixel decode, frame extraction)
+  * would run as partition-batched iteration over the same binary
+  * columns once a codec library exists in the deployment — header
+  * fields never need one, so every decode in this catalog is a codegen'd
+  * expression (CatalogInvariantSpec pins zero MapPartitions in batch
+  * plans).
   */
 abstract class HeaderField extends UnaryExpression
     with ImplicitCastInputTypes with Serializable {

@@ -21,8 +21,9 @@ import graft.sources.Tables
   * not a formula shortcut. Scale shape: one documents scan, everything
   * row-local — the metadata-extraction pass a 100 TB media corpus runs
   * as its first curation step. Genuinely codec-requiring work (pixel
-  * decode, frame extraction) stays on the operators.Multimodal opaque
-  * path; header fields never need a codec.
+  * decode, frame extraction) would ride the same binary columns through
+  * partition-batched iteration once a codec exists in the deployment;
+  * header fields never need one.
   */
 object Extras44 {
 

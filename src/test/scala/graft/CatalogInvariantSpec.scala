@@ -28,7 +28,8 @@ class CatalogInvariantSpec extends SparkTestBase {
     "q130_stream_tws", "q147_rate_source", "q148_ring_dropoldest",
     "q149_ring_backpressure", "q193_stream_media", "q194_stream_neardup",
     "q206_stream_media10", "q216_stream_encoding", "q221_stream_hll",
-    "q222_stream_bloom_gate", "q236_stream_transport5")
+    "q222_stream_bloom_gate", "q236_stream_transport5",
+    "q238_stream_asof")
 
   // one plan-build pass shared by the physical-plan invariants below
   // (building 180+ plans at sf0.001 is the dominant cost; string scans
@@ -52,15 +53,29 @@ class CatalogInvariantSpec extends SparkTestBase {
     // MediaHeader, ZOrder, GraftFunctions), never a closure UDF that
     // breaks whole-stage codegen. Pin it: a convenience udf() sneaking
     // into a hot path is the classic silent 2-5x scan regression at
-    // 100 TB. (Dataset.mapPartitions remains declared-legit for the
-    // codec-tier q48/q49 stubs — those nodes print as MapPartitions,
-    // not ScalaUDF.)
+    // 100 TB.
     val offenders = plans.collect {
       case (n, p) if p.contains("ScalaUDF")
         || p.contains("BatchEvalPython") => n
     }
     assert(offenders.isEmpty,
       s"UDF in the physical plan of: ${offenders.mkString(", ")}")
+  }
+
+  test("no batch catalog query plans a MapPartitions node") {
+    // Round 9 retired the last mapPartitions stage (the q48/q49 codec
+    // stub): every scalar path in every batch plan is now declarative —
+    // expressions stay inside whole-stage codegen and Catalyst can see
+    // through them (pushdown, pruning, reorder), which an opaque
+    // closure forbids. MapPartitions/MapGroups appearing in a BATCH
+    // plan again means someone dropped to imperative iteration where a
+    // column expression was possible.
+    val offenders = plans.collect {
+      case (n, p) if p.contains("MapPartitions")
+        || p.contains(" MapGroups") => n
+    }
+    assert(offenders.isEmpty,
+      s"imperative row iteration in: ${offenders.mkString(", ")}")
   }
 
   test("v4 positional decode contract: quoted-name source scan == catalog") {
