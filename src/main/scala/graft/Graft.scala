@@ -716,13 +716,14 @@ object Graft {
     }
 
     /** Sniff the TRANSPORT codec of a heterogeneous blob column
-      * (q210): adds `codec` ('gzip'/'zstd'/'tfrecord'/'corrupt') and
-      * `declared_size` (the payload size the header CLAIMS — zstd's
-      * frame content size, TFRecord's CRC-gated length; gzip declares
-      * none in its header, so NULL by contract). Classification is
-      * the decoders' never-throw NULL contract, same as
-      * [[mediaSniffed]]: no separate sniffer to drift from the
-      * parsers, and the codec question costs zero decompression
+      * (q210/q235): adds `codec` ('gzip'/'zstd'/'tfrecord'/'ogg'/
+      * 'tar'/'zip'/'corrupt') and `declared_size` (the payload size
+      * the header CLAIMS — zstd's frame content size, TFRecord's
+      * CRC-gated length, tar/zip archive payload sums; gzip and Ogg
+      * declare none in their headers, so NULL by contract).
+      * Classification is the decoders' never-throw NULL contract,
+      * same as [[mediaSniffed]]: no separate sniffer to drift from
+      * the parsers, and the codec question costs zero decompression
       * cycles. */
     def codecSniffed(blobCol: String): DataFrame = {
       graft.functions.GraftFunctions.register(df.sparkSession)
@@ -732,6 +733,10 @@ object Graft {
             .when(expr(s"zstd_content_size($b)").isNotNull ||
               expr(s"zstd_window_size($b)").isNotNull, "zstd")
             .when(expr(s"tfrecord_length($b)").isNotNull, "tfrecord")
+            // an Opus-led BOS page identifies the Ogg transport (the
+            // speech-corpus arrival format, q207); like gzip it
+            // declares no payload size in its header
+            .when(expr(s"opus_channels($b)").isNotNull, "ogg")
             // >= 1, not isNotNull: both archive walks legally return 0
             // for a valid EMPTY archive, and zero-led junk (tar) or a
             // bare EOCD (zip) must stay in the corrupt bucket rather
