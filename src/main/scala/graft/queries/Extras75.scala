@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -32,6 +34,9 @@ import graft.sources.Tables
   *    to the word vocabulary (staged leaf); everything after —
   *    inventory, weights, DP, backward, counts — is vocabulary-bounded,
   *    and the weight table rides as ONE broadcast map row.
+  *
+  * The model (oracle CTE stack + Spark pipeline) is shared with q241's
+  * vocabulary-prune step (Extras76) via [[EmOraclePrefix]]/[[emModel]].
   */
 object Extras75 {
 
@@ -43,140 +48,153 @@ object Extras75 {
   /** Sentinel for "no bigram candidate at position 1". */
   private val NoCand = "-2000000000000000"
 
+  /** DuckDB CTE stack through `wts` (p, wt — piece log-weights) and
+    * `mstep` (p, cnt — Viterbi-segmentation piece counts). The backward
+    * walk is a RECURSIVE CTE, not a list_reduce with a struct
+    * accumulator: DuckDB 1.0's list_reduce evaluates struct-typed
+    * accumulator fields inconsistently inside the lambda (measured: the
+    * same st.j reads two different values in one application; list
+    * accumulators are fine — the dp fold uses one). q187's
+    * recursive-walk pattern is the engine-supported shape. */
+  private[queries] val EmOraclePrefix: String =
+    s"""WITH RECURSIVE ${TextOps.oracleToksCte},
+       |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+       |chars AS (SELECT p, SUM(f) AS n FROM (
+       |    SELECT f, unnest(list_transform(range(length(w)),
+       |      i -> substring(w, CAST(i + 1 AS INT), 1))) AS p FROM words)
+       |  GROUP BY 1),
+       |bg AS (SELECT p, SUM(f) AS n FROM (
+       |    SELECT f, unnest(list_transform(range(length(w) - 1),
+       |      i -> substring(w, CAST(i + 1 AS INT), 2))) AS p
+       |    FROM words WHERE length(w) >= 2)
+       |  GROUP BY 1),
+       |topbg AS (SELECT p, n FROM bg ORDER BY n DESC, p LIMIT $TopBigrams),
+       |inv AS (SELECT p, n FROM chars UNION ALL SELECT p, n FROM topbg),
+       |tot AS (SELECT SUM(n) AS t FROM inv),
+       |wts AS (SELECT p,
+       |    CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE) / t)) AS BIGINT)
+       |      AS wt
+       |  FROM inv, tot),
+       |wm AS (SELECT map(list(p ORDER BY p), list(wt ORDER BY p)) AS m
+       |  FROM wts),
+       |dp AS (SELECT w, f, m,
+       |    list_reduce(
+       |      list_prepend(CAST([0] AS BIGINT[]),
+       |        list_transform(range(length(w)),
+       |          i -> [CAST(i + 1 AS BIGINT)])),
+       |      (acc, x) -> list_append(acc, greatest(
+       |        acc[CAST(x[1] AS INT)]
+       |          + map_extract(m, substring(w, CAST(x[1] AS INT), 1))[1],
+       |        CASE WHEN x[1] >= 2 THEN acc[CAST(x[1] AS INT) - 1]
+       |          + COALESCE(map_extract(m,
+       |              substring(w, CAST(x[1] AS INT) - 1, 2))[1],
+       |            $Missing)
+       |        ELSE $NoCand END))) AS dpl
+       |  FROM words, wm),
+       |walk AS (
+       |  SELECT w, f, m, dpl, length(w) AS j, CAST(NULL AS VARCHAR) AS p
+       |  FROM dp
+       |  UNION ALL
+       |  SELECT w, f, m, dpl,
+       |    CASE WHEN take2 THEN j - 2 ELSE j - 1 END,
+       |    CASE WHEN take2 THEN substring(w, CAST(j AS INT) - 1, 2)
+       |         ELSE substring(w, CAST(j AS INT), 1) END
+       |  FROM (
+       |    SELECT w, f, m, dpl, j,
+       |      (j >= 2 AND dpl[CAST(j AS INT) + 1] =
+       |        dpl[CAST(j AS INT) - 1] + COALESCE(map_extract(m,
+       |          substring(w, CAST(j AS INT) - 1, 2))[1],
+       |          $Missing)) AS take2
+       |    FROM walk WHERE j > 0)),
+       |seg AS (SELECT f, p FROM walk WHERE p IS NOT NULL),
+       |mstep AS (SELECT p, CAST(SUM(f) AS BIGINT) AS cnt FROM seg
+       |  GROUP BY 1)""".stripMargin
+
+  /** Spark-side model shared by q239/q241: (wts (p, wt), mstep (p, cnt)).
+    * One corpus-sized tokenize+count pass collapses to the staged word
+    * vocabulary; everything downstream is vocabulary-bounded and the
+    * weight table rides as one broadcast map row. */
+  private[queries] def emModel(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val words = Staging.stage(
+      Tables(spark, dir).documents
+        .select(explode(TextOps.tokens($"text")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).cast(LongType).as("f")),
+      eager = false)
+    val chars = words
+      .select($"f", explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .as("p"))
+      .groupBy($"p").agg(sum($"f").as("n"))
+    val bigrams = words.filter(length($"w") >= 2)
+      .select($"f", explode(expr(
+        "transform(sequence(1, length(w) - 1)," +
+          " i -> substring(w, i, 2))")).as("p"))
+      .groupBy($"p").agg(sum($"f").as("n"))
+    // global rank over the alphabet²-bounded bigram table (rank-limit
+    // pushdown keeps it a partial top-k per partition)
+    val top = bigrams
+      .withColumn("rn", row_number().over(Window.orderBy($"n".desc, $"p")))
+      .filter($"rn" <= TopBigrams).drop("rn")
+    // inventory + total + integer log-weights; wts is the piece table,
+    // wmap folds it into ONE broadcast map row for the E-step lambdas
+    val tot = chars.unionByName(top).agg(sum($"n").as("t"))
+    val wts = chars.unionByName(top).crossJoin(broadcast(tot))
+      .select($"p", expr(
+        "CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE) / t)) AS BIGINT)")
+        .as("wt"))
+    val wmap = wts
+      .agg(map_from_entries(collect_list(struct($"p", $"wt"))).as("m"))
+    // E-step per DISTINCT word: integer Viterbi DP fold + backward
+    // reconstruction fold, both over the broadcast weight map
+    val segmented = words.crossJoin(broadcast(wmap))
+      .withColumn("dpl", expr(
+        s"""aggregate(
+           |  sequence(1, length(w)),
+           |  array(CAST(0 AS BIGINT)),
+           |  (acc, j) -> array_append(acc, greatest(
+           |    element_at(acc, j) + element_at(m, substring(w, j, 1)),
+           |    CASE WHEN j >= 2 THEN element_at(acc, j - 1)
+           |      + coalesce(element_at(m, substring(w, j - 1, 2)),
+           |          $Missing)
+           |    ELSE $NoCand END)))""".stripMargin))
+      .withColumn("ps", expr(
+        s"""aggregate(
+           |  sequence(1, length(w)),
+           |  named_struct('j', length(w),
+           |    'ps', CAST(array() AS ARRAY<STRING>)),
+           |  (st, x) -> CASE
+           |    WHEN st.j <= 0 THEN st
+           |    WHEN st.j >= 2 AND element_at(dpl, st.j + 1) =
+           |      element_at(dpl, st.j - 1)
+           |        + coalesce(element_at(m, substring(w, st.j - 1, 2)),
+           |            $Missing)
+           |    THEN named_struct('j', st.j - 2,
+           |      'ps', array_prepend(st.ps, substring(w, st.j - 1, 2)))
+           |    ELSE named_struct('j', st.j - 1,
+           |      'ps', array_prepend(st.ps, substring(w, st.j, 1)))
+           |  END,
+           |  st -> st.ps)""".stripMargin))
+    val mstep = segmented.select($"f", explode($"ps").as("p"))
+      .groupBy($"p").agg(sum($"f").as("cnt"))
+    (wts, mstep)
+  }
+
   val all: Seq[Qry] = Seq(
 
     Qry(
       "q239_unigram_em_step",
-      // NOTE the backward walk is a RECURSIVE CTE, not a list_reduce
-      // with a struct accumulator: DuckDB 1.0's list_reduce evaluates
-      // struct-typed accumulator fields inconsistently inside the
-      // lambda (measured: the same st.j reads two different values in
-      // one application; list accumulators are fine — the dp fold uses
-      // one). q187's recursive-walk pattern is the engine-supported
-      // shape.
-      s"""WITH RECURSIVE ${TextOps.oracleToksCte},
-         |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
-         |  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w),
-         |chars AS (SELECT p, SUM(f) AS n FROM (
-         |    SELECT f, unnest(list_transform(range(length(w)),
-         |      i -> substring(w, CAST(i + 1 AS INT), 1))) AS p FROM words)
-         |  GROUP BY 1),
-         |bg AS (SELECT p, SUM(f) AS n FROM (
-         |    SELECT f, unnest(list_transform(range(length(w) - 1),
-         |      i -> substring(w, CAST(i + 1 AS INT), 2))) AS p
-         |    FROM words WHERE length(w) >= 2)
-         |  GROUP BY 1),
-         |topbg AS (SELECT p, n FROM bg ORDER BY n DESC, p LIMIT $TopBigrams),
-         |inv AS (SELECT p, n FROM chars UNION ALL SELECT p, n FROM topbg),
-         |tot AS (SELECT SUM(n) AS t FROM inv),
-         |wts AS (SELECT p,
-         |    CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE) / t)) AS BIGINT)
-         |      AS wt
-         |  FROM inv, tot),
-         |wm AS (SELECT map(list(p ORDER BY p), list(wt ORDER BY p)) AS m
-         |  FROM wts),
-         |dp AS (SELECT w, f, m,
-         |    list_reduce(
-         |      list_prepend(CAST([0] AS BIGINT[]),
-         |        list_transform(range(length(w)),
-         |          i -> [CAST(i + 1 AS BIGINT)])),
-         |      (acc, x) -> list_append(acc, greatest(
-         |        acc[CAST(x[1] AS INT)]
-         |          + map_extract(m, substring(w, CAST(x[1] AS INT), 1))[1],
-         |        CASE WHEN x[1] >= 2 THEN acc[CAST(x[1] AS INT) - 1]
-         |          + COALESCE(map_extract(m,
-         |              substring(w, CAST(x[1] AS INT) - 1, 2))[1],
-         |            $Missing)
-         |        ELSE $NoCand END))) AS dpl
-         |  FROM words, wm),
-         |walk AS (
-         |  SELECT w, f, m, dpl, length(w) AS j, CAST(NULL AS VARCHAR) AS p
-         |  FROM dp
-         |  UNION ALL
-         |  SELECT w, f, m, dpl,
-         |    CASE WHEN take2 THEN j - 2 ELSE j - 1 END,
-         |    CASE WHEN take2 THEN substring(w, CAST(j AS INT) - 1, 2)
-         |         ELSE substring(w, CAST(j AS INT), 1) END
-         |  FROM (
-         |    SELECT w, f, m, dpl, j,
-         |      (j >= 2 AND dpl[CAST(j AS INT) + 1] =
-         |        dpl[CAST(j AS INT) - 1] + COALESCE(map_extract(m,
-         |          substring(w, CAST(j AS INT) - 1, 2))[1],
-         |          $Missing)) AS take2
-         |    FROM walk WHERE j > 0)),
-         |seg AS (SELECT f, p FROM walk WHERE p IS NOT NULL),
-         |mstep AS (SELECT p, CAST(SUM(f) AS BIGINT) AS cnt FROM seg
-         |  GROUP BY 1)
+      s"""$EmOraclePrefix
          |SELECT p AS piece, CAST(length(p) AS INT) AS piece_len, cnt,
          |  CAST(1000000 * cnt // SUM(cnt) OVER () AS BIGINT) AS ppm
          |FROM mstep""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      // corpus-sized pass #1 (the ONLY one): tokenize + word-frequency
-      // vocabulary; staged — it feeds the char counts, the bigram
-      // counts, and the E-step
-      val words = Staging.stage(
-        Tables(spark, dir).documents
-          .select(explode(TextOps.tokens($"text")).as("w"))
-          .groupBy($"w").agg(count(lit(1)).cast(LongType).as("f")),
-        eager = false)
-      val chars = words
-        .select($"f", explode(expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-          .as("p"))
-        .groupBy($"p").agg(sum($"f").as("n"))
-      val bigrams = words.filter(length($"w") >= 2)
-        .select($"f", explode(expr(
-          "transform(sequence(1, length(w) - 1)," +
-            " i -> substring(w, i, 2))")).as("p"))
-        .groupBy($"p").agg(sum($"f").as("n"))
-      // global rank over the alphabet²-bounded bigram table (rank-limit
-      // pushdown keeps it a partial top-k per partition)
-      val top = bigrams
-        .withColumn("rn", row_number().over(Window.orderBy($"n".desc, $"p")))
-        .filter($"rn" <= TopBigrams).drop("rn")
-      // inventory + total + integer log-weights, folded into ONE map
-      // row — the broadcast piece table of the E-step
-      val tot = chars.unionByName(top).agg(sum($"n").as("t"))
-      val wmap = chars.unionByName(top).crossJoin(broadcast(tot))
-        .select($"p", expr(
-          "CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE) / t)) AS BIGINT)")
-          .as("wt"))
-        .agg(map_from_entries(collect_list(struct($"p", $"wt"))).as("m"))
-      // E-step per DISTINCT word: integer Viterbi DP fold + backward
-      // reconstruction fold, both over the broadcast weight map
-      val segmented = words.crossJoin(broadcast(wmap))
-        .withColumn("dpl", expr(
-          s"""aggregate(
-             |  sequence(1, length(w)),
-             |  array(CAST(0 AS BIGINT)),
-             |  (acc, j) -> array_append(acc, greatest(
-             |    element_at(acc, j) + element_at(m, substring(w, j, 1)),
-             |    CASE WHEN j >= 2 THEN element_at(acc, j - 1)
-             |      + coalesce(element_at(m, substring(w, j - 1, 2)),
-             |          $Missing)
-             |    ELSE $NoCand END)))""".stripMargin))
-        .withColumn("ps", expr(
-          s"""aggregate(
-             |  sequence(1, length(w)),
-             |  named_struct('j', length(w),
-             |    'ps', CAST(array() AS ARRAY<STRING>)),
-             |  (st, x) -> CASE
-             |    WHEN st.j <= 0 THEN st
-             |    WHEN st.j >= 2 AND element_at(dpl, st.j + 1) =
-             |      element_at(dpl, st.j - 1)
-             |        + coalesce(element_at(m, substring(w, st.j - 1, 2)),
-             |            $Missing)
-             |    THEN named_struct('j', st.j - 2,
-             |      'ps', array_prepend(st.ps, substring(w, st.j - 1, 2)))
-             |    ELSE named_struct('j', st.j - 1,
-             |      'ps', array_prepend(st.ps, substring(w, st.j, 1)))
-             |  END,
-             |  st -> st.ps)""".stripMargin))
-      // M-step: frequency-weighted piece counts, renormalized to ppm
-      segmented.select($"f", explode($"ps").as("p"))
-        .groupBy($"p").agg(sum($"f").as("cnt"))
-        .withColumn("tot2",
-          sum($"cnt").over(Window.partitionBy()))
+      val (_, mstep) = emModel(spark, dir)
+      // M-step output: frequency-weighted piece counts in ppm
+      mstep
+        .withColumn("tot2", sum($"cnt").over(Window.partitionBy()))
         .select($"p".as("piece"), length($"p").as("piece_len"),
           $"cnt".cast(LongType).as("cnt"),
           expr("1000000 * cnt DIV tot2").as("ppm"))
