@@ -52,14 +52,6 @@ object Bench {
     182 -> 1.0, 183 -> 1.1, 184 -> 1.3, 185 -> 0.3, 186 -> 0.3, 187 -> 1.7,
     188 -> 0.5, 189 -> 0.2, 190 -> 0.2, 191 -> 0.2, 192 -> 0.4, 193 -> 0.9)
 
-  /** One-round watch list: queries whose r7 driver reading exceeded 2x
-    * their prior WITHOUT an in-artifact re-measure (fell under r7's
-    * >=2.5x mover threshold — the r7 verdict `weak` set plus q147, the
-    * same streaming-path profile just under the weak bar). Forced into
-    * the rem re-measure set this round so BENCH_r08 clears or confirms
-    * them by itself. Drop after r8 (the widened >=2x criterion below
-    * makes the class self-selecting from now on). */
-  private[graft] val remWatch: Seq[Int] = Seq(147, 149, 182)
 
   /** (cumulative hypervisor-steal ticks, uptime seconds) from /proc —
     * sampled at bench start and end so the emitted delta localizes VM
@@ -389,27 +381,24 @@ object Bench {
     // one such stall; re-measuring the run's own outliers inside the same
     // artifact makes the distinction self-evidencing: spike at position
     // but rem ≈ family steady state → stall; rem confirms the cost → real.
-    // SPIKE-SHAPED selection (widened from top-2-only in round 7): the r6
-    // verdict's q9/q107/q108/q109 cluster (~3x each on untouched code)
-    // fell outside the top-2 window and stayed unrefutable for a round.
-    // Re-measure (a) the run's two slowest, (b) the one-round remWatch
-    // list (r7's unrefuted movers — cleared or confirmed by THIS
-    // artifact), plus (c) every query whose in-run time is >= 2x its
-    // prior-round DRIVER time with >= 1.0 s absolute excess (widened
-    // from r7's >= 2.5x ratio-only rule, which let 2.0-2.4x movers slip
-    // through unrefuted), prioritized by absolute excess, hard-capped
-    // at 8 entries (~10 B each; the CatalogInvariantSpec line budget
-    // accounts for the cap).
+    // SPIKE-SHAPED selection (widened from top-2-only in round 7, and
+    // from cap-8 in round 9): the r8 storm left q103/q1/q174 past the
+    // cap-8 window, unrefuted in-artifact for a round. Re-measure (a)
+    // the run's two slowest, plus (b) every query whose in-run time is
+    // >= 2x its prior-round DRIVER time with >= 1.0 s absolute excess,
+    // prioritized by absolute excess, hard-capped at 12 entries (~10 B
+    // each; the CatalogInvariantSpec line budget accounts for the
+    // cap). The r8 one-round remWatch list is dropped — the >= 2x
+    // mover criterion makes that class self-selecting.
     val rem = {
       val ok = results.filter(_._2 >= 0)
       val worst = ok.sortBy(-_._2).take(2).map(_._1)
       def qnum(n: String) = n.takeWhile(_ != '_').stripPrefix("q").toInt
-      val watch = ok.map(_._1).filter(n => remWatch.contains(qnum(n)))
       val movers = ok.flatMap { case (name, v) =>
         priorDriverSec.get(qnum(name))
           .filter(p => v >= 2.0 * p && v - p >= 1.0).map(p => (name, v - p))
       }.sortBy(-_._2).map(_._1)
-      val picked = (worst ++ watch ++ movers).distinct.take(8)
+      val picked = (worst ++ movers).distinct.take(12)
       // per-query fault isolation: one failed re-run records -1 for that
       // entry instead of voiding the whole diagnostic block
       val again = picked.map { name =>

@@ -49,8 +49,6 @@ class PriorTableSpec extends AnyFunSuite {
     }
     assert(derived.keySet == Bench.priorDriverSec.keySet,
       "table/artifact query-set mismatch")
-    assert(overrides.keySet == Bench.remWatch.toSet,
-      "overrides must stay in the one-round watch list")
     val bad = Bench.priorDriverSec.toSeq.filter { case (k, v) =>
       math.abs(v - overrides.getOrElse(k, derived(k))) > 1e-9
     }.map(_._1).sorted
