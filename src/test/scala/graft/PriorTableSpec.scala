@@ -2,55 +2,67 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins `Bench.priorDriverSec` to the checked-in driver artifact it
-  * claims to be derived from (BENCH_r07.json). The r6->r7 gap where the
-  * compiled-in table silently lagged the latest driver round is exactly
-  * what let two movers (q149/q182) slip the re-measure net; this spec
-  * makes staleness a test failure instead of a judge finding.
+/** Pins `Bench.priorDriverSec` to the checked-in artifact it claims to
+  * be derived from (BENCH_r09_quiet.json — three same-HEAD full sf0.1
+  * runs). The r6->r7 gap where the compiled-in table silently lagged
+  * the latest measurements let two movers slip the re-measure net; this
+  * spec makes staleness a test failure instead of a judge finding.
   *
-  * Derivation rule (mirrors the table's doc comment): per-query
-  * deciseconds from the artifact's parsed "queries" block (base-36 keys,
-  * declared by "kb"; scale declared by "qd"), rem-corrected where the
-  * artifact's own end-of-session re-measure read LOWER than the
-  * at-position time (a refuted spike), then three documented overrides
-  * kept at their ROUND-6 values because the r7 readings were themselves
-  * unrefuted suspected spikes (the r7 verdict `weak` set + q147) —
-  * copying a spike into the prior would blind the net where it fired.
+  * Derivation rule (mirrors the table's doc comment): per artifact,
+  * decode the v4 positional "qt" vector (fixed-width-2 base-36, scale
+  * declared by "qd") against the CURRENT sorted catalog — the same
+  * order Bench's timed loop runs — then apply that artifact's own
+  * in-run corrections (keyed "rem" re-measures and the q95 "z95"
+  * sample) where lower; the prior is the per-query MIN across the
+  * artifacts, rounded to one decimal. The cross-run min is the same
+  * spike-refutation logic the rem block applies in-artifact, applied
+  * across runs — all three runs measured bursty hypervisor steal.
   */
 class PriorTableSpec extends AnyFunSuite {
 
-  // r6-valued overrides for r7's unrefuted movers; must match remWatch
-  private val overrides = Map(147 -> 1.5, 149 -> 2.0, 182 -> 1.0)
-
-  test("priorDriverSec matches the checked-in BENCH_r07 artifact") {
-    val f = new java.io.File("BENCH_r07.json")
-    assume(f.isFile, "BENCH_r07.json not present in working directory")
+  test("priorDriverSec matches the checked-in BENCH_r09_quiet artifact") {
+    val f = new java.io.File("BENCH_r09_quiet.json")
+    assume(f.isFile, "BENCH_r09_quiet.json not present in working directory")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
     val root = mapper.readTree(f)
-    val parsed = root.get("parsed")
-    val qd = parsed.get("qd").asDouble()
-    def block(name: String): Map[Int, Double] = {
-      val node = parsed.get(name)
-      if (node == null) Map.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        node.fieldNames().asScala.map { k =>
-          java.lang.Long.parseLong(k, 36).toInt ->
-            node.get(k).asDouble() / qd
-        }.toMap
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def qnum(n: String) = n.takeWhile(_ != '_').stripPrefix("q").toInt
+    import scala.jdk.CollectionConverters._
+    val runs = root.get("runs").elements().asScala.toSeq
+    assert(runs.size >= 2, "expected the multi-run artifact")
+    val best = scala.collection.mutable.Map.empty[Int, Double]
+    runs.foreach { run =>
+      val qd = run.get("qd").asDouble()
+      val qt = run.get("qt").asText()
+      assert(run.get("qn").asInt() == names.size,
+        "artifact catalog size != current catalog — regenerate the " +
+          "prior table and artifact together")
+      val per = scala.collection.mutable.Map.empty[Int, Double]
+      names.zipWithIndex.foreach { case (n, i) =>
+        val cell = qt.substring(2 * i, 2 * i + 2)
+        if (cell != "--")
+          per(qnum(n)) = java.lang.Long.parseLong(cell, 36) / qd
+      }
+      val rem = run.get("rem")
+      if (rem != null) rem.fieldNames().asScala.foreach { k =>
+        val q = java.lang.Long.parseLong(k, 36).toInt
+        val v = rem.get(k).asDouble() / qd
+        if (v >= 0 && per.contains(q)) per(q) = math.min(per(q), v)
+      }
+      val z95 = run.get("z95")
+      if (z95 != null && z95.asDouble() >= 0 && per.contains(95))
+        per(95) = math.min(per(95), z95.asDouble() / qd)
+      per.foreach { case (q, v) =>
+        best(q) = math.min(best.getOrElse(q, Double.MaxValue), v)
       }
     }
-    val atPos = block("queries")
-    val rem = block("rem")
-    val derived = atPos.map { case (k, v) =>
-      k -> (rem.get(k).filter(r => r >= 0 && r < v).getOrElse(v) match {
-        case d => math.rint(d * 10) / 10
-      })
-    }
+    val derived = best.map { case (q, v) =>
+      q -> math.rint(v * 10) / 10
+    }.toMap
     assert(derived.keySet == Bench.priorDriverSec.keySet,
       "table/artifact query-set mismatch")
     val bad = Bench.priorDriverSec.toSeq.filter { case (k, v) =>
-      math.abs(v - overrides.getOrElse(k, derived(k))) > 1e-9
+      math.abs(v - derived(k)) > 1e-9
     }.map(_._1).sorted
     assert(bad.isEmpty, s"stale priorDriverSec entries: ${bad.mkString(",")}")
   }
