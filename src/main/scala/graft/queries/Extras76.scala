@@ -112,8 +112,12 @@ object Extras76 {
            |WHERE rn <= $Bm25K""".stripMargin
       }) { (spark, dir) =>
       import spark.implicits._
-      val toks = Tables(spark, dir).documents
-        .select($"doc_id", TextOps.tokens($"text").as("tk"))
+      // staged: the doc-length side AND the term-frequency side both
+      // read the tokenized table — unstaged, the corpus tokenizes twice
+      val toks = graft.operators.Staging.stage(
+        Tables(spark, dir).documents
+          .select($"doc_id", TextOps.tokens($"text").as("tk")),
+        eager = false)
       val dl = toks.select($"doc_id", size($"tk").cast(LongType).as("dl"))
       val tf = toks.select($"doc_id", explode($"tk").as("tok"))
         .filter($"tok".isin(Bm25Terms: _*))
