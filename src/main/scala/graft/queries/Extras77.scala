@@ -23,15 +23,14 @@ import graft.sources.Tables
   */
 object Extras77 {
 
-  private val Snaps = 4
+  private[queries] val Snaps = 4
   private val TopK = 5
   private val MinCount = 20L
 
-  val all: Seq[Qry] = Seq(
-
-    Qry(
-      "q245_token_drift",
-      s"""WITH ${TextOps.oracleToksCte},
+  /** Oracle text shared VERBATIM with the streaming twin q248
+    * (Extras78) — stream/batch equivalence inside the gate hash. */
+  private[queries] val DriftOracle: String =
+    s"""WITH ${TextOps.oracleToksCte},
          |snapped AS (SELECT
          |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT)
          |      % $Snaps AS snap,
@@ -50,25 +49,36 @@ object Extras77 {
          |SELECT snap, CAST(rn AS INT) AS rank, tok, c, prev, rise_ppm
          |FROM (SELECT *, row_number() OVER (PARTITION BY snap
          |        ORDER BY rise_ppm DESC, tok) AS rn FROM rises)
-         |WHERE rn <= $TopK""".stripMargin) { (spark, dir) =>
+         |WHERE rn <= $TopK""".stripMargin
+
+  /** The drift tail (lag + rank over the snapshot x vocabulary count
+    * table) shared by q245 and its streaming twin q248 — the per-
+    * (snapshot, token) count table is the only part that differs
+    * (batch scan vs streaming aggregation). */
+  private[queries] def driftTail(cnt: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wLag = Window.partitionBy(col("tok")).orderBy(col("snap"))
+    val wTop = Window.partitionBy(col("snap"))
+      .orderBy(col("rise_ppm").desc, col("tok"))
+    cnt
+      .withColumn("prev", coalesce(lag(col("c"), 1).over(wLag), lit(0L)))
+      .filter(col("snap") > 0 && col("c") >= MinCount)
+      .withColumn("rise_ppm",
+        expr("1000000 * (c - prev) DIV (prev + 1)"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= TopK)
+      .select(col("snap"), col("rank"), col("tok"), col("c"),
+        col("prev"), col("rise_ppm"))
+  }
+
+  val all: Seq[Qry] = Seq(
+
+    Qry("q245_token_drift", DriftOracle) { (spark, dir) =>
       import spark.implicits._
-      val cnt = Tables(spark, dir).documents
+      driftTail(Tables(spark, dir).documents
         .select((TextOps.md5Long($"text") % Snaps).as("snap"),
           explode(TextOps.tokens($"text")).as("tok"))
-        .groupBy($"snap", $"tok").agg(count(lit(1)).cast(LongType).as("c"))
-      // the lag + rank windows run over the (snapshot x vocabulary)
-      // count table — bounded by vocabulary size, never corpus rows
-      val wLag = Window.partitionBy($"tok").orderBy($"snap")
-      val wTop = Window.partitionBy($"snap")
-        .orderBy($"rise_ppm".desc, $"tok")
-      cnt
-        .withColumn("prev", coalesce(lag($"c", 1).over(wLag), lit(0L)))
-        .filter($"snap" > 0 && $"c" >= MinCount)
-        .withColumn("rise_ppm",
-          expr("1000000 * (c - prev) DIV (prev + 1)"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter($"rank" <= TopK)
-        .select($"snap", $"rank", $"tok", $"c", $"prev", $"rise_ppm")
+        .groupBy($"snap", $"tok").agg(count(lit(1)).cast(LongType).as("c")))
     }
   )
 }
