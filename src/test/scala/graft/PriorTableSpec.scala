@@ -3,20 +3,22 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins `Bench.priorDriverSec` to the checked-in artifact it claims to
-  * be derived from (BENCH_r09_quiet.json — three same-HEAD full sf0.1
-  * runs). The r6->r7 gap where the compiled-in table silently lagged
-  * the latest measurements let two movers slip the re-measure net; this
-  * spec makes staleness a test failure instead of a judge finding.
+  * be derived from (BENCH_r09_quiet.json — four same-HEAD-family full
+  * sf0.1 runs). The r6->r7 gap where the compiled-in table silently
+  * lagged the latest measurements let two movers slip the re-measure
+  * net; this spec makes staleness a test failure instead of a judge
+  * finding.
   *
   * Derivation rule (mirrors the table's doc comment): per artifact,
   * decode the v4 positional "qt" vector (fixed-width-2 base-36, scale
-  * declared by "qd") against the CURRENT sorted catalog — the same
-  * order Bench's timed loop runs — then apply that artifact's own
+  * declared by "qd") against the run's OWN embedded sorted name list
+  * (each run records the catalog it timed, so runs taken at different
+  * catalog sizes decode correctly), then apply that artifact's own
   * in-run corrections (keyed "rem" re-measures and the q95 "z95"
   * sample) where lower; the prior is the per-query MIN across the
   * artifacts, rounded to one decimal. The cross-run min is the same
   * spike-refutation logic the rem block applies in-artifact, applied
-  * across runs — all three runs measured bursty hypervisor steal.
+  * across runs — all four runs measured bursty hypervisor steal.
   */
 class PriorTableSpec extends AnyFunSuite {
 
@@ -25,18 +27,25 @@ class PriorTableSpec extends AnyFunSuite {
     assume(f.isFile, "BENCH_r09_quiet.json not present in working directory")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
     val root = mapper.readTree(f)
-    val names = SparkEntry.queries.keys.toSeq.sorted
     def qnum(n: String) = n.takeWhile(_ != '_').stripPrefix("q").toInt
     import scala.jdk.CollectionConverters._
     val runs = root.get("runs").elements().asScala.toSeq
     assert(runs.size >= 2, "expected the multi-run artifact")
+    // at least one run must cover the CURRENT catalog, or new queries
+    // would silently lack priors
+    val current = SparkEntry.queries.keys.toSeq.sorted
+    assert(runs.exists(r => r.get("names").elements().asScala
+      .map(_.asText()).toSeq == current),
+      "no artifact run covers the current catalog — regenerate the " +
+        "prior table and artifact together")
     val best = scala.collection.mutable.Map.empty[Int, Double]
     runs.foreach { run =>
       val qd = run.get("qd").asDouble()
       val qt = run.get("qt").asText()
+      val names = run.get("names").elements().asScala
+        .map(_.asText()).toSeq
       assert(run.get("qn").asInt() == names.size,
-        "artifact catalog size != current catalog — regenerate the " +
-          "prior table and artifact together")
+        "run qn != embedded name-list size — corrupt artifact")
       val per = scala.collection.mutable.Map.empty[Int, Double]
       names.zipWithIndex.foreach { case (n, i) =>
         val cell = qt.substring(2 * i, 2 * i + 2)
