@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins `Bench.priorDriverSec` to the checked-in artifact it claims to
-  * be derived from (BENCH_r09_quiet.json — four same-HEAD-family full
+  * be derived from (BENCH_r09_quiet.json — five same-HEAD-family full
   * sf0.1 runs). The r6->r7 gap where the compiled-in table silently
   * lagged the latest measurements let two movers slip the re-measure
   * net; this spec makes staleness a test failure instead of a judge
@@ -18,7 +18,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * sample) where lower; the prior is the per-query MIN across the
   * artifacts, rounded to one decimal. The cross-run min is the same
   * spike-refutation logic the rem block applies in-artifact, applied
-  * across runs — all four runs measured bursty hypervisor steal.
+  * across runs — every run measured bursty hypervisor steal.
   */
 class PriorTableSpec extends AnyFunSuite {
 
