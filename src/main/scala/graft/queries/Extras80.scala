@@ -33,14 +33,13 @@ object Extras80 {
   private val MinPair = 25L
   private val TopK = 20
 
-  val all: Seq[Qry] = Seq(
-
-    // ---- dataset card ------------------------------------------------------
-    Qry(
-      "q252_dataset_card",
-      // oracleToksCte does not carry `source` — inline a variant that
-      // keeps every card dimension
-      s"""WITH toks AS (SELECT doc_id, lang, source, text,
+  // oracleToksCte does not carry `source` — inline a variant that
+  // keeps every card dimension. (A STREAMING card twin is deliberately
+  // absent: exact distinct counts are unsupported in streaming
+  // aggregations, and per-doc-hash streaming state would be the wrong
+  // design for a release-time summary anyway.)
+  private val CardOracle: String =
+    s"""WITH toks AS (SELECT doc_id, lang, source, text,
          |    list_filter(string_split_regex(lower(text),
          |      '${TextOps.TokenReDuck}'), t -> len(t) > 0) AS tk
          |  FROM documents),
@@ -67,8 +66,12 @@ object Extras80 {
          |  1000000 * n_dup_docs // n_docs AS exact_dup_ppm,
          |  top_lang, 1000000 * top_lang_docs // n_docs AS top_lang_ppm,
          |  lang_entropy
-         |FROM tot CROSS JOIN topl CROSS JOIN ent""".stripMargin) {
-      (spark, dir) =>
+         |FROM tot CROSS JOIN topl CROSS JOIN ent""".stripMargin
+
+  val all: Seq[Qry] = Seq(
+
+    // ---- dataset card ------------------------------------------------------
+    Qry("q252_dataset_card", CardOracle) { (spark, dir) =>
       import spark.implicits._
       // ONE corpus scan -> per-document facts; every aggregate above
       // is bounded (one global row, |langs| rows) and cross-joined back
