@@ -4,7 +4,7 @@ object Bench {
 
   /** Prior per-query seconds (decimal query number -> s) — the
     * reference the spike-shaped "rem" re-measure below compares
-    * against. Regenerated in round 9 from BENCH_r09_quiet.json: five
+    * against. Regenerated in round 9 from BENCH_r09_quiet.json: six
     * same-HEAD-family full sf0.1 bench runs (each carrying its own
     * sorted name list for positional qt decode, so catalog growth
     * between runs decodes correctly), each rem/z95-corrected by its
@@ -22,21 +22,21 @@ object Bench {
   private[graft] val priorDriverSec: Map[Int, Double] = Map(
     1 -> 1.4, 2 -> 0.2, 3 -> 1.1, 4 -> 1.5, 5 -> 0.4, 6 -> 0.5, 7 -> 0.5,
     8 -> 0.7, 9 -> 0.6, 10 -> 0.7, 11 -> 0.7, 12 -> 0.8, 13 -> 0.9,
-    14 -> 0.7, 15 -> 0.5, 16 -> 0.9, 17 -> 0.9, 18 -> 0.2, 19 -> 0.7,
+    14 -> 0.7, 15 -> 0.5, 16 -> 0.8, 17 -> 0.9, 18 -> 0.2, 19 -> 0.7,
     20 -> 1.7, 21 -> 0.6, 22 -> 0.4, 23 -> 0.9, 24 -> 0.5, 25 -> 1,
-    26 -> 1.5, 27 -> 0.9, 28 -> 0.9, 29 -> 1.1, 30 -> 1, 31 -> 0.7,
-    32 -> 0.6, 33 -> 0.5, 34 -> 0.4, 35 -> 0.4, 36 -> 2.7, 37 -> 1.2,
+    26 -> 1.5, 27 -> 0.9, 28 -> 0.9, 29 -> 1, 30 -> 1, 31 -> 0.7,
+    32 -> 0.6, 33 -> 0.5, 34 -> 0.4, 35 -> 0.3, 36 -> 2.7, 37 -> 1.2,
     38 -> 1.9, 39 -> 0.6, 40 -> 0.4, 41 -> 0.5, 42 -> 0.9, 43 -> 0.5,
-    44 -> 1.1, 45 -> 2, 46 -> 1, 47 -> 1.4, 48 -> 0.2, 49 -> 0.2,
-    50 -> 1.4, 51 -> 0.7, 52 -> 1.7, 53 -> 0.8, 54 -> 0.3, 55 -> 1.4,
-    56 -> 0.2, 57 -> 1, 58 -> 0.9, 59 -> 1.1, 60 -> 0.1, 61 -> 1.1,
-    62 -> 1.2, 63 -> 1.2, 64 -> 1.8, 65 -> 0.8, 66 -> 3.2, 67 -> 0.6,
+    44 -> 1.1, 45 -> 1.9, 46 -> 1, 47 -> 1.3, 48 -> 0.2, 49 -> 0.2,
+    50 -> 1.3, 51 -> 0.7, 52 -> 1.7, 53 -> 0.8, 54 -> 0.3, 55 -> 1.4,
+    56 -> 0.2, 57 -> 0.8, 58 -> 0.7, 59 -> 1.1, 60 -> 0.1, 61 -> 1,
+    62 -> 1.2, 63 -> 1.1, 64 -> 1.8, 65 -> 0.8, 66 -> 3.2, 67 -> 0.6,
     68 -> 0.2, 69 -> 1.8, 70 -> 0.2, 71 -> 0.9, 72 -> 0.6, 73 -> 0.8,
     74 -> 3.8, 75 -> 0.2, 76 -> 0.3, 77 -> 2.3, 78 -> 0.4, 79 -> 2.9,
-    80 -> 1, 81 -> 1.1, 82 -> 0.6, 83 -> 0.6, 84 -> 0.8, 85 -> 0.7,
+    80 -> 0.8, 81 -> 1.1, 82 -> 0.6, 83 -> 0.6, 84 -> 0.8, 85 -> 0.7,
     86 -> 0.9, 87 -> 1.3, 88 -> 2.1, 89 -> 0.9, 90 -> 0.6, 91 -> 1.1,
     92 -> 1.6, 93 -> 0.7, 94 -> 1.3, 95 -> 3.2, 96 -> 1, 97 -> 1.3,
-    98 -> 0.8, 99 -> 1.6, 100 -> 0.3, 101 -> 0.6, 102 -> 0.8, 103 -> 4.6,
+    98 -> 0.8, 99 -> 1.6, 100 -> 0.3, 101 -> 0.6, 102 -> 0.8, 103 -> 4.4,
     104 -> 1.4, 105 -> 0.8, 106 -> 0.6, 107 -> 0.9, 108 -> 0.5, 109 -> 1.2,
     110 -> 0.7, 111 -> 1.5, 112 -> 0.6, 113 -> 0.8, 114 -> 1.1, 115 -> 0.8,
     116 -> 0.3, 117 -> 1.5, 118 -> 0.9, 119 -> 1.3, 120 -> 0.9, 121 -> 0.7,
@@ -46,14 +46,14 @@ object Bench {
     140 -> 1.4, 141 -> 0.9, 142 -> 0.9, 143 -> 3.8, 144 -> 1.4, 145 -> 0.9,
     146 -> 3.3, 147 -> 1.6, 148 -> 0.8, 149 -> 1.8, 150 -> 0.5, 151 -> 0.2,
     152 -> 1, 153 -> 0.7, 154 -> 0.6, 155 -> 0.2, 156 -> 1.2, 157 -> 1.2,
-    158 -> 2.1, 159 -> 2.1, 160 -> 0.4, 161 -> 3.1, 162 -> 0.9, 163 -> 1.3,
-    164 -> 0.8, 165 -> 0.9, 166 -> 0.8, 167 -> 0.9, 168 -> 1.3, 169 -> 1.6,
-    170 -> 0.9, 171 -> 0.6, 172 -> 1.2, 173 -> 2.2, 174 -> 2.7, 175 -> 1.1,
+    158 -> 2.1, 159 -> 2, 160 -> 0.4, 161 -> 3.1, 162 -> 0.9, 163 -> 1.3,
+    164 -> 0.8, 165 -> 0.8, 166 -> 0.8, 167 -> 0.9, 168 -> 1.3, 169 -> 1.5,
+    170 -> 0.9, 171 -> 0.6, 172 -> 1, 173 -> 2, 174 -> 2.7, 175 -> 1.1,
     176 -> 0.8, 177 -> 0.2, 178 -> 2.9, 179 -> 4.3, 180 -> 1.7, 181 -> 0.2,
-    182 -> 1.3, 183 -> 1, 184 -> 0.7, 185 -> 0.2, 186 -> 0.2, 187 -> 2.2,
-    188 -> 0.7, 189 -> 0.2, 190 -> 0.2, 191 -> 0.2, 192 -> 0.5, 193 -> 0.9,
-    194 -> 2, 195 -> 0.2, 196 -> 1.5, 197 -> 0.2, 198 -> 0.2, 199 -> 0.7,
-    200 -> 0.2, 201 -> 0.3, 202 -> 0.2, 203 -> 0.2, 204 -> 0.6, 205 -> 0.7,
+    182 -> 1.3, 183 -> 1, 184 -> 0.7, 185 -> 0.2, 186 -> 0.2, 187 -> 2,
+    188 -> 0.7, 189 -> 0.2, 190 -> 0.2, 191 -> 0.2, 192 -> 0.4, 193 -> 0.9,
+    194 -> 2, 195 -> 0.2, 196 -> 1.4, 197 -> 0.2, 198 -> 0.2, 199 -> 0.7,
+    200 -> 0.2, 201 -> 0.3, 202 -> 0.2, 203 -> 0.2, 204 -> 0.5, 205 -> 0.7,
     206 -> 1.1, 207 -> 0.2, 208 -> 0.2, 209 -> 0.2, 210 -> 0.3, 211 -> 1.8,
     212 -> 0.4, 213 -> 0.7, 214 -> 0.2, 215 -> 0.4, 216 -> 0.8, 217 -> 0.3,
     218 -> 4, 219 -> 5.9, 220 -> 1.8, 221 -> 2.8, 222 -> 3.9, 223 -> 0.7,
