@@ -4,7 +4,7 @@ object Bench {
 
   /** Prior per-query seconds (decimal query number -> s) — the
     * reference the spike-shaped "rem" re-measure below compares
-    * against. Regenerated in round 9 from BENCH_r09_quiet.json: six
+    * against. Regenerated in round 9 from BENCH_r09_quiet.json: seven
     * same-HEAD-family full sf0.1 bench runs (each carrying its own
     * sorted name list for positional qt decode, so catalog growth
     * between runs decodes correctly), each rem/z95-corrected by its
@@ -46,7 +46,7 @@ object Bench {
     140 -> 1.4, 141 -> 0.9, 142 -> 0.9, 143 -> 3.8, 144 -> 1.4, 145 -> 0.9,
     146 -> 3.3, 147 -> 1.6, 148 -> 0.8, 149 -> 1.8, 150 -> 0.5, 151 -> 0.2,
     152 -> 1, 153 -> 0.7, 154 -> 0.6, 155 -> 0.2, 156 -> 1.2, 157 -> 1.2,
-    158 -> 2.1, 159 -> 2, 160 -> 0.4, 161 -> 3.1, 162 -> 0.9, 163 -> 1.3,
+    158 -> 1.9, 159 -> 2, 160 -> 0.4, 161 -> 3.1, 162 -> 0.9, 163 -> 1.3,
     164 -> 0.8, 165 -> 0.8, 166 -> 0.8, 167 -> 0.9, 168 -> 1.3, 169 -> 1.5,
     170 -> 0.9, 171 -> 0.6, 172 -> 1, 173 -> 2, 174 -> 2.7, 175 -> 1.1,
     176 -> 0.8, 177 -> 0.2, 178 -> 2.9, 179 -> 4.3, 180 -> 1.7, 181 -> 0.2,

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins `Bench.priorDriverSec` to the checked-in artifact it claims to
-  * be derived from (BENCH_r09_quiet.json — six same-HEAD-family full
+  * be derived from (BENCH_r09_quiet.json — seven same-HEAD-family full
   * sf0.1 runs). The r6->r7 gap where the compiled-in table silently
   * lagged the latest measurements let two movers slip the re-measure
   * net; this spec makes staleness a test failure instead of a judge
