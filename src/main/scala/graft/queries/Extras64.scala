@@ -158,10 +158,15 @@ object Extras64 {
         .rowsBetween(Window.unboundedPreceding, -1)
       val wBkt = Window.partitionBy($"source").orderBy($"bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val toks = Tables(spark, dir).documents
-        .select($"doc_id", $"source",
-          (TextOps.bpeTokenCount($"text") + 1L).as("toks"))
-        .withColumn("bkt", expr(s"doc_id div $bucketW"))
+      // staged: the bucket-offset aggregate AND the main branch both
+      // read the tokenized frame — unstaged, the corpus-sized
+      // bpeTokenCount pass runs twice (the q242 lesson, r9 advisor)
+      val toks = graft.operators.Staging.stage(
+        Tables(spark, dir).documents
+          .select($"doc_id", $"source",
+            (TextOps.bpeTokenCount($"text") + 1L).as("toks"))
+          .withColumn("bkt", expr(s"doc_id div $bucketW")),
+        eager = false)
       val bucketOffs = toks.groupBy($"source", $"bkt")
         .agg(sum($"toks").as("bt"))
         .withColumn("bkt_off", coalesce(sum($"bt").over(wBkt), lit(0L)))

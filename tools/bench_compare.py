@@ -60,25 +60,34 @@ if "qt" in new:
         f"repo catalog ({len(names)}) != artifact qn ({new['qn']}) — "
         "decode against the matching checkout")
     nq = {}
+    # saturated cells are LOWER BOUNDS, not readings — carry the flag
+    # so every downstream comparison involving one is annotated instead
+    # of silently treating ">= 129.5 s" as "= 129.5 s" (advisor r9)
+    nq_sat = set()
     for i, name in enumerate(names):
         cell = qt[2 * i:2 * i + 2]
         if cell == "zz":
+            nq_sat.add(norm(name, 10))
             print(f"note: {name} qt cell saturated — value is "
                   f">= {1295 / qd:.1f} s (check the keyed 'queries' dict)")
         nq[norm(name, 10)] = -1.0 if cell == "--" else int(cell, 36) / qd
 else:
     nq = {norm(k, kb): (v / qd if v >= 0 else v)
           for k, v in new["queries"].items()}
+    nq_sat = set()
 
 
-def load(path):
+def load(path, sat=None):
     """Extract per-query seconds from an artifact's stdout tail, scoped
     to the "queries":{...} block so flag/diagnostic fields ("kb", "b50",
     "st", ...) can't masquerade as base-36 query keys. v4 artifacts
     (round 8+) carry the full vector in "qt" instead — decoded
     positionally against the CURRENT repo's sorted catalog, which is
     only valid when the artifact was produced at a same-catalog
-    checkout (the qn assert guards that)."""
+    checkout (the qn assert guards that). `sat` (a set, mutated) collects
+    keys whose qt cell saturated at "zz" — lower bounds, not readings."""
+    if sat is None:
+        sat = set()
     try:
         tail = json.loads(Path(path).read_text()).get("tail", "")
     except Exception:
@@ -95,6 +104,8 @@ def load(path):
             print(f"note: {path} is v4 with qn={qn} != repo catalog "
                   f"{len(names)} — skipping (decode needs its checkout)")
             return {}
+        sat.update(norm(n, 10) for i, n in enumerate(names)
+                   if qt[2*i:2*i+2] == "zz")
         return {norm(n, 10): (-1.0 if qt[2*i:2*i+2] == "--"
                               else int(qt[2*i:2*i+2], 36) / div)
                 for i, n in enumerate(names)}
@@ -113,22 +124,33 @@ def load(path):
     return out
 
 
-r7 = load("BENCH_r07.json")
-r6 = load("BENCH_r06.json")
+r7_sat, r6_sat = set(), set()
+r7 = load("BENCH_r07.json", r7_sat)
+r6 = load("BENCH_r06.json", r6_sat)
+
+def mark(k, vals, sats):
+    """Render a reading, with the saturation lower-bound marker."""
+    return f">={vals[k]:.2f}" if k in sats else f"{vals[k]:.2f}"
 
 print(f"total={new['value']}s  n={len(nq)}")
-for ref, label in ((r7, "r7"), (r6, "r6")):
+for ref, ref_sat, label in ((r7, r7_sat, "r7"), (r6, r6_sat, "r6")):
     common = [k for k in nq if k in ref and nq[k] >= 0 and ref[k] >= 0]
     if not common:
         print(f"vs {label}: no comparable queries")
         continue
     tn = sum(nq[k] for k in common)
     tr = sum(ref[k] for k in common)
+    sat_common = [k for k in common if k in nq_sat or k in ref_sat]
+    # a saturated cell on either side makes the totals/deltas bounds,
+    # not point readings — say so instead of letting a >=129.5 s
+    # catastrophe under-report as 129.5 s exactly (advisor r9)
+    sat_note = (f"  [LOWER BOUNDS — saturated cells: "
+                f"{','.join(sorted(sat_common))}]" if sat_common else "")
     print(f"vs {label}: {len(common)} common, new={tn:.1f}s {label}={tr:.1f}s "
-          f"ratio={tn / tr:.2f}")
+          f"ratio={tn / tr:.2f}{sat_note}")
     worst = sorted(common, key=lambda k: nq[k] - ref[k], reverse=True)[:8]
     for k in worst:
-        print(f"  {k}: {ref[k]:.2f} -> {nq[k]:.2f}")
+        print(f"  {k}: {mark(k, ref, ref_sat)} -> {mark(k, nq, nq_sat)}")
 print("slowest now:",
       sorted(nq.items(), key=lambda x: -x[1])[:10])
 for extra in ("ingest_k", "ing0", "st", "str", "lat", "z95"):
