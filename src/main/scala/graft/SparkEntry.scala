@@ -33,7 +33,8 @@ object SparkEntry {
       Extras65.all ++ Extras66.all ++ Extras67.all ++ Extras68.all ++
       Extras69.all ++ Extras70.all ++ Extras71.all ++ Extras72.all ++
       Extras73.all ++ Extras74.all ++ Extras75.all ++ Extras76.all ++
-      Extras77.all ++ Extras78.all ++ Extras79.all ++ Extras80.all
+      Extras77.all ++ Extras78.all ++ Extras79.all ++ Extras80.all ++
+      Extras81.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -75,26 +75,41 @@ class LatestRefEnrich extends StatefulProcessor[
   */
 object Extras73 {
 
+  /** The batch as-of CTE (q25's shape over the events slice) — the ONE
+    * oracle text shared by the in-order streaming as-of here and the
+    * watermark-buffered out-of-order variant (Extras81), so the two
+    * stream designs are provably enriching to the same batch answer. */
+  private[queries] val AsOfOracle: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type, value
+      |  FROM events)
+      |SELECT event_id, user_id, ms, value,
+      |  click_id, click_ms, click_value,
+      |  ms - click_ms AS gap_ms
+      |FROM (
+      |  SELECT err.*, c.event_id AS click_id, c.ms AS click_ms,
+      |    c.value AS click_value,
+      |    row_number() OVER (PARTITION BY err.event_id
+      |                       ORDER BY c.ms DESC, c.event_id DESC) AS rn
+      |  FROM (SELECT * FROM e WHERE event_type = 'error') err
+      |  LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+      |    ON err.user_id = c.user_id AND c.ms <= err.ms)
+      |WHERE rn = 1""".stripMargin
+
   val all: Seq[Qry] = Seq(
 
     Qry(
       "q238_stream_asof",
-      """WITH e AS (SELECT event_id, user_id,
-        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type, value
-        |  FROM events)
-        |SELECT event_id, user_id, ms, value,
-        |  click_id, click_ms, click_value,
-        |  ms - click_ms AS gap_ms
-        |FROM (
-        |  SELECT err.*, c.event_id AS click_id, c.ms AS click_ms,
-        |    c.value AS click_value,
-        |    row_number() OVER (PARTITION BY err.event_id
-        |                       ORDER BY c.ms DESC, c.event_id DESC) AS rn
-        |  FROM (SELECT * FROM e WHERE event_type = 'error') err
-        |  LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
-        |    ON err.user_id = c.user_id AND c.ms <= err.ms)
-        |WHERE rn = 1""".stripMargin) { (spark, dir) =>
+      AsOfOracle) { (spark, dir) =>
       import spark.implicits._
+      // Single-batch delivery is PINNED by construction (r9 advisor):
+      // Streams.fileStream exposes the fixture through exactly ONE
+      // symlink (linkDir copies=1) and sets no maxFilesPerTrigger, so
+      // the file source admits the whole slice as one micro-batch and
+      // the documented in-order contract above is vacuously satisfied
+      // in this gate. The cross-batch/out-of-order delivery shape is
+      // gated separately by the watermark-buffered variant (Extras81),
+      // whose source splits the slice across micro-batches on purpose.
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key,

@@ -50,6 +50,46 @@ object Streams {
       d.toString
     })
 
+  // Derived multi-part source dirs, cached per key for the session
+  // (bench warm + timed runs reuse one write) — see partedDir.
+  private val partDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write `parts` as single-file parquet slices into ONE source
+    * directory with strictly increasing modification times. The file
+    * source admits files in (modTime, path) order, so a reader with
+    * `maxFilesPerTrigger=1` receives part i as micro-batch i — the
+    * controlled cross-batch / out-of-order delivery harness the
+    * watermark-buffered operators (q254) gate against. Parts are
+    * fixture-derived Spark frames (never driver-side row collections);
+    * each writes through one task because a part IS one admission unit.
+    * Cached per `key` for the session, like [[linkDir]]. */
+  def partedDir(key: String, parts: Seq[DataFrame]): String =
+    partDirs.computeIfAbsent(key, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_parts_")
+      d.toFile.deleteOnExit()
+      val base = System.currentTimeMillis() - 3600000L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val w = java.nio.file.Files.createTempDirectory("graft_parts_w_")
+        p.coalesce(1).write.mode("overwrite").parquet(w.toString)
+        val src = new java.io.File(w.toString).listFiles()
+          .find(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"no parquet part file written under $w"))
+        val dest = d.resolve(f"part_$i%03d.parquet")
+        java.nio.file.Files.move(src.toPath, dest)
+        // strictly increasing, minutes apart: comfortably inside the
+        // source's maxFileAge window, unambiguous admission order
+        dest.toFile.setLastModified(base + i * 60000L)
+        dest.toFile.deleteOnExit()
+        new java.io.File(w.toString).listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(w)
+        ()
+      }
+      d.toString
+    })
+
   /** Read one fixture table as a file stream (schema from the batch
     * footer). `events.ts` gets the same nanos→µs treatment as
     * sources.Tables: raw nanos kept in `ts_ns`, µs TimestampType in `ts`.

@@ -96,4 +96,65 @@ class StreamJoinSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q254 state machine: a reference arriving a batch LATE, inside " +
+    "the watermark, still enriches the earlier tick") {
+    // the fixture gate (q254) sizes the delay to the whole slice so
+    // everything drains at the sentinel; THIS pins the small-delay
+    // incremental path: (a) rows the watermark has not passed emit
+    // NOTHING, (b) a reference delivered one batch after a tick with a
+    // LATER event time is applied before that tick when the watermark
+    // drains both, (c) the drain happens in the watermark-only batch
+    // Spark triggers after the watermark advances (the event-time
+    // timer path — no new data for the key arrives again)
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // (user_id, ms, is_ref, event_id, value); delay 60 s
+    val in = MemoryStream[(Long, Long, Boolean, Long, Double)]
+    val src = in.toDS()
+      .withColumn("ets", timestamp_millis($"_2"))
+      .withWatermark("ets", "60 seconds")
+      .select($"_1", $"_2", $"_3", $"_4", $"_5", $"ets")
+      .as[(Long, Long, Boolean, Long, Double, Timestamp)]
+    val out = src.groupByKey(_._1)
+      .transformWithState(new graft.queries.BufferedAsOfEnrich,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_buf").start()
+    try {
+      // batch 1: two ticks for user 1, out of event-time order within
+      // the buffer; max event time 20 s → watermark stays 0
+      in.addData((1L, 20000L, false, 100L, 1.0),
+        (1L, 5000L, false, 99L, 0.5))
+      q.processAllAvailable()
+      assert(spark.table("asof_buf").count() == 0,
+        "nothing may emit before the watermark passes the ticks")
+      // batch 2: the reference arrives a BATCH LATE with an event time
+      // between the two buffered ticks; a far key's reference at 81 s
+      // advances the watermark to 21 s, and the watermark-only batch
+      // that follows fires user 1's timer and drains all three rows
+      in.addData((1L, 10000L, true, 7L, 0.7),
+        (2L, 81000L, true, 8L, 0.8))
+      q.processAllAvailable()
+      val got = spark.table("asof_buf").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+      assert(got == Map(
+        99L -> -1L,  // t=5 s: before the late reference's event time
+        100L -> 7L)) // t=20 s: enriched by the batch-late reference
+      // user 2's 81 s reference stays buffered (watermark 21 s) and
+      // must never self-emit — references produce no output rows
+      assert(spark.table("asof_buf").count() == 2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
