@@ -110,7 +110,8 @@ class BufferedAsOfEnrich extends StatefulProcessor[
 }
 
 /** Eighty-first coverage wave: the streaming as-of hardened to the
-  * production temporal-join contract — the r9 verdict's top ask.
+  * production temporal-join contract, and the stream-stream join
+  * completed to its LEFT OUTER form — the r9 verdict's top two asks.
   *
   *  - q254: out-of-order streaming as-of. The in-order gate (Extras73)
   *    documents that a reference arriving in a LATER micro-batch than a
@@ -132,6 +133,21 @@ class BufferedAsOfEnrich extends StatefulProcessor[
   *    enrich to one batch answer. Reference tie: the reference's
   *    consumers tolerate arbitrary producer interleaving
   *    (/root/reference/src/tests/integration_test.rs:209-293).
+  *  - q255: stream-stream LEFT OUTER interval join — q79's inner join
+  *    plus watermark-driven unmatched-left emission, the streaming twin
+  *    of q61 and the reconciliation shape (an error with no click in
+  *    its 10-minute lookback surfaces as a NULL row once the watermark
+  *    proves no matching click can still arrive). Matched pairs emit
+  *    eagerly; the null rows are the streaming-only semantics, emitted
+  *    in the watermark-advance batch after per-side far-future
+  *    sentinels close both watermarks. Each side carries its OWN typed
+  *    sentinel (event_type matching that side's filter, key -1/-2 so
+  *    they can never join or emit): a single shared sentinel would be
+  *    filtered below the watermark node when Catalyst pushes the
+  *    event_type predicate past EventTimeWatermark, and the watermark
+  *    would silently stall. Oracle: the batch left-outer interval join
+  *    aggregated per error event. Spec pins that a null row appears
+  *    ONLY after the watermark crosses the error's join window.
   */
 object Extras81 {
 
@@ -190,6 +206,67 @@ object Extras81 {
         case Some(p) => spark.conf.set(key, p)
         case None => spark.conf.unset(key)
       }
+    },
+
+    // ---- stream-stream LEFT OUTER interval join ------------------------
+    Qry(
+      "q255_stream_left_outer_join",
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value FROM events)
+         |SELECT err.event_id, err.user_id,
+         |  CAST(COUNT(c.ms) AS BIGINT) AS n_clicks,
+         |  CAST(SUM(err.ms - c.ms) AS BIGINT) AS gap_sum,
+         |  ${graft.Exact.dsumSql("c.value")} AS click_val_sum
+         |FROM (SELECT * FROM e WHERE event_type = 'error') err
+         |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+         |  ON err.user_id = c.user_id
+         | AND c.ms >= err.ms - 600000 AND c.ms <= err.ms
+         |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val ev = Tables(spark, dir).events
+        .filter($"event_type".isin("click", "error"))
+        .select($"user_id", $"event_id", $"event_type",
+          unix_millis($"ts").as("ms"), $"value")
+      // bounded driver state: one max row places the sentinels past
+      // every join window + watermark delay
+      val hi = ev.agg(max($"ms")).head().getLong(0)
+      val sentinelMs = hi + 600000L + 1800000L
+      // one sentinel PER SIDE (see the wave doc): each survives its
+      // side's event_type filter, neither can join (-1 vs -2, and the
+      // error sentinel's own window end sits past the final watermark
+      // so it never emits a null row either)
+      def sentinel(uid: Long, eid: Long, kind: String) =
+        spark.range(1).select(lit(uid).as("user_id"),
+          lit(eid).as("event_id"), lit(kind).as("event_type"),
+          lit(sentinelMs).as("ms"), lit(0.0).as("value"))
+      val srcDir = Streams.partedDir(s"$dir#q255", Seq(
+        ev.unionByName(sentinel(-1L, -1L, "error"))
+          .unionByName(sentinel(-2L, -2L, "click"))))
+      def side() = spark.readStream.schema(ev.schema).parquet(srcDir)
+        .withColumn("ts", timestamp_millis($"ms"))
+        .withWatermark("ts", "10 minutes")
+      val err = side().filter($"event_type" === "error")
+        .select($"user_id", $"event_id", $"ts".as("ts_e"))
+      val clk = side().filter($"event_type" === "click")
+        .select($"user_id".as("c_user_id"), $"ts".as("ts_c"),
+          $"value".as("cv"))
+      val joined = err.join(clk,
+        $"user_id" === $"c_user_id" &&
+          $"ts_c" >= $"ts_e" - expr("interval 10 minutes") &&
+          $"ts_c" <= $"ts_e",
+        "left_outer")
+        .select($"event_id", $"user_id",
+          (unix_millis($"ts_e") - unix_millis($"ts_c")).as("gap_ms"),
+          $"cv", $"ts_c")
+      // the error sentinel's window never closes (its ms IS the max),
+      // so it cannot appear; filter is belt-and-braces for the day the
+      // margins change
+      Streams.runToMemory(joined, "append")
+        .filter($"event_id" >= 0)
+        .groupBy($"event_id", $"user_id")
+        .agg(count($"ts_c").as("n_clicks"),
+          sum($"gap_ms").as("gap_sum"),
+          graft.Exact.dsum($"cv").as("click_val_sum"))
     }
   )
 }

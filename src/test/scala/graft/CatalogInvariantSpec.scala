@@ -30,7 +30,7 @@ class CatalogInvariantSpec extends SparkTestBase {
     "q206_stream_media10", "q216_stream_encoding", "q221_stream_hll",
     "q222_stream_bloom_gate", "q236_stream_transport5",
     "q238_stream_asof", "q244_stream_ohlc", "q248_stream_drift",
-    "q254_stream_asof_ooo")
+    "q254_stream_asof_ooo", "q255_stream_left_outer_join")
 
   // one plan-build pass shared by the physical-plan invariants below
   // (building 180+ plans at sf0.001 is the dominant cost; string scans

@@ -157,4 +157,46 @@ class StreamJoinSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q255 state machine: the unmatched-left NULL row appears only " +
+    "after the watermark crosses the error's join window") {
+    implicit val sqlCtx = spark.sqlContext
+    val errs = MemoryStream[(Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp, Double)]
+    val err = errs.toDS().toDF("user_id", "ts_e")
+      .withWatermark("ts_e", "10 seconds")
+    val clk = clks.toDS().toDF("c_user_id", "ts_c", "cv")
+      .withWatermark("ts_c", "10 seconds")
+    // a click attributes to the same user's error looking BACK 30 s
+    val joined = err.join(clk,
+      $"user_id" === $"c_user_id" &&
+        $"ts_c" >= $"ts_e" - expr("INTERVAL 30 seconds") &&
+        $"ts_c" <= $"ts_e",
+      "left_outer")
+      .select($"user_id", $"ts_e", $"cv")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("lojoin_test").start()
+    try {
+      // batch 1: an error with no click, plus an unrelated click so
+      // BOTH sides have a watermark reading (global wm = min of sides)
+      errs.addData((1L, ts("2024-01-01 10:00:20")))
+      clks.addData((9L, ts("2024-01-01 10:00:25"), 0.9))
+      q.processAllAvailable()
+      // wm = min(20, 25) - 10 s = 10 s: the error's window (ending at
+      // its own event time, 20 s) is still open — NO null row yet
+      assert(spark.table("lojoin_test").count() == 0,
+        "null row emitted before the watermark closed the join window")
+      // batch 2: both sides jump to 100 s → wm = 90 s > 20 s; the
+      // watermark-advance batch emits user 1's error with NULL click
+      errs.addData((8L, ts("2024-01-01 10:01:40")))
+      clks.addData((9L, ts("2024-01-01 10:01:40"), 0.1))
+      q.processAllAvailable()
+      val got = spark.table("lojoin_test").collect()
+        .map(r => (r.getLong(0), r.isNullAt(2)))
+      assert(got.toSeq == Seq((1L, true)),
+        s"expected exactly user 1's null row, got ${got.mkString(",")}")
+      // user 8's 100 s error window is NOT yet past the watermark
+      // (90 s) — it must still be held back, not null-emitted early
+    } finally q.stop()
+  }
 }
