@@ -35,6 +35,10 @@ object GraftFunctions {
       es => LeEncodeU64(es.head)),
     fn("le_encode_f64", "little-endian 8-byte encoding of a double",
       es => LeEncodeF64(es.head)),
+    fn("gzip_compress", "RFC 1952 one-member gzip of a binary payload",
+      es => GzipCompress(es.head)),
+    fn("gzip_inflate", "bounded gzip inflate: NULL on corrupt/oversize",
+      es => GzipInflate(es(0), es(1))),
     fn("le_u8", "decode u8 at offset from binary",
       es => LeDecodeU8(es(0), es(1))),
     fn("le_u32", "decode little-endian u32 at offset from binary",
