@@ -40,22 +40,60 @@ import graft.sources.Tables
   */
 object Extras75 {
 
-  private val TopBigrams = 16
-  /** Sentinel for "bigram not in inventory": far below any reachable
-    * DP value, so the bigram path never wins and the backward equality
-    * can never bind to it. */
-  private val Missing = "-1000000000000000"
-  /** Sentinel for "no bigram candidate at position 1". */
-  private val NoCand = "-2000000000000000"
+  // model constants live with the operator (graft.operators.Unigram) so
+  // the oracle text below and the engine can never drift apart
+  private val TopBigrams = graft.operators.Unigram.TopBigrams
+  private val Missing = graft.operators.Unigram.Missing
+  private val NoCand = graft.operators.Unigram.NoCand
+
+  /** dp/walk/seg/mstep CTE block for ONE hard-EM round, parameterized
+    * by a name suffix and the weight-map CTE it segments under — so the
+    * trainer oracle (Extras83) can unroll round 2 over `wm1` with the
+    * IDENTICAL machinery text. The backward walk is a RECURSIVE CTE,
+    * not a list_reduce with a struct accumulator: DuckDB 1.0's
+    * list_reduce evaluates struct-typed accumulator fields
+    * inconsistently inside the lambda (measured: the same st.j reads
+    * two different values in one application; list accumulators are
+    * fine — the dp fold uses one). q187's recursive-walk pattern is the
+    * engine-supported shape. */
+  private[queries] def emRoundCtes(sfx: String, wm: String): String =
+    s"""dp$sfx AS (SELECT w, f, m,
+       |    list_reduce(
+       |      list_prepend(CAST([0] AS BIGINT[]),
+       |        list_transform(range(length(w)),
+       |          i -> [CAST(i + 1 AS BIGINT)])),
+       |      (acc, x) -> list_append(acc, greatest(
+       |        acc[CAST(x[1] AS INT)]
+       |          + map_extract(m, substring(w, CAST(x[1] AS INT), 1))[1],
+       |        CASE WHEN x[1] >= 2 THEN acc[CAST(x[1] AS INT) - 1]
+       |          + COALESCE(map_extract(m,
+       |              substring(w, CAST(x[1] AS INT) - 1, 2))[1],
+       |            $Missing)
+       |        ELSE $NoCand END))) AS dpl
+       |  FROM words, $wm),
+       |walk$sfx AS (
+       |  SELECT w, f, m, dpl, length(w) AS j, CAST(NULL AS VARCHAR) AS p
+       |  FROM dp$sfx
+       |  UNION ALL
+       |  SELECT w, f, m, dpl,
+       |    CASE WHEN take2 THEN j - 2 ELSE j - 1 END,
+       |    CASE WHEN take2 THEN substring(w, CAST(j AS INT) - 1, 2)
+       |         ELSE substring(w, CAST(j AS INT), 1) END
+       |  FROM (
+       |    SELECT w, f, m, dpl, j,
+       |      (j >= 2 AND dpl[CAST(j AS INT) + 1] =
+       |        dpl[CAST(j AS INT) - 1] + COALESCE(map_extract(m,
+       |          substring(w, CAST(j AS INT) - 1, 2))[1],
+       |          $Missing)) AS take2
+       |    FROM walk$sfx WHERE j > 0)),
+       |seg$sfx AS (SELECT f, p FROM walk$sfx WHERE p IS NOT NULL),
+       |mstep$sfx AS (SELECT p, CAST(SUM(f) AS BIGINT) AS cnt FROM seg$sfx
+       |  GROUP BY 1)""".stripMargin
 
   /** DuckDB CTE stack through `wts` (p, wt — piece log-weights) and
-    * `mstep` (p, cnt — Viterbi-segmentation piece counts). The backward
-    * walk is a RECURSIVE CTE, not a list_reduce with a struct
-    * accumulator: DuckDB 1.0's list_reduce evaluates struct-typed
-    * accumulator fields inconsistently inside the lambda (measured: the
-    * same st.j reads two different values in one application; list
-    * accumulators are fine — the dp fold uses one). q187's
-    * recursive-walk pattern is the engine-supported shape. */
+    * `mstep` (p, cnt — Viterbi-segmentation piece counts): the word
+    * vocabulary, the char+top-bigram inventory, round-0 weights, and
+    * one [[emRoundCtes]] round under them. */
   private[queries] val EmOraclePrefix: String =
     s"""WITH RECURSIVE ${TextOps.oracleToksCte},
        |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
@@ -78,108 +116,22 @@ object Extras75 {
        |  FROM inv, tot),
        |wm AS (SELECT map(list(p ORDER BY p), list(wt ORDER BY p)) AS m
        |  FROM wts),
-       |dp AS (SELECT w, f, m,
-       |    list_reduce(
-       |      list_prepend(CAST([0] AS BIGINT[]),
-       |        list_transform(range(length(w)),
-       |          i -> [CAST(i + 1 AS BIGINT)])),
-       |      (acc, x) -> list_append(acc, greatest(
-       |        acc[CAST(x[1] AS INT)]
-       |          + map_extract(m, substring(w, CAST(x[1] AS INT), 1))[1],
-       |        CASE WHEN x[1] >= 2 THEN acc[CAST(x[1] AS INT) - 1]
-       |          + COALESCE(map_extract(m,
-       |              substring(w, CAST(x[1] AS INT) - 1, 2))[1],
-       |            $Missing)
-       |        ELSE $NoCand END))) AS dpl
-       |  FROM words, wm),
-       |walk AS (
-       |  SELECT w, f, m, dpl, length(w) AS j, CAST(NULL AS VARCHAR) AS p
-       |  FROM dp
-       |  UNION ALL
-       |  SELECT w, f, m, dpl,
-       |    CASE WHEN take2 THEN j - 2 ELSE j - 1 END,
-       |    CASE WHEN take2 THEN substring(w, CAST(j AS INT) - 1, 2)
-       |         ELSE substring(w, CAST(j AS INT), 1) END
-       |  FROM (
-       |    SELECT w, f, m, dpl, j,
-       |      (j >= 2 AND dpl[CAST(j AS INT) + 1] =
-       |        dpl[CAST(j AS INT) - 1] + COALESCE(map_extract(m,
-       |          substring(w, CAST(j AS INT) - 1, 2))[1],
-       |          $Missing)) AS take2
-       |    FROM walk WHERE j > 0)),
-       |seg AS (SELECT f, p FROM walk WHERE p IS NOT NULL),
-       |mstep AS (SELECT p, CAST(SUM(f) AS BIGINT) AS cnt FROM seg
-       |  GROUP BY 1)""".stripMargin
+       |${emRoundCtes("", "wm")}""".stripMargin
 
   /** Spark-side model shared by q239/q241: (wts (p, wt), mstep (p, cnt)).
-    * One corpus-sized tokenize+count pass collapses to the staged word
-    * vocabulary; everything downstream is vocabulary-bounded and the
-    * weight table rides as one broadcast map row. */
+    * Delegates to [[graft.operators.Unigram]] — one source of truth for
+    * the inventory/weights/DP machinery, shared with the iterated
+    * trainer (Extras83's training query). One corpus-sized
+    * tokenize+count pass collapses to the staged word vocabulary;
+    * everything downstream is vocabulary-bounded and the weight table
+    * rides as one broadcast map row. */
   private[queries] def emModel(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val words = Staging.stage(
-      Tables(spark, dir).documents
-        .select(explode(TextOps.tokens($"text")).as("w"))
-        .groupBy($"w").agg(count(lit(1)).cast(LongType).as("f")),
-      eager = false)
-    val chars = words
-      .select($"f", explode(expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-        .as("p"))
-      .groupBy($"p").agg(sum($"f").as("n"))
-    val bigrams = words.filter(length($"w") >= 2)
-      .select($"f", explode(expr(
-        "transform(sequence(1, length(w) - 1)," +
-          " i -> substring(w, i, 2))")).as("p"))
-      .groupBy($"p").agg(sum($"f").as("n"))
-    // global rank over the alphabet²-bounded bigram table (rank-limit
-    // pushdown keeps it a partial top-k per partition)
-    val top = bigrams
-      .withColumn("rn", row_number().over(Window.orderBy($"n".desc, $"p")))
-      .filter($"rn" <= TopBigrams).drop("rn")
-    // inventory + total + integer log-weights; wts is the piece table,
-    // wmap folds it into ONE broadcast map row for the E-step lambdas
-    val tot = chars.unionByName(top).agg(sum($"n").as("t"))
-    val wts = chars.unionByName(top).crossJoin(broadcast(tot))
-      .select($"p", expr(
-        "CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE) / t)) AS BIGINT)")
-        .as("wt"))
-    val wmap = wts
-      .agg(map_from_entries(collect_list(struct($"p", $"wt"))).as("m"))
-    // E-step per DISTINCT word: integer Viterbi DP fold + backward
-    // reconstruction fold, both over the broadcast weight map
-    val segmented = words.crossJoin(broadcast(wmap))
-      .withColumn("dpl", expr(
-        s"""aggregate(
-           |  sequence(1, length(w)),
-           |  array(CAST(0 AS BIGINT)),
-           |  (acc, j) -> array_append(acc, greatest(
-           |    element_at(acc, j) + element_at(m, substring(w, j, 1)),
-           |    CASE WHEN j >= 2 THEN element_at(acc, j - 1)
-           |      + coalesce(element_at(m, substring(w, j - 1, 2)),
-           |          $Missing)
-           |    ELSE $NoCand END)))""".stripMargin))
-      .withColumn("ps", expr(
-        s"""aggregate(
-           |  sequence(1, length(w)),
-           |  named_struct('j', length(w),
-           |    'ps', CAST(array() AS ARRAY<STRING>)),
-           |  (st, x) -> CASE
-           |    WHEN st.j <= 0 THEN st
-           |    WHEN st.j >= 2 AND element_at(dpl, st.j + 1) =
-           |      element_at(dpl, st.j - 1)
-           |        + coalesce(element_at(m, substring(w, st.j - 1, 2)),
-           |            $Missing)
-           |    THEN named_struct('j', st.j - 2,
-           |      'ps', array_prepend(st.ps, substring(w, st.j - 1, 2)))
-           |    ELSE named_struct('j', st.j - 1,
-           |      'ps', array_prepend(st.ps, substring(w, st.j, 1)))
-           |  END,
-           |  st -> st.ps)""".stripMargin))
-    val mstep = segmented.select($"f", explode($"ps").as("p"))
-      .groupBy($"p").agg(sum($"f").as("cnt"))
-    (wts, mstep)
+    val words = graft.operators.Unigram.wordTable(
+      Tables(spark, dir).documents, "text")
+    val wts = graft.operators.Unigram.weightsFromCounts(
+      graft.operators.Unigram.inventory(words))
+    (wts, graft.operators.Unigram.segmentCounts(words, wts))
   }
 
   val all: Seq[Qry] = Seq(
