@@ -4,24 +4,36 @@ object Bench {
 
   /** Prior per-query seconds (decimal query number -> s) — the
     * reference the spike-shaped "rem" re-measure below compares
-    * against. Regenerated in round 9 from BENCH_r09_quiet.json: seven
-    * same-HEAD-family full sf0.1 bench runs (each carrying its own
-    * sorted name list for positional qt decode, so catalog growth
-    * between runs decodes correctly), each rem/z95-corrected by its
-    * own artifact, then the per-query MIN across runs — the cross-run
-    * form of the in-artifact spike refutation, chosen because every
-    * run measured bursty hypervisor steal (st blocks up to
-    * [30410/654] ~= 46 stolen cores); a single-run table would
-    * enshrine whichever storm hit that run. Residual caveat: entries
-    * may still carry ~10-25% storm
+    * against. Regenerated in round 10 from BENCH_r10_quiet.json: the
+    * seven round-9 same-HEAD-family full sf0.1 runs plus one round-10
+    * run at catalog 258 (each run carrying its own sorted name list
+    * for positional qt decode, so catalog growth between runs decodes
+    * correctly), each rem/z95-corrected by its own artifact, then the
+    * per-query MIN across runs — the cross-run form of the in-artifact
+    * spike refutation, chosen because every run measured bursty
+    * hypervisor steal (st blocks up to [56778/680] ~= 83 stolen
+    * cores); a single-run table would enshrine whichever storm hit
+    * that run. The round-10 run self-reported sv=storm and was folded
+    * --min-only (tools/fold_bench.py); its five new-query entries
+    * (q254-q258) are upper bounds until a quieter run min-folds them.
+    * Residual caveat: entries may still carry ~10-25% storm
     * inflation vs a true zero-steal machine — acceptable for the
     * table's job (mover DETECTION at >= 2x), and PriorTableSpec pins
     * every entry to the checked-in artifact so the table cannot
     * silently go stale.
+    *
+    * REGENERATION POLICY (r10, from the r9 verdict): every run now
+    * carries its own steal verdict ("sv": quiet/elevated/storm over the
+    * whole window) and per-query burst spans ("stb", positions in qt
+    * order whose measurement window exceeded 10 ticks/s). A prior-table
+    * update must NOT take a "storm" run's at-position times as-is —
+    * fold storm runs only through the per-query MIN against quieter
+    * runs, and treat any entry whose every contributing run flags its
+    * position in "stb" as an upper bound.
     */
   private[graft] val priorDriverSec: Map[Int, Double] = Map(
     1 -> 1.4, 2 -> 0.2, 3 -> 1.1, 4 -> 1.5, 5 -> 0.4, 6 -> 0.5, 7 -> 0.5,
-    8 -> 0.7, 9 -> 0.6, 10 -> 0.7, 11 -> 0.7, 12 -> 0.8, 13 -> 0.9,
+    8 -> 0.7, 9 -> 0.5, 10 -> 0.7, 11 -> 0.7, 12 -> 0.8, 13 -> 0.9,
     14 -> 0.7, 15 -> 0.5, 16 -> 0.8, 17 -> 0.9, 18 -> 0.2, 19 -> 0.7,
     20 -> 1.7, 21 -> 0.6, 22 -> 0.4, 23 -> 0.9, 24 -> 0.5, 25 -> 1,
     26 -> 1.5, 27 -> 0.9, 28 -> 0.9, 29 -> 1, 30 -> 1, 31 -> 0.7,
@@ -30,13 +42,13 @@ object Bench {
     44 -> 1.1, 45 -> 1.9, 46 -> 1, 47 -> 1.3, 48 -> 0.2, 49 -> 0.2,
     50 -> 1.3, 51 -> 0.7, 52 -> 1.7, 53 -> 0.8, 54 -> 0.3, 55 -> 1.4,
     56 -> 0.2, 57 -> 0.8, 58 -> 0.7, 59 -> 1.1, 60 -> 0.1, 61 -> 1,
-    62 -> 1.2, 63 -> 1.1, 64 -> 1.8, 65 -> 0.8, 66 -> 3.2, 67 -> 0.6,
-    68 -> 0.2, 69 -> 1.8, 70 -> 0.2, 71 -> 0.9, 72 -> 0.6, 73 -> 0.8,
-    74 -> 3.8, 75 -> 0.2, 76 -> 0.3, 77 -> 2.3, 78 -> 0.4, 79 -> 2.9,
+    62 -> 1.2, 63 -> 1.1, 64 -> 1.7, 65 -> 0.7, 66 -> 3.2, 67 -> 0.6,
+    68 -> 0.2, 69 -> 1.7, 70 -> 0.2, 71 -> 0.8, 72 -> 0.6, 73 -> 0.8,
+    74 -> 3.8, 75 -> 0.2, 76 -> 0.3, 77 -> 2.1, 78 -> 0.4, 79 -> 2.6,
     80 -> 0.8, 81 -> 1.1, 82 -> 0.6, 83 -> 0.6, 84 -> 0.8, 85 -> 0.7,
-    86 -> 0.9, 87 -> 1.3, 88 -> 2.1, 89 -> 0.9, 90 -> 0.6, 91 -> 1.1,
-    92 -> 1.6, 93 -> 0.7, 94 -> 1.3, 95 -> 3.2, 96 -> 1, 97 -> 1.3,
-    98 -> 0.8, 99 -> 1.6, 100 -> 0.3, 101 -> 0.6, 102 -> 0.8, 103 -> 4.4,
+    86 -> 0.8, 87 -> 1.2, 88 -> 2.1, 89 -> 0.8, 90 -> 0.5, 91 -> 1.1,
+    92 -> 1.6, 93 -> 0.7, 94 -> 1.3, 95 -> 3, 96 -> 1, 97 -> 1.3,
+    98 -> 0.8, 99 -> 1.5, 100 -> 0.3, 101 -> 0.6, 102 -> 0.8, 103 -> 4.4,
     104 -> 1.4, 105 -> 0.8, 106 -> 0.6, 107 -> 0.9, 108 -> 0.5, 109 -> 1.2,
     110 -> 0.7, 111 -> 1.5, 112 -> 0.6, 113 -> 0.8, 114 -> 1.1, 115 -> 0.8,
     116 -> 0.3, 117 -> 1.5, 118 -> 0.9, 119 -> 1.3, 120 -> 0.9, 121 -> 0.7,
@@ -46,7 +58,7 @@ object Bench {
     140 -> 1.4, 141 -> 0.9, 142 -> 0.9, 143 -> 3.8, 144 -> 1.4, 145 -> 0.9,
     146 -> 3.3, 147 -> 1.6, 148 -> 0.8, 149 -> 1.8, 150 -> 0.5, 151 -> 0.2,
     152 -> 1, 153 -> 0.7, 154 -> 0.6, 155 -> 0.2, 156 -> 1.2, 157 -> 1.2,
-    158 -> 1.9, 159 -> 2, 160 -> 0.4, 161 -> 3.1, 162 -> 0.9, 163 -> 1.3,
+    158 -> 1.9, 159 -> 2, 160 -> 0.4, 161 -> 3.1, 162 -> 0.8, 163 -> 1.3,
     164 -> 0.8, 165 -> 0.8, 166 -> 0.8, 167 -> 0.9, 168 -> 1.3, 169 -> 1.5,
     170 -> 0.9, 171 -> 0.6, 172 -> 1, 173 -> 2, 174 -> 2.7, 175 -> 1.1,
     176 -> 0.8, 177 -> 0.2, 178 -> 2.9, 179 -> 4.3, 180 -> 1.7, 181 -> 0.2,
@@ -54,14 +66,16 @@ object Bench {
     188 -> 0.7, 189 -> 0.2, 190 -> 0.2, 191 -> 0.2, 192 -> 0.4, 193 -> 0.9,
     194 -> 2, 195 -> 0.2, 196 -> 1.4, 197 -> 0.2, 198 -> 0.2, 199 -> 0.7,
     200 -> 0.2, 201 -> 0.3, 202 -> 0.2, 203 -> 0.2, 204 -> 0.5, 205 -> 0.7,
-    206 -> 1.1, 207 -> 0.2, 208 -> 0.2, 209 -> 0.2, 210 -> 0.3, 211 -> 1.8,
+    206 -> 1.1, 207 -> 0.2, 208 -> 0.2, 209 -> 0.2, 210 -> 0.3, 211 -> 1.7,
     212 -> 0.4, 213 -> 0.7, 214 -> 0.2, 215 -> 0.4, 216 -> 0.8, 217 -> 0.3,
-    218 -> 4, 219 -> 5.9, 220 -> 1.8, 221 -> 2.8, 222 -> 3.9, 223 -> 0.7,
+    218 -> 4, 219 -> 5.5, 220 -> 1.8, 221 -> 2.8, 222 -> 3.9, 223 -> 0.7,
     224 -> 2.4, 225 -> 0.2, 226 -> 0.8, 227 -> 2.1, 228 -> 0.2, 229 -> 0.8,
     230 -> 0.7, 231 -> 0.2, 232 -> 0.4, 233 -> 0.4, 234 -> 1.5, 235 -> 0.4,
     236 -> 0.8, 237 -> 1, 238 -> 1.1, 239 -> 1.3, 240 -> 1.2, 241 -> 1.5,
     242 -> 1.5, 243 -> 0.2, 244 -> 1.3, 245 -> 0.9, 246 -> 1, 247 -> 3.1,
-    248 -> 1.6, 249 -> 1.3, 250 -> 1.1, 251 -> 1.6, 252 -> 1, 253 -> 1.6)
+    248 -> 1.6, 249 -> 1.3, 250 -> 1.1, 251 -> 1.6, 252 -> 1, 253 -> 1.6,
+    254 -> 3.7, 255 -> 4.1, 256 -> 0.2, 257 -> 1.8, 258 -> 3.1)
+
 
   /** (cumulative hypervisor-steal ticks, uptime seconds) from /proc —
     * sampled at bench start and end so the emitted delta localizes VM
@@ -180,7 +194,12 @@ object Bench {
     val ing0 = try { ingestOnce(); ingestOnce() }
     catch { case t: Throwable =>
       System.err.println(s"[bench] ing0 probe failed: $t"); -1.0 }
-    val results = selected.map {
+    // per-query steal sampling (two tiny /proc reads per query): the
+    // r9 storms showed up as one contiguous alphabetical block of
+    // "regressions" that every judge had to exonerate by hand — the
+    // artifact now annotates burst-window positions itself ("stb")
+    var stPrev = stealUptime()
+    val timed = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune the very
@@ -196,9 +215,16 @@ object Bench {
         // manager over the 146-query session and every later query pays
         // for them (round-3 judge measured a broad ~1.6x inflation)
         graft.operators.Staging.sweep(spark)
+        val stNow = stealUptime()
+        val stealRate =
+          if (stPrev._1 < 0 || stNow._1 < 0 || stNow._2 - stPrev._2 <= 0)
+            -1.0
+          else (stNow._1 - stPrev._1) / (stNow._2 - stPrev._2)
+        stPrev = stNow
         // failures are recorded as -1, not as a bogus time-to-failure
-        name -> (if (ok) dt else -1.0)
+        (name, if (ok) dt else -1.0, stealRate)
     }
+    val results = timed.map { case (name, v, _) => name -> v }
     // Keep the JSON line COMPACT: the driver's log capture keeps only the
     // tail of stdout (~2 KB), and sbt appends a [success] line after us —
     // a 5 KB line gets truncated mid-JSON and the driver records
@@ -451,7 +477,46 @@ object Bench {
     val strJson =
       if (stR0._1 < 0 || st1._1 < 0) ""
       else s""","str":[${st1._1 - stR0._1},${math.rint(st1._2 - stR0._2).toLong}]"""
-    val line = s"""{"metric":"total","value":${f1(total)},"unit":"sec","kb":36,"qd":10,"qe":"b36w2","qn":${results.size},"qt":"$qt","qtop":12,"queries":$qs,"ingest_k":$ing$ing0Json$stJson$strJson$latBlock$z95Json$rem,"sf":"$sfName"}"""
+    // Steal VERDICT for this run ("sv") + per-query burst spans
+    // ("stb") — the r9 verdict's ask: the artifact names its own
+    // interference so prior-table folds and judge comparisons can
+    // discard/flag storm windows without re-deriving them from raw
+    // tick deltas. Thresholds in ticks/s (USER_HZ): a quiet machine
+    // reads ~0.1-2 (the r8 judge window: 66 ticks / 403 s), the r9
+    // storms read 67-100 — one-plus cores stolen continuously.
+    val svJson =
+      if (st0._1 < 0 || st1._1 < 0) ""
+      else {
+        val rate = (st1._1 - st0._1) / math.max(st1._2 - st0._2, 1.0)
+        val v = if (rate < 2.0) "quiet"
+          else if (rate < 15.0) "elevated" else "storm"
+        s""","sv":"$v""""
+      }
+    // 0-based POSITIONS in the qt (sorted-name) order whose own
+    // measurement window exceeded 10 ticks/s, run-length encoded
+    // ("3-9,41"); absent when none. Storms arrive as contiguous blocks
+    // (the r9 signature), so the encoding stays tiny; capped at 48 B
+    // with a trailing "+" if a pathological run scatters.
+    val stbJson = {
+      val bursts = timed.zipWithIndex.collect {
+        case ((_, _, r), i) if r >= 10.0 => i
+      }
+      if (bursts.isEmpty) ""
+      else {
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        bursts.foreach { i =>
+          if (spans.nonEmpty && spans.last._2 == i - 1)
+            spans(spans.size - 1) = (spans.last._1, i)
+          else spans += ((i, i))
+        }
+        val enc = spans.map { case (a, b) =>
+          if (a == b) a.toString else s"$a-$b"
+        }.mkString(",")
+        val s = if (enc.length <= 48) enc else enc.take(47) + "+"
+        s""","stb":"$s""""
+      }
+    }
+    val line = s"""{"metric":"total","value":${f1(total)},"unit":"sec","kb":36,"qd":10,"qe":"b36w2","qn":${results.size},"qt":"$qt","qtop":12,"queries":$qs,"ingest_k":$ing$ing0Json$stJson$strJson$svJson$stbJson$latBlock$z95Json$rem,"sf":"$sfName"}"""
     // The JSON line is the LAST stdout the JVM emits: rounds 1/2/4 lost
     // the artifact because async executor logs (continuous-trigger
     // TaskKilled WARNs) landed AFTER the println and pushed the head of

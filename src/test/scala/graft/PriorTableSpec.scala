@@ -3,11 +3,12 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins `Bench.priorDriverSec` to the checked-in artifact it claims to
-  * be derived from (BENCH_r09_quiet.json — seven same-HEAD-family full
-  * sf0.1 runs). The r6->r7 gap where the compiled-in table silently
-  * lagged the latest measurements let two movers slip the re-measure
-  * net; this spec makes staleness a test failure instead of a judge
-  * finding.
+  * be derived from (BENCH_r10_quiet.json — the seven round-9
+  * same-HEAD-family full sf0.1 runs plus round 10's catalog-258 run,
+  * folded per the steal policy at the table's doc comment). The r6->r7
+  * gap where the compiled-in table silently lagged the latest
+  * measurements let two movers slip the re-measure net; this spec
+  * makes staleness a test failure instead of a judge finding.
   *
   * Derivation rule (mirrors the table's doc comment): per artifact,
   * decode the v4 positional "qt" vector (fixed-width-2 base-36, scale
@@ -22,9 +23,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PriorTableSpec extends AnyFunSuite {
 
-  test("priorDriverSec matches the checked-in BENCH_r09_quiet artifact") {
-    val f = new java.io.File("BENCH_r09_quiet.json")
-    assume(f.isFile, "BENCH_r09_quiet.json not present in working directory")
+  test("priorDriverSec matches the checked-in BENCH_r10_quiet artifact") {
+    val f = new java.io.File("BENCH_r10_quiet.json")
+    assume(f.isFile, "BENCH_r10_quiet.json not present in working directory")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
     val root = mapper.readTree(f)
     def qnum(n: String) = n.takeWhile(_ != '_').stripPrefix("q").toInt

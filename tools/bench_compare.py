@@ -153,7 +153,7 @@ for ref, ref_sat, label in ((r7, r7_sat, "r7"), (r6, r6_sat, "r6")):
         print(f"  {k}: {mark(k, ref, ref_sat)} -> {mark(k, nq, nq_sat)}")
 print("slowest now:",
       sorted(nq.items(), key=lambda x: -x[1])[:10])
-for extra in ("ingest_k", "ing0", "st", "str", "lat", "z95"):
+for extra in ("ingest_k", "ing0", "st", "str", "sv", "stb", "lat", "z95"):
     if extra in new:
         val = new[extra] / qd if extra == "z95" else new[extra]
         print(extra, "=", val)

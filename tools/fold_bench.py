@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Fold a new full-catalog bench run into the multi-run prior artifact
+and regenerate the `Bench.priorDriverSec` map literal.
+
+Usage:
+  python3 tools/fold_bench.py <prior_artifact.json> <bench_stdout.out> \
+      <out_artifact.json>
+
+- Extracts the LAST {"metric":...} JSON line from the bench stdout,
+  attaches the CURRENT repo catalog's sorted name list (the same scan
+  bench_compare.py uses for positional qt decode), and appends it to the
+  artifact's "runs".
+- Refuses (exit 2) when the run's own steal verdict says "storm" —
+  the prior-table policy at Bench.priorDriverSec: storm runs feed the
+  table only through per-query mins against quieter runs, so a storm
+  run may be folded ONLY with --min-only (it can lower entries, and its
+  new-query entries are recorded as the only evidence available, upper
+  bounds by construction).
+- Prints the derived prior map (per-query MIN across runs after each
+  run's own rem/z95 corrections, 1-dp) as a Scala Map literal body to
+  paste into Bench.scala; PriorTableSpec verifies the splice exactly.
+
+Driver-side tooling only — not part of the Spark library.
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+
+def catalog_names():
+    names = set()
+    for f in Path(__file__).resolve().parent.parent.glob(
+            "src/main/scala/graft/queries/*.scala"):
+        names.update(re.findall(r'"(q\d+_[a-z0-9_]+)"',
+                                f.read_text(encoding="ISO-8859-1")))
+    return sorted(names)
+
+
+def qnum(name):
+    return int(name.split("_")[0].lstrip("q"))
+
+
+def derive(runs):
+    best = {}
+    for run in runs:
+        qd = float(run["qd"])
+        qt = run["qt"]
+        names = run["names"]
+        assert run["qn"] == len(names), "run qn != embedded name list"
+        per = {}
+        for i, n in enumerate(names):
+            cell = qt[2 * i:2 * i + 2]
+            if cell != "--":
+                per[qnum(n)] = int(cell, 36) / qd
+        for k, v in (run.get("rem") or {}).items():
+            q = int(k, 36)
+            if v >= 0 and q in per:
+                per[q] = min(per[q], v / qd)
+        z = run.get("z95")
+        if z is not None and z >= 0 and 95 in per:
+            per[95] = min(per[95], z / qd)
+        for q, v in per.items():
+            best[q] = min(best.get(q, 1e18), v)
+    return {q: round(v * 10) / 10 for q, v in best.items()}
+
+
+def scala_map_body(prior):
+    def fmt(v):
+        return str(int(v)) if v == int(v) else str(v)
+    parts = [f"{q} -> {fmt(v)}" for q, v in sorted(prior.items())]
+    lines, cur = [], "    "
+    for i, p in enumerate(parts):
+        tok = p + ("," if i < len(parts) - 1 else ")")
+        if len(cur) + len(tok) + 1 > 76 and cur.strip():
+            lines.append(cur.rstrip())
+            cur = "    "
+        cur += tok + " "
+    if cur.strip():
+        lines.append(cur.rstrip())
+    return "\n".join(lines)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--min-only"]
+    min_only = "--min-only" in sys.argv
+    prior_path, stdout_path, out_path = args
+    art = json.loads(Path(prior_path).read_text())
+    tail = Path(stdout_path).read_text()
+    lines = re.findall(r'\{"metric".*\}', tail)
+    assert lines, "no bench JSON line found in stdout"
+    run = json.loads(lines[-1])
+    if run.get("sv") == "storm" and not min_only:
+        print("REFUSING to fold: run's own steal verdict is 'storm' "
+              "(pass --min-only to fold through per-query mins; see "
+              "Bench.priorDriverSec policy)")
+        sys.exit(2)
+    names = catalog_names()
+    assert run["qn"] == len(names), (
+        f"bench qn={run['qn']} != repo catalog {len(names)} — fold from "
+        "the checkout that produced the run")
+    run["names"] = names
+    art["runs"].append(run)
+    Path(out_path).write_text(json.dumps(art))
+    prior = derive(art["runs"])
+    print(f"runs={len(art['runs'])} queries={len(prior)} "
+          f"sv={run.get('sv')} stb={run.get('stb', '-')}")
+    print("  private[graft] val priorDriverSec: Map[Int, Double] = Map(")
+    print(scala_map_body(prior))
+
+
+if __name__ == "__main__":
+    main()
