@@ -5,17 +5,19 @@ object Bench {
   /** Prior per-query seconds (decimal query number -> s) — the
     * reference the spike-shaped "rem" re-measure below compares
     * against. Regenerated in round 10 from BENCH_r10_quiet.json: the
-    * seven round-9 same-HEAD-family full sf0.1 runs plus one round-10
-    * run at catalog 258 (each run carrying its own sorted name list
-    * for positional qt decode, so catalog growth between runs decodes
-    * correctly), each rem/z95-corrected by its own artifact, then the
-    * per-query MIN across runs — the cross-run form of the in-artifact
-    * spike refutation, chosen because every run measured bursty
-    * hypervisor steal (st blocks up to [56778/680] ~= 83 stolen
-    * cores); a single-run table would enshrine whichever storm hit
-    * that run. The round-10 run self-reported sv=storm and was folded
-    * --min-only (tools/fold_bench.py); its five new-query entries
-    * (q254-q258) are upper bounds until a quieter run min-folds them.
+    * seven round-9 same-HEAD-family full sf0.1 runs plus two round-10
+    * runs at catalogs 258 and 259 (each run carrying its own sorted
+    * name list for positional qt decode, so catalog growth between
+    * runs decodes correctly), each rem/z95-corrected by its own
+    * artifact, then the per-query MIN across runs — the cross-run
+    * form of the in-artifact spike refutation, chosen because every
+    * run measured bursty hypervisor steal (st blocks up to
+    * [56778/680] ~= 83 stolen cores); a single-run table would
+    * enshrine whichever storm hit that run. Round 10's runs
+    * self-reported sv=storm (~80 ticks/s, folded --min-only via
+    * tools/fold_bench.py) and sv=elevated (~14 ticks/s); the six
+    * new-query entries (q254-q259) have only round-10 evidence and
+    * are upper bounds until a quiet run min-folds them.
     * Residual caveat: entries may still carry ~10-25% storm
     * inflation vs a true zero-steal machine — acceptable for the
     * table's job (mover DETECTION at >= 2x), and PriorTableSpec pins
@@ -40,7 +42,7 @@ object Bench {
     32 -> 0.6, 33 -> 0.5, 34 -> 0.4, 35 -> 0.3, 36 -> 2.7, 37 -> 1.2,
     38 -> 1.9, 39 -> 0.6, 40 -> 0.4, 41 -> 0.5, 42 -> 0.9, 43 -> 0.5,
     44 -> 1.1, 45 -> 1.9, 46 -> 1, 47 -> 1.3, 48 -> 0.2, 49 -> 0.2,
-    50 -> 1.3, 51 -> 0.7, 52 -> 1.7, 53 -> 0.8, 54 -> 0.3, 55 -> 1.4,
+    50 -> 1.3, 51 -> 0.7, 52 -> 1.7, 53 -> 0.8, 54 -> 0.2, 55 -> 1.4,
     56 -> 0.2, 57 -> 0.8, 58 -> 0.7, 59 -> 1.1, 60 -> 0.1, 61 -> 1,
     62 -> 1.2, 63 -> 1.1, 64 -> 1.7, 65 -> 0.7, 66 -> 3.2, 67 -> 0.6,
     68 -> 0.2, 69 -> 1.7, 70 -> 0.2, 71 -> 0.8, 72 -> 0.6, 73 -> 0.8,
@@ -74,7 +76,8 @@ object Bench {
     236 -> 0.8, 237 -> 1, 238 -> 1.1, 239 -> 1.3, 240 -> 1.2, 241 -> 1.5,
     242 -> 1.5, 243 -> 0.2, 244 -> 1.3, 245 -> 0.9, 246 -> 1, 247 -> 3.1,
     248 -> 1.6, 249 -> 1.3, 250 -> 1.1, 251 -> 1.6, 252 -> 1, 253 -> 1.6,
-    254 -> 3.7, 255 -> 4.1, 256 -> 0.2, 257 -> 1.8, 258 -> 3.1)
+    254 -> 3.2, 255 -> 3.9, 256 -> 0.2, 257 -> 1.8, 258 -> 3.1, 259 -> 0.2)
+
 
 
   /** (cumulative hypervisor-steal ticks, uptime seconds) from /proc —

@@ -39,6 +39,10 @@ object GraftFunctions {
       es => GzipCompress(es.head)),
     fn("gzip_inflate", "bounded gzip inflate: NULL on corrupt/oversize",
       es => GzipInflate(es(0), es(1))),
+    fn("zstd_compress", "one zstd frame of a binary payload",
+      es => ZstdCompress(es.head)),
+    fn("zstd_inflate", "bounded zstd inflate: NULL on corrupt/oversize",
+      es => ZstdInflate(es(0), es(1))),
     fn("le_u8", "decode u8 at offset from binary",
       es => LeDecodeU8(es(0), es(1))),
     fn("le_u32", "decode little-endian u32 at offset from binary",

@@ -68,6 +68,48 @@ object GzipCodec {
   }
 }
 
+/** Zstandard twin of [[GzipCodec]] over the zstd-jni library Spark
+  * already ships on its classpath (the engine adds NO dependency —
+  * Spark itself uses it for shuffle/parquet codecs). Same bounded
+  * contract: corrupt frames and outputs exceeding the bound are NULL,
+  * checked incrementally through the streaming decoder. Note zstd
+  * frames carry no mandatory checksum (unlike gzip's CRC32), so the
+  * deterministic damage classes are magic/truncation/bound — a
+  * mid-frame bit flip is NOT guaranteed to be detected, which is why
+  * the q256-family queries never use that class for zstd. */
+object ZstdCodec {
+
+  /** One zstd frame (default level). Engine-side synthesis only — no
+    * oracle predicts compressed bytes. */
+  def compress(a: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(a)
+
+  /** Bounded streaming inflate: null on corrupt input, negative bound,
+    * or output exceeding `maxBytes` (abort on crossing, never
+    * materialize an unbounded payload). */
+  def inflate(a: Array[Byte], maxBytes: Int): Array[Byte] = {
+    if (maxBytes < 0) return null
+    try {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(a))
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(maxBytes, 8192).max(16))
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          if (out.size() + n > maxBytes) return null
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        out.toByteArray
+      } finally in.close()
+    } catch {
+      case _: java.io.IOException => null
+    }
+  }
+}
+
 /** `gzip_compress(binary)` → one-member gzip stream. */
 case class GzipCompress(child: Expression) extends UnaryExpression
     with ImplicitCastInputTypes with Serializable {
@@ -102,4 +144,40 @@ case class GzipInflate(blob: Expression, maxBytes: Expression)
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): GzipInflate = copy(blob = l, maxBytes = r)
   override def prettyName: String = "gzip_inflate"
+}
+
+/** `zstd_compress(binary)` → one zstd frame. */
+case class ZstdCompress(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with Serializable {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    ZstdCodec.compress(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ZstdCodec.compress($c)")
+  override protected def withNewChildInternal(c: Expression): ZstdCompress =
+    copy(child = c)
+  override def prettyName: String = "zstd_compress"
+}
+
+/** `zstd_inflate(binary, max_bytes)` → inflated frame, or NULL when
+  * corrupt or larger than the bound. */
+case class ZstdInflate(blob: Expression, maxBytes: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with Serializable {
+  override def left: Expression = blob
+  override def right: Expression = maxBytes
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, m: Any): Any =
+    ZstdCodec.inflate(b.asInstanceOf[Array[Byte]], m.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, m) =>
+      s"""${ev.value} = graft.functions.ZstdCodec.inflate($b, $m);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ZstdInflate = copy(blob = l, maxBytes = r)
+  override def prettyName: String = "zstd_inflate"
 }

@@ -24,6 +24,11 @@ import graft.sources.Tables
   *    — the compressed bytes themselves are never asserted on, so the
   *    gate is independent of zlib version/level. Scale shape: one
   *    corpus scan, every stage a codegen'd projection, zero joins.
+  *  - q259: the zstd twin of q256 over Spark's own zstd-jni (q203
+  *    decoded zstd frame HEADERS; this moves the payload) — same
+  *    bounded-inflate contract, deterministic-only damage classes
+  *    (zstd has no mandatory checksum, so mid-frame damage is not a
+  *    class here, documented at the query).
   *  - q257: multi-probe IVF — nprobe is the recall/cost knob every IVF
   *    deployment tunes, and q240 built the measurement harness for
   *    exactly one probed cell. Here each query probes its nprobe ∈
@@ -80,6 +85,47 @@ object Extras82 {
           when($"cls" === 1, expr("CAST(length(text) - 1 AS INT)"))
             .otherwise(expr("CAST(length(text) AS INT)")))
         .withColumn("inf", expr("gzip_inflate(mutated, cap)"))
+        .select($"doc_id", $"cls",
+          length($"inf").cast(LongType).as("inflated_len"),
+          md5($"inf").as("inflated_md5"))
+    },
+
+    // ---- bounded zstd inflation round-trip ------------------------------
+    // q256's proof shape over the OTHER transport codec (q203's): the
+    // zstd-jni library Spark already ships. Damage classes reuse the
+    // gzip trio EXCEPT that zstd frames carry no mandatory checksum, so
+    // only deterministic failures are synthesized (magic, truncation,
+    // bound) — a mid-frame bit flip is not guaranteed detectable and is
+    // deliberately absent. Class assignment hashes a different fold of
+    // h60 than q256 so the two round-trips damage different documents.
+    Qry(
+      "q259_zstd_roundtrip",
+      """WITH d AS (SELECT doc_id, text,
+        |    (CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) // 7)
+        |      % 7 AS cls
+        |  FROM documents)
+        |SELECT doc_id, CAST(cls AS INT) AS cls,
+        |  CASE WHEN cls IN (0, 1, 2) THEN NULL
+        |    ELSE CAST(strlen(text) AS BIGINT) END AS inflated_len,
+        |  CASE WHEN cls IN (0, 1, 2) THEN NULL
+        |    ELSE md5(text) END AS inflated_md5
+        |FROM d""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      graft.functions.GraftFunctions.register(spark)
+      Tables(spark, dir).documents
+        .select($"doc_id", $"text",
+          expr("(CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)" +
+            " DIV 7) % 7").cast("int").as("cls"))
+        .withColumn("blob", expr("zstd_compress(CAST(text AS BINARY))"))
+        .withColumn("mutated",
+          when($"cls" === 0, expr("substring(blob, 1, length(blob) - 6)"))
+            .when($"cls" === 2, concat(lit(Array[Byte](0x58, 0x58)),
+              expr("substring(blob, 3, length(blob) - 2)")))
+            .otherwise($"blob"))
+        .withColumn("cap",
+          when($"cls" === 1, expr("CAST(length(text) - 1 AS INT)"))
+            .otherwise(expr("CAST(length(text) AS INT)")))
+        .withColumn("inf", expr("zstd_inflate(mutated, cap)"))
         .select($"doc_id", $"cls",
           length($"inf").cast(LongType).as("inflated_len"),
           md5($"inf").as("inflated_md5"))

@@ -57,14 +57,35 @@ class InflateSpec extends SparkTestBase {
     assert(inflate(Array[Byte](1, 2, 3), 10) == null)
   }
 
+  test("zstd: round-trip at the tightest bound; bound/magic/truncation NULL") {
+    val z = ZstdCodec.compress(payload)
+    def zinf(b: Array[Byte], max: Int): Any =
+      ZstdInflate(Literal(b), Literal(max)).eval()
+    val out = zinf(z, payload.length)
+    assert(out != null &&
+      java.util.Arrays.equals(out.asInstanceOf[Array[Byte]], payload))
+    assert(zinf(z, payload.length - 1) == null) // bomb guard
+    assert(zinf(z, -1) == null)
+    val badMagic = z.clone(); badMagic(0) = 'X'.toByte
+    assert(zinf(badMagic, payload.length) == null)
+    assert(zinf(z.dropRight(6), payload.length) == null) // truncated frame
+    assert(zinf(Array[Byte](9, 9, 9), 10) == null)
+    // empty payload round-trips at bound 0
+    val ez = ZstdCodec.compress(Array.empty[Byte])
+    assert(zinf(ez, 0).asInstanceOf[Array[Byte]].length == 0)
+  }
+
   test("codegen path agrees with interpreted on the DataFrame surface") {
     val r = Seq(("abc" * 100, 300), ("abc" * 100, 299))
       .toDF("t", "cap")
       .selectExpr(
-        "gzip_inflate(gzip_compress(CAST(t AS BINARY)), cap) AS b")
-      .selectExpr("CAST(b AS STRING) AS s")
+        "gzip_inflate(gzip_compress(CAST(t AS BINARY)), cap) AS b",
+        "zstd_inflate(zstd_compress(CAST(t AS BINARY)), cap) AS z")
+      .selectExpr("CAST(b AS STRING) AS s", "CAST(z AS STRING) AS zs")
       .collect()
     assert(r(0).getString(0) == "abc" * 100)
     assert(r(1).isNullAt(0))
+    assert(r(0).getString(1) == "abc" * 100)
+    assert(r(1).isNullAt(1))
   }
 }

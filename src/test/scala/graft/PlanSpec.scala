@@ -431,6 +431,25 @@ class PlanSpec extends SparkTestBase {
       s"expected the per-bucket offsets to broadcast back:\n$plan")
   }
 
+  test("q257: the nprobe knob joins as broadcast NLJ grids, and adding " +
+      "it costs no corpus-sized shuffle beyond the single-probe audit") {
+    // the 3-row nprobe grid joins candidates on crank <= nprobe — a
+    // non-equi join whose acceptable physical form is a broadcast NLJ
+    // of the provably tiny side (the q247/q218 pattern). Six such tiny
+    // crosses exist by design: centroid assignment, the per-query
+    // centroid ranking, the truth ranking's query-set cross, the two
+    // grid joins (ivf + scan-cost), and the final probes cross; a 7th
+    // means a corpus-sized side slipped into a non-equi join
+    val plan = aqeFinalSection("q257_ivf_multiprobe")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj >= 1 && bnlj <= 6,
+      s"expected the six tiny broadcast NLJs at most, got $bnlj:\n$plan")
+    val shuffles =
+      "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(shuffles <= 8,
+      s"q257 grew to $shuffles shuffle exchanges (pinned ceiling 8):\n$plan")
+  }
+
   test("q233: resharding analysis is one map + one aggregate exchange") {
     // both assignments (mod and the 20-way HRW argmax) are pure
     // per-row hashing: anything beyond the single rollup shuffle means
