@@ -15,14 +15,15 @@ object Bench {
     * [56778/680] ~= 83 stolen cores); a single-run table would
     * enshrine whichever storm hit that run. Round 10's runs
     * self-reported sv=storm (~80 ticks/s, folded --min-only via
-    * tools/fold_bench.py) and sv=elevated (~14 ticks/s); the six
-    * new-query entries (q254-q259) have only round-10 evidence and
-    * are upper bounds until a quiet run min-folds them.
-    * Residual caveat: entries may still carry ~10-25% storm
-    * inflation vs a true zero-steal machine — acceptable for the
-    * table's job (mover DETECTION at >= 2x), and PriorTableSpec pins
-    * every entry to the checked-in artifact so the table cannot
-    * silently go stale.
+    * tools/fold_bench.py) and sv=elevated (~14 ticks/s); the
+    * catalog-261 run was likewise sv=storm (--min-only). The
+    * catalog-267 run finally landed QUIET (sv=quiet, ~1.7 ticks/s
+    * whole-window) and was folded normally — it lowered dozens of
+    * storm-inflated entries (q219 6.0->4.1, q103 4.4->3.6), so the
+    * table now carries near-zero-steal evidence for the whole
+    * catalog except q262-q267, whose only run is that quiet window
+    * itself. PriorTableSpec pins every entry to the checked-in
+    * artifact so the table cannot silently go stale.
     *
     * REGENERATION POLICY (r10, from the r9 verdict): every run now
     * carries its own steal verdict ("sv": quiet/elevated/storm over the
@@ -34,49 +35,51 @@ object Bench {
     * position in "stb" as an upper bound.
     */
   private[graft] val priorDriverSec: Map[Int, Double] = Map(
-    1 -> 1.4, 2 -> 0.2, 3 -> 1.1, 4 -> 1.5, 5 -> 0.4, 6 -> 0.5, 7 -> 0.5,
-    8 -> 0.7, 9 -> 0.5, 10 -> 0.7, 11 -> 0.7, 12 -> 0.8, 13 -> 0.9,
-    14 -> 0.7, 15 -> 0.5, 16 -> 0.8, 17 -> 0.9, 18 -> 0.2, 19 -> 0.7,
-    20 -> 1.7, 21 -> 0.6, 22 -> 0.4, 23 -> 0.9, 24 -> 0.5, 25 -> 1,
-    26 -> 1.5, 27 -> 0.9, 28 -> 0.9, 29 -> 1, 30 -> 1, 31 -> 0.7,
-    32 -> 0.6, 33 -> 0.5, 34 -> 0.4, 35 -> 0.3, 36 -> 2.7, 37 -> 1.2,
-    38 -> 1.9, 39 -> 0.6, 40 -> 0.4, 41 -> 0.5, 42 -> 0.9, 43 -> 0.5,
-    44 -> 1.1, 45 -> 1.9, 46 -> 1, 47 -> 1.3, 48 -> 0.2, 49 -> 0.2,
-    50 -> 1.3, 51 -> 0.7, 52 -> 1.7, 53 -> 0.8, 54 -> 0.2, 55 -> 1.4,
-    56 -> 0.2, 57 -> 0.8, 58 -> 0.7, 59 -> 1.1, 60 -> 0.1, 61 -> 1,
-    62 -> 1.2, 63 -> 1.1, 64 -> 1.7, 65 -> 0.7, 66 -> 3.2, 67 -> 0.6,
-    68 -> 0.2, 69 -> 1.7, 70 -> 0.2, 71 -> 0.8, 72 -> 0.6, 73 -> 0.8,
-    74 -> 3.8, 75 -> 0.2, 76 -> 0.3, 77 -> 2.1, 78 -> 0.4, 79 -> 2.6,
-    80 -> 0.8, 81 -> 1.1, 82 -> 0.6, 83 -> 0.6, 84 -> 0.8, 85 -> 0.7,
-    86 -> 0.8, 87 -> 1.2, 88 -> 2.1, 89 -> 0.8, 90 -> 0.5, 91 -> 1.1,
-    92 -> 1.6, 93 -> 0.7, 94 -> 1.3, 95 -> 3, 96 -> 1, 97 -> 1.3,
-    98 -> 0.8, 99 -> 1.5, 100 -> 0.3, 101 -> 0.6, 102 -> 0.8, 103 -> 4.4,
-    104 -> 1.4, 105 -> 0.8, 106 -> 0.6, 107 -> 0.9, 108 -> 0.5, 109 -> 1.2,
-    110 -> 0.7, 111 -> 1.5, 112 -> 0.6, 113 -> 0.8, 114 -> 1.1, 115 -> 0.8,
-    116 -> 0.3, 117 -> 1.5, 118 -> 0.9, 119 -> 1.3, 120 -> 0.9, 121 -> 0.7,
-    122 -> 3, 123 -> 0.7, 124 -> 1.2, 125 -> 1, 126 -> 0.5, 127 -> 0.5,
-    128 -> 0.4, 129 -> 1, 130 -> 1.1, 131 -> 0.7, 132 -> 0.5, 133 -> 1.8,
-    134 -> 1.5, 135 -> 0.9, 136 -> 1, 137 -> 0.6, 138 -> 1.5, 139 -> 0.9,
-    140 -> 1.4, 141 -> 0.9, 142 -> 0.9, 143 -> 3.8, 144 -> 1.4, 145 -> 0.9,
-    146 -> 3.3, 147 -> 1.6, 148 -> 0.8, 149 -> 1.8, 150 -> 0.5, 151 -> 0.2,
-    152 -> 1, 153 -> 0.7, 154 -> 0.6, 155 -> 0.2, 156 -> 1.2, 157 -> 1.2,
-    158 -> 1.9, 159 -> 2, 160 -> 0.4, 161 -> 3.1, 162 -> 0.8, 163 -> 1.3,
-    164 -> 0.8, 165 -> 0.8, 166 -> 0.8, 167 -> 0.9, 168 -> 1.3, 169 -> 1.5,
-    170 -> 0.9, 171 -> 0.6, 172 -> 1, 173 -> 2, 174 -> 2.7, 175 -> 1.1,
-    176 -> 0.8, 177 -> 0.2, 178 -> 2.9, 179 -> 4.3, 180 -> 1.7, 181 -> 0.2,
-    182 -> 1.3, 183 -> 1, 184 -> 0.7, 185 -> 0.2, 186 -> 0.2, 187 -> 2,
-    188 -> 0.7, 189 -> 0.2, 190 -> 0.2, 191 -> 0.2, 192 -> 0.4, 193 -> 0.9,
-    194 -> 2, 195 -> 0.2, 196 -> 1.4, 197 -> 0.2, 198 -> 0.2, 199 -> 0.7,
-    200 -> 0.2, 201 -> 0.3, 202 -> 0.2, 203 -> 0.2, 204 -> 0.5, 205 -> 0.7,
-    206 -> 1.1, 207 -> 0.2, 208 -> 0.2, 209 -> 0.2, 210 -> 0.3, 211 -> 1.7,
-    212 -> 0.4, 213 -> 0.7, 214 -> 0.2, 215 -> 0.4, 216 -> 0.8, 217 -> 0.3,
-    218 -> 4, 219 -> 5.5, 220 -> 1.8, 221 -> 2.8, 222 -> 3.9, 223 -> 0.7,
-    224 -> 2.4, 225 -> 0.2, 226 -> 0.8, 227 -> 2.1, 228 -> 0.2, 229 -> 0.8,
+    1 -> 1.4, 2 -> 0.2, 3 -> 1, 4 -> 1.4, 5 -> 0.4, 6 -> 0.4, 7 -> 0.5,
+    8 -> 0.7, 9 -> 0.4, 10 -> 0.7, 11 -> 0.7, 12 -> 0.8, 13 -> 0.7,
+    14 -> 0.6, 15 -> 0.4, 16 -> 0.8, 17 -> 0.7, 18 -> 0.2, 19 -> 0.6,
+    20 -> 1.7, 21 -> 0.6, 22 -> 0.3, 23 -> 0.9, 24 -> 0.5, 25 -> 0.9,
+    26 -> 1.3, 27 -> 0.9, 28 -> 0.9, 29 -> 1, 30 -> 1, 31 -> 0.7,
+    32 -> 0.4, 33 -> 0.4, 34 -> 0.3, 35 -> 0.3, 36 -> 2.5, 37 -> 1,
+    38 -> 1.7, 39 -> 0.4, 40 -> 0.3, 41 -> 0.4, 42 -> 0.6, 43 -> 0.4,
+    44 -> 1, 45 -> 1.8, 46 -> 0.8, 47 -> 1.2, 48 -> 0.2, 49 -> 0.2,
+    50 -> 1.2, 51 -> 0.7, 52 -> 1.3, 53 -> 0.7, 54 -> 0.2, 55 -> 1.2,
+    56 -> 0.1, 57 -> 0.8, 58 -> 0.6, 59 -> 0.8, 60 -> 0.1, 61 -> 1,
+    62 -> 1.2, 63 -> 0.8, 64 -> 1.3, 65 -> 0.6, 66 -> 2.3, 67 -> 0.4,
+    68 -> 0.2, 69 -> 1.4, 70 -> 0.1, 71 -> 0.6, 72 -> 0.5, 73 -> 0.7,
+    74 -> 3.1, 75 -> 0.1, 76 -> 0.3, 77 -> 1.7, 78 -> 0.3, 79 -> 2.4,
+    80 -> 0.8, 81 -> 1.1, 82 -> 0.6, 83 -> 0.6, 84 -> 0.8, 85 -> 0.6,
+    86 -> 0.6, 87 -> 1.2, 88 -> 2.1, 89 -> 0.7, 90 -> 0.5, 91 -> 1.1,
+    92 -> 1, 93 -> 0.5, 94 -> 1.2, 95 -> 2.6, 96 -> 0.7, 97 -> 1,
+    98 -> 0.7, 99 -> 1.1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.7, 103 -> 3.6,
+    104 -> 1.4, 105 -> 0.8, 106 -> 0.5, 107 -> 0.9, 108 -> 0.5, 109 -> 1.2,
+    110 -> 0.7, 111 -> 1.5, 112 -> 0.6, 113 -> 0.6, 114 -> 1, 115 -> 0.8,
+    116 -> 0.3, 117 -> 1.3, 118 -> 0.8, 119 -> 1, 120 -> 0.8, 121 -> 0.7,
+    122 -> 3, 123 -> 0.6, 124 -> 1.1, 125 -> 0.9, 126 -> 0.5, 127 -> 0.4,
+    128 -> 0.4, 129 -> 0.7, 130 -> 1.1, 131 -> 0.5, 132 -> 0.5, 133 -> 1.8,
+    134 -> 1.4, 135 -> 0.8, 136 -> 0.8, 137 -> 0.6, 138 -> 1.5, 139 -> 0.8,
+    140 -> 1.2, 141 -> 0.9, 142 -> 0.8, 143 -> 3, 144 -> 1.1, 145 -> 0.7,
+    146 -> 2.4, 147 -> 1.5, 148 -> 0.7, 149 -> 1.7, 150 -> 0.4, 151 -> 0.2,
+    152 -> 0.8, 153 -> 0.5, 154 -> 0.4, 155 -> 0.2, 156 -> 0.9, 157 -> 1,
+    158 -> 1.6, 159 -> 1.8, 160 -> 0.3, 161 -> 2.4, 162 -> 0.6, 163 -> 0.8,
+    164 -> 0.8, 165 -> 0.6, 166 -> 0.7, 167 -> 0.7, 168 -> 1.2, 169 -> 1.2,
+    170 -> 0.9, 171 -> 0.6, 172 -> 1, 173 -> 2, 174 -> 2.5, 175 -> 1,
+    176 -> 0.6, 177 -> 0.2, 178 -> 2.4, 179 -> 4, 180 -> 1.6, 181 -> 0.2,
+    182 -> 1.2, 183 -> 1, 184 -> 0.7, 185 -> 0.2, 186 -> 0.2, 187 -> 1.7,
+    188 -> 0.6, 189 -> 0.2, 190 -> 0.1, 191 -> 0.2, 192 -> 0.4, 193 -> 0.9,
+    194 -> 2, 195 -> 0.2, 196 -> 1.3, 197 -> 0.2, 198 -> 0.2, 199 -> 0.6,
+    200 -> 0.2, 201 -> 0.3, 202 -> 0.2, 203 -> 0.2, 204 -> 0.4, 205 -> 0.7,
+    206 -> 1, 207 -> 0.2, 208 -> 0.2, 209 -> 0.2, 210 -> 0.3, 211 -> 1.5,
+    212 -> 0.4, 213 -> 0.5, 214 -> 0.2, 215 -> 0.3, 216 -> 0.7, 217 -> 0.3,
+    218 -> 2.7, 219 -> 4.1, 220 -> 1.5, 221 -> 2.8, 222 -> 3.8, 223 -> 0.7,
+    224 -> 2.3, 225 -> 0.2, 226 -> 0.8, 227 -> 2.1, 228 -> 0.2, 229 -> 0.8,
     230 -> 0.7, 231 -> 0.2, 232 -> 0.4, 233 -> 0.4, 234 -> 1.5, 235 -> 0.4,
-    236 -> 0.8, 237 -> 1, 238 -> 1.1, 239 -> 1.3, 240 -> 1.2, 241 -> 1.5,
+    236 -> 0.8, 237 -> 1, 238 -> 1.1, 239 -> 1, 240 -> 1, 241 -> 1.4,
     242 -> 1.5, 243 -> 0.2, 244 -> 1.3, 245 -> 0.9, 246 -> 1, 247 -> 3.1,
-    248 -> 1.6, 249 -> 1.3, 250 -> 1.1, 251 -> 1.6, 252 -> 1, 253 -> 1.6,
-    254 -> 3.2, 255 -> 3.9, 256 -> 0.2, 257 -> 1.8, 258 -> 3.1, 259 -> 0.2)
+    248 -> 1.6, 249 -> 1.3, 250 -> 1, 251 -> 1.4, 252 -> 0.9, 253 -> 1.6,
+    254 -> 3.1, 255 -> 3.4, 256 -> 0.2, 257 -> 1.7, 258 -> 2.6, 259 -> 0.2,
+    260 -> 1.1, 261 -> 1.2, 262 -> 5.7, 263 -> 3.2, 264 -> 0.9, 265 -> 1,
+    266 -> 2.7, 267 -> 3.3)
 
 
 

@@ -44,7 +44,11 @@ object PageRank {
   /** @param edges   directed weighted edges (positive weights)
     * @param dampingPct damping factor in percent (classic 85)
     * @param tolPpm  converged when the max per-node rank change is
-    *                <= tolPpm (10 ppm = 1e-5 of a uniform share)
+    *                <= tolPpm (10 ppm = 1e-5 of a uniform share).
+    *                NEGATIVE = fixed-iteration mode: run exactly
+    *                `maxIterations` rounds with no convergence check —
+    *                the mode an unrolled cross-engine oracle can
+    *                re-derive round by round (q262's proof shape)
     * @return (id, rank_ppm) for every node appearing as src or dst
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
@@ -116,13 +120,13 @@ object PageRank {
           .head().getLong(0)
         Staging.release(ranks)
         ranks = next
-        converged = maxDelta <= tolPpm
+        converged = tolPpm >= 0 && maxDelta <= tolPpm
         i += 1
         log.info(s"pagerank: round $i ${secs(tRound)}s " +
           s"maxDelta=${maxDelta}ppm (converged=$converged)")
       }
       Staging.release(ew); Staging.release(nodes); Staging.release(dangling)
-      if (!converged)
+      if (!converged && tolPpm >= 0)
         throw new IllegalStateException(
           s"pagerank did not converge within $maxIterations iterations " +
             s"(tolPpm=$tolPpm); raise maxIterations or loosen tolPpm")

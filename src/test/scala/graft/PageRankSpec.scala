@@ -63,4 +63,24 @@ class PageRankSpec extends SparkTestBase {
       PageRank.run(edges, "src", "dst", "w", maxIterations = 0, tolPpm = 0L)
     }
   }
+
+  test("fixed-iteration mode (tolPpm<0): exactly R rounds, no convergence throw") {
+    // a->b with b dangling: round 1 from uniform gives
+    //   dangShare = Ppm/2 = 500000
+    //   r(a) = 150000 + 85*(0 + 500000) DIV 100      = 575000
+    //   r(b) = 150000 + 85*(1000000 + 500000) DIV 100 = 1425000
+    // One round is NOT the fixed point, so tolPpm>=0 with
+    // maxIterations=1 must throw; tolPpm=-1 must return the exact
+    // round-1 vector instead - the mode q262's unrolled oracle needs.
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val r = PageRank.run(edges, "src", "dst", "w",
+        maxIterations = 1, tolPpm = -1L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("a" -> 575000L, "b" -> 1425000L),
+      s"round-1 vector wrong: $r")
+    intercept[IllegalStateException] {
+      PageRank.run(edges, "src", "dst", "w",
+        maxIterations = 1, tolPpm = 10L)
+    }
+  }
 }
