@@ -35,7 +35,8 @@ object SparkEntry {
       Extras73.all ++ Extras74.all ++ Extras75.all ++ Extras76.all ++
       Extras77.all ++ Extras78.all ++ Extras79.all ++ Extras80.all ++
       Extras81.all ++ Extras82.all ++ Extras83.all ++ Extras84.all ++
-      Extras85.all ++ Extras86.all ++ Extras87.all
+      Extras85.all ++ Extras86.all ++ Extras87.all ++ Extras88.all ++
+      Extras89.all ++ Extras90.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
