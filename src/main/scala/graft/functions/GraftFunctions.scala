@@ -210,7 +210,12 @@ object GraftFunctions {
     fn("pii_redact", "scrub email/phone/IPv4 to typed placeholders",
       es => piiRedact(es.head)),
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",
-      es => zInterleave16(es(0), es(1))))
+      es => zInterleave16(es(0), es(1))),
+    fn("vec_dot", "codegen'd sequential-fold dot product (array<double>)",
+      es => VecDot(es(0), es(1))),
+    fn("vec_distsq",
+      "codegen'd sequential-fold squared L2 distance (array<double>)",
+      es => VecDistSq(es(0), es(1))))
 
   import graft.operators.{Pii, ZOrder}
 

@@ -41,6 +41,11 @@ object PageRank {
   /** One uniform share, in ppm. */
   val Ppm = 1000000L
 
+  /** Broadcast the per-round rank table into the edge join when the
+    * graph has at most this many nodes (~16 bytes/row -> <=16 MB
+    * broadcast at the limit). */
+  val BroadcastNodeLimit = 1000000L
+
   /** @param edges   directed weighted edges (positive weights)
     * @param dampingPct damping factor in percent (classic 85)
     * @param tolPpm  converged when the max per-node rank change is
@@ -99,8 +104,21 @@ object PageRank {
         val dangSum = ranks.join(dangling, "id")
           .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
         val dangShare = dangSum / math.max(n, 1L)
-        // exact floor(r*w/tw) without forming r*w (overflow headroom)
-        val contrib = ew.join(ranks, col("src") === col("id"))
+        // exact floor(r*w/tw) without forming r*w (overflow headroom).
+        // The rank table is one (id, r) row per node — when the node
+        // count is broadcastable, hint it so the EDGE leaf (the frame
+        // that is actually big) is never shuffled per round: a staged
+        // LogicalRDD has no size stats, so without the hint Catalyst
+        // plans a sort-merge join that re-exchanges the edges every
+        // round. At sf-fixture sizes both plans cost about the same
+        // (8 shuffle partitions, edges ~1M rows); the hint is for the
+        // 100x graph, where re-shuffling the edge leaf R times is the
+        // dominant cost. Above the threshold the shuffled join is the
+        // correct plan: at 1e9 nodes the rank sliver no longer fits
+        // an executor.
+        val rankSide =
+          if (n <= BroadcastNodeLimit) broadcast(ranks) else ranks
+        val contrib = ew.join(rankSide, col("src") === col("id"))
           .select(col("dst"),
             expr("(r DIV tw) * w + ((r % tw) * w) DIV tw").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))

@@ -14,33 +14,36 @@ import org.apache.spark.sql.functions._
   * commutative), so similarity queries are oracle-checkable with no
   * tolerance fudge.
   *
-  * Scale notes: these are pure Catalyst column expressions
-  * (`ArrayAggregate`/`ZipWith`) — no UDF/serialization boundary, but
-  * Spark's higher-order functions are `CodegenFallback` (the lambda
-  * fold evaluates interpreted over InternalRow inside the generated
-  * stage; verified against the 4.1.2 jars). That is still far cheaper
-  * than a Scala UDF (no encoder round-trip), and the engine keeps the
-  * fold off corpus-sized hot paths by construction: brute-force top-k
-  * broadcasts the query side and is the documented BASELINE, while the
-  * IVF/LSH operators in Embeddings.scala bound the candidate set the
-  * fold actually runs over at cluster scale.
+  * Scale notes: dot / distSq compile to the custom whole-stage-codegen
+  * kernels in [[graft.functions.VecDot]]/[[graft.functions.VecDistSq]]
+  * (round 10) — a tight primitive loop inside the generated stage.
+  * Through round 10 they were `aggregate`/`zip_with` folds, which are
+  * `CodegenFallback` (the lambda fold evaluates interpreted over
+  * InternalRow, boxing per element; verified against the 4.1.2 jars).
+  * The kernels accumulate in the SAME ascending order as the folds they
+  * replaced, so every oracle result is bit-identical — re-verified by
+  * the full gate after the swap. The engine still bounds the candidate
+  * set the kernel runs over at cluster scale: brute-force top-k is the
+  * documented BASELINE, IVF/LSH/PQ are the scale paths.
   */
 object Vectors {
+
+  import org.apache.spark.sql.GraftSqlBridge.{column => c, expression => x}
 
   /** Exact widening float[] → double[]. */
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-fold dot product in double. */
+  /** Sequential-fold dot product in double (codegen'd kernel). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    c(graft.functions.VecDot(x(toDouble(a)), x(toDouble(b))))
 
   /** L2 norm. */
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Squared Euclidean distance (sequential fold, no sqrt). */
+  /** Squared Euclidean distance (sequential fold, no sqrt;
+    * codegen'd kernel). */
   def distSq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    c(graft.functions.VecDistSq(x(toDouble(a)), x(toDouble(b))))
 
   /** Cosine similarity; caller supplies precomputed norms to avoid
     * recomputing them per pair. Zero-norm vectors yield SQL null (no

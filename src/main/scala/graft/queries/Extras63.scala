@@ -53,14 +53,14 @@ object Extras63 {
   // once both sides index under one total order)
 
   // ---- q220/q221 HLL geometry (shared by Spark plan and oracle) -------
-  private val M = 512          // registers (p = 9)
-  private val RhoBits = 20     // rho window above the index bits
+  private[queries] val M = 512          // registers (p = 9)
+  private[queries] val RhoBits = 20     // rho window above the index bits
 
   /** SQL for rho = leading-zero count of the 20-bit window + 1 (window
     * zero → 21): a comparison cascade against powers of two — branch-
     * free of log()/floor(log2) float edges, identical text in both
     * engines. */
-  private def rhoSql(rem: String): String = {
+  private[queries] def rhoSql(rem: String): String = {
     val whens = (1 to RhoBits).map { j =>
       s"WHEN $rem >= ${1L << (RhoBits - j)} THEN $j"
     }.mkString(" ")
@@ -76,10 +76,10 @@ object Extras63 {
     * string cast to DOUBLE parses to the same IEEE value in both
     * engines (Java parseDouble and DuckDB fast_float are both
     * correctly rounded). */
-  private val RhoMax = RhoBits + 1
-  private val K: Double =
+  private[queries] val RhoMax = RhoBits + 1
+  private[queries] val K: Double =
     0.7213 / (1.0 + 1.079 / M) * M * M * (1L << RhoMax).toDouble * 1000
-  private val KSql = s"CAST('$K' AS DOUBLE)"
+  private[queries] val KSql = s"CAST('$K' AS DOUBLE)"
 
   /** Finalize a register table (grp, idx, r) → (grp, regs_used,
     * v_empty, est_milli, exact, err_ppm).

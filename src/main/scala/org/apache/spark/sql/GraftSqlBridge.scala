@@ -21,4 +21,16 @@ object GraftSqlBridge {
   /** The analyzed plan of a DataFrame (resolved attributes). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDataset[Row]].queryExecution.analyzed
+
+  /** Wrap a Catalyst expression as a Column (the session-free bridge
+    * `functions.expr` cannot provide for expressions with Column
+    * children). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column (inverse of [[column]]). */
+  def expression(c: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
