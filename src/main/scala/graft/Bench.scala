@@ -23,10 +23,13 @@ object Bench {
     * table carries near-zero-steal evidence for the whole catalog
     * except the round-10 additions measured only after it: the
     * catalog-273 run (sv=storm ~59 ticks/s, --min-only), the
-    * catalog-277 run (sv=elevated ~14 ticks/s, folded normally) and
-    * the catalog-283 run (sv=storm by burst spans, --min-only) are
-    * the only evidence for q268-q283, upper bounds until a quieter
-    * run min-folds them. PriorTableSpec pins every entry to the
+    * catalog-277 run (sv=elevated ~14 ticks/s, folded normally), the
+    * catalog-283 run (sv=storm by burst spans, --min-only) and two
+    * catalog-286 runs (sv=elevated; the second near-quiet at
+    * ~3 ticks/s whole-window) are the only evidence for q268-q286,
+    * upper bounds until a quieter run min-folds them. The near-quiet
+    * catalog-286 run confirmed q284's single-digest rework in-table
+    * (8.5 -> 2.6 s). PriorTableSpec pins every entry to the
     * checked-in artifact so the table cannot silently go stale.
     *
     * REGENERATION POLICY (r10, from the r9 verdict): every run now
@@ -41,21 +44,21 @@ object Bench {
   private[graft] val priorDriverSec: Map[Int, Double] = Map(
     1 -> 1.2, 2 -> 0.2, 3 -> 1, 4 -> 1.4, 5 -> 0.4, 6 -> 0.4, 7 -> 0.5,
     8 -> 0.7, 9 -> 0.4, 10 -> 0.6, 11 -> 0.6, 12 -> 0.8, 13 -> 0.6,
-    14 -> 0.6, 15 -> 0.4, 16 -> 0.8, 17 -> 0.7, 18 -> 0.2, 19 -> 0.6,
+    14 -> 0.6, 15 -> 0.4, 16 -> 0.8, 17 -> 0.7, 18 -> 0.2, 19 -> 0.5,
     20 -> 1.7, 21 -> 0.6, 22 -> 0.3, 23 -> 0.8, 24 -> 0.4, 25 -> 0.6,
     26 -> 1.2, 27 -> 0.7, 28 -> 0.7, 29 -> 0.8, 30 -> 0.7, 31 -> 0.6,
     32 -> 0.4, 33 -> 0.4, 34 -> 0.3, 35 -> 0.3, 36 -> 2.1, 37 -> 0.9,
-    38 -> 1.7, 39 -> 0.4, 40 -> 0.2, 41 -> 0.4, 42 -> 0.6, 43 -> 0.4,
+    38 -> 1.7, 39 -> 0.4, 40 -> 0.2, 41 -> 0.4, 42 -> 0.5, 43 -> 0.4,
     44 -> 1, 45 -> 1.7, 46 -> 0.8, 47 -> 1.1, 48 -> 0.2, 49 -> 0.1,
     50 -> 1.2, 51 -> 0.7, 52 -> 1.3, 53 -> 0.7, 54 -> 0.2, 55 -> 1.2,
     56 -> 0.1, 57 -> 0.8, 58 -> 0.6, 59 -> 0.8, 60 -> 0.1, 61 -> 0.8,
     62 -> 1.1, 63 -> 0.8, 64 -> 1.3, 65 -> 0.6, 66 -> 2.3, 67 -> 0.4,
     68 -> 0.2, 69 -> 1.4, 70 -> 0.1, 71 -> 0.6, 72 -> 0.5, 73 -> 0.7,
-    74 -> 2.8, 75 -> 0.1, 76 -> 0.3, 77 -> 1.3, 78 -> 0.3, 79 -> 2.2,
+    74 -> 2.8, 75 -> 0.1, 76 -> 0.3, 77 -> 1.2, 78 -> 0.3, 79 -> 2.2,
     80 -> 0.8, 81 -> 1, 82 -> 0.5, 83 -> 0.5, 84 -> 0.7, 85 -> 0.6,
     86 -> 0.6, 87 -> 1.1, 88 -> 2.1, 89 -> 0.6, 90 -> 0.4, 91 -> 1,
     92 -> 1, 93 -> 0.5, 94 -> 1.2, 95 -> 2.4, 96 -> 0.7, 97 -> 1,
-    98 -> 0.7, 99 -> 1.1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.7, 103 -> 3.6,
+    98 -> 0.7, 99 -> 1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.7, 103 -> 3.6,
     104 -> 1.2, 105 -> 0.7, 106 -> 0.4, 107 -> 0.8, 108 -> 0.4, 109 -> 1.2,
     110 -> 0.7, 111 -> 1.2, 112 -> 0.6, 113 -> 0.6, 114 -> 1, 115 -> 0.6,
     116 -> 0.3, 117 -> 1.3, 118 -> 0.7, 119 -> 1, 120 -> 0.8, 121 -> 0.7,
@@ -67,26 +70,26 @@ object Bench {
     152 -> 0.8, 153 -> 0.5, 154 -> 0.4, 155 -> 0.2, 156 -> 0.9, 157 -> 1,
     158 -> 1.5, 159 -> 1.8, 160 -> 0.2, 161 -> 2.4, 162 -> 0.6, 163 -> 0.8,
     164 -> 0.8, 165 -> 0.6, 166 -> 0.6, 167 -> 0.7, 168 -> 1.2, 169 -> 1.2,
-    170 -> 0.9, 171 -> 0.5, 172 -> 0.9, 173 -> 1.8, 174 -> 2.5, 175 -> 1,
+    170 -> 0.8, 171 -> 0.5, 172 -> 0.8, 173 -> 1.7, 174 -> 2.4, 175 -> 1,
     176 -> 0.6, 177 -> 0.2, 178 -> 2.3, 179 -> 3.5, 180 -> 1.4, 181 -> 0.2,
     182 -> 1.1, 183 -> 0.7, 184 -> 0.6, 185 -> 0.2, 186 -> 0.2, 187 -> 1.6,
     188 -> 0.6, 189 -> 0.2, 190 -> 0.1, 191 -> 0.2, 192 -> 0.4, 193 -> 0.8,
-    194 -> 1.7, 195 -> 0.2, 196 -> 0.9, 197 -> 0.2, 198 -> 0.2, 199 -> 0.5,
+    194 -> 1.7, 195 -> 0.2, 196 -> 0.8, 197 -> 0.2, 198 -> 0.2, 199 -> 0.5,
     200 -> 0.2, 201 -> 0.2, 202 -> 0.2, 203 -> 0.2, 204 -> 0.4, 205 -> 0.6,
     206 -> 1, 207 -> 0.2, 208 -> 0.2, 209 -> 0.1, 210 -> 0.3, 211 -> 1.5,
-    212 -> 0.4, 213 -> 0.5, 214 -> 0.1, 215 -> 0.3, 216 -> 0.6, 217 -> 0.3,
-    218 -> 2.7, 219 -> 4.1, 220 -> 1.5, 221 -> 2.7, 222 -> 3.5, 223 -> 0.7,
+    212 -> 0.4, 213 -> 0.5, 214 -> 0.1, 215 -> 0.3, 216 -> 0.6, 217 -> 0.2,
+    218 -> 2.6, 219 -> 4.1, 220 -> 1.4, 221 -> 2.7, 222 -> 3.5, 223 -> 0.7,
     224 -> 2.2, 225 -> 0.2, 226 -> 0.8, 227 -> 1.9, 228 -> 0.2, 229 -> 0.7,
     230 -> 0.6, 231 -> 0.2, 232 -> 0.4, 233 -> 0.4, 234 -> 1.3, 235 -> 0.3,
     236 -> 0.7, 237 -> 0.7, 238 -> 0.9, 239 -> 1, 240 -> 0.8, 241 -> 1.3,
     242 -> 1, 243 -> 0.2, 244 -> 1.3, 245 -> 0.6, 246 -> 0.7, 247 -> 2.4,
     248 -> 1.6, 249 -> 1.1, 250 -> 0.9, 251 -> 1.1, 252 -> 0.6, 253 -> 1.2,
-    254 -> 2.5, 255 -> 3, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
+    254 -> 2.5, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
     260 -> 1.1, 261 -> 1, 262 -> 5.6, 263 -> 3.2, 264 -> 0.9, 265 -> 1,
     266 -> 1.6, 267 -> 1, 268 -> 0.8, 269 -> 2.3, 270 -> 1.6, 271 -> 1,
-    272 -> 1.6, 273 -> 0.2, 274 -> 1.6, 275 -> 2.7, 276 -> 2.6, 277 -> 1.6,
-    278 -> 1.7, 279 -> 1.9, 280 -> 3.8, 281 -> 0.7, 282 -> 0.9, 283 -> 1.1,
-    284 -> 8.5, 285 -> 2.6, 286 -> 4.3)
+    272 -> 1.4, 273 -> 0.2, 274 -> 1.6, 275 -> 2.5, 276 -> 2.5, 277 -> 1.6,
+    278 -> 1.7, 279 -> 1.9, 280 -> 3.8, 281 -> 0.6, 282 -> 0.8, 283 -> 1.1,
+    284 -> 2.6, 285 -> 2.4, 286 -> 4.3)
 
 
 

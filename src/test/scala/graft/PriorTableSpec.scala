@@ -6,8 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * be derived from (BENCH_r10_quiet.json — the seven round-9
   * same-HEAD-family full sf0.1 runs plus round 10's catalog-258/-259/
   * -261/-273/-283 storm runs, the QUIET catalog-267 run, and the
-  * elevated catalog-277 run, folded per the steal policy at the
-  * table's doc
+  * elevated catalog-277/-286/-286 runs, folded per the steal policy
+  * at the table's doc
   * comment). The r6->r7
   * gap where the compiled-in table silently lagged the latest
   * measurements let two movers slip the re-measure net; this spec
