@@ -46,6 +46,12 @@ object ProbeParity {
       println("PROBE\t" + (0 until r.length).map(i =>
         String.valueOf(r.get(i)).replace("\t", " ")).mkString("\t"))
     }
+    // negative-operand integer division: Spark's DIV truncates toward
+    // zero; probe_parity.py asserts DuckDB's // does the same
+    val neg = spark.sql(
+      "SELECT -7 DIV 2, 7 DIV -2, -7 DIV -2, -1 DIV 3, 1 DIV -3").head()
+    println("PROBE_NEG_INTDIV\t" + (0 until neg.length)
+      .map(i => String.valueOf(neg.get(i))).mkString("\t"))
     spark.stop()
   }
 }

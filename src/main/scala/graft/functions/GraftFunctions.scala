@@ -212,10 +212,18 @@ object GraftFunctions {
     fn("z_interleave16", "Morton-interleave two 16-bit-scaled longs",
       es => zInterleave16(es(0), es(1))),
     fn("vec_dot", "codegen'd sequential-fold dot product (array<double>)",
-      es => VecDot(es(0), es(1))),
+      es => { arity("vec_dot", 2, es); VecDot(es(0), es(1)) }),
     fn("vec_distsq",
       "codegen'd sequential-fold squared L2 distance (array<double>)",
-      es => VecDistSq(es(0), es(1))))
+      es => { arity("vec_distsq", 2, es); VecDistSq(es(0), es(1)) }))
+
+  /** Builders run during analysis, so a wrong-arity SQL call surfaces
+    * as a clear analysis-time message instead of an
+    * IndexOutOfBoundsException from `es(1)`. */
+  private def arity(name: String, n: Int, es: Seq[Expression]): Unit =
+    if (es.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects exactly $n arguments, got ${es.length}")
 
   import graft.operators.{Pii, ZOrder}
 

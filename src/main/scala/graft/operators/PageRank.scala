@@ -148,7 +148,8 @@ object PageRank {
         throw new IllegalStateException(
           s"pagerank did not converge within $maxIterations iterations " +
             s"(tolPpm=$tolPpm); raise maxIterations or loosen tolPpm")
-      log.info(s"pagerank converged in $i rounds")
+      if (tolPpm >= 0) log.info(s"pagerank converged in $i rounds")
+      else log.info(s"pagerank completed $i fixed rounds")
       ranks.select(col("id"), col("r").as("rank_ppm"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }

@@ -12,7 +12,14 @@ import org.apache.spark.sql.functions._
   * DuckDB's `list_dot_product(CAST(x AS DOUBLE[]), ...)` (verified
   * empirically; both are ordered accumulations, and IEEE multiply is
   * commutative), so similarity queries are oracle-checkable with no
-  * tolerance fudge.
+  * tolerance fudge. Note the widening happens BEFORE multiplication
+  * (`toDouble` wraps each input ahead of the kernel): a float-array
+  * pair multiplies in double here, whereas the pre-round-10 zip_with
+  * fold multiplied array<float> inputs in float precision and widened
+  * the products. Current call sites all pre-cast to array<double>, so
+  * the bit-identical claim is scoped to double inputs; a future
+  * float-array call site gets (correctly rounded) double products,
+  * not the old float ones.
   *
   * Scale notes: dot / distSq compile to the custom whole-stage-codegen
   * kernels in [[graft.functions.VecDot]]/[[graft.functions.VecDistSq]]

@@ -30,8 +30,13 @@ import graft.sources.Tables
   *    row-local IEEE division (identical both engines), the LOWER
   *    median is declared ((n+1) DIV 2), and the output carries the
   *    median pair's exact integer (dy, dx) plus floor(1e6·dy/dx) —
-  *    floor on the double ratio, not integer DIV, because DuckDB's
-  *    `//` floors while Spark's DIV truncates and slopes go negative.
+  *    floor on the double ratio, not integer DIV, as a defensive
+  *    convention for negative slopes: in the harness's DuckDB 1.0.0
+  *    both engines' integer division truncates toward zero (verified
+  *    by tools/probe_parity.py's neg_intdiv probe), but `//`'s
+  *    negative-operand behavior is the kind of semantic a DuckDB
+  *    upgrade could change, and floor-on-double is pinned identical
+  *    regardless.
   *    Scale shape: the corpus collapses once to the hourly series;
   *    pairs are quadratic in HOURS (bounded by the time range), never
   *    in events — a deployment with years of hours windows the pair

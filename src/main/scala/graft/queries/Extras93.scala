@@ -172,8 +172,11 @@ object Extras93 {
         .select($"n_items", $"n_pairs",
           $"concordant",
           ($"n_pairs" - $"concordant").as("discordant"),
-          // floor-on-double, not integer DIV: tau can be negative and
-          // DuckDB's // floors while Spark's DIV truncates (q275's rule)
+          // floor-on-double, not integer DIV: tau can be negative;
+          // both engines' integer division truncates toward zero in
+          // DuckDB 1.0.0 (probe_parity neg_intdiv), but floor-on-double
+          // stays pinned if a DuckDB upgrade changes // semantics
+          // (q275's convention)
           expr("CAST(floor(1000000.0 * (2 * concordant - n_pairs)" +
             " / n_pairs) AS BIGINT)").as("tau_ppm"))
     }

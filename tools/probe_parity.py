@@ -43,3 +43,15 @@ FROM docs
 """
 for row in con.sql(sql).fetchall():
     print("PROBE\t" + "\t".join(str(v).replace("\t", " ") for v in row))
+
+# negative-operand integer-division parity: DuckDB's // must truncate
+# toward zero like Spark's DIV (both engines, -7/2 -> -3). The q264/q267
+# seasonal tails divide potentially-negative integer sums with bare
+# DIV-vs-//; a DuckDB upgrade that switched // to flooring would break
+# exactly those queries, so pin the semantic here.
+NEG = con.sql(
+    "SELECT -7 // 2, 7 // -2, -7 // -2, -1 // 3, 1 // -3").fetchone()
+print("PROBE_NEG_INTDIV\t" + "\t".join(str(v) for v in NEG))
+assert NEG == (-3, -3, 3, 0, 0), (
+    f"DuckDB // no longer truncates toward zero: {NEG} — "
+    "q264/q267 (and any bare DIV-vs-// oracle) are now at risk")
