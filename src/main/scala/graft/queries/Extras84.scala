@@ -56,8 +56,99 @@ object Extras84 {
   private val TopK = 3
 
   // ---- q261 geometry -----------------------------------------------------
-  /** Duplicated-run threshold in tokens. */
-  private val W = 8
+  /** Duplicated-run threshold in tokens (shared with the q290 delta
+    * twin — one constant, the two grains cannot drift). */
+  private[queries] val W = 8
+
+  // ---- q261/q290 shared island machinery ----------------------------------
+  // Package-private so the batch query and its delta twin share ONE
+  // implementation (the q227/q234 pattern): duplicated W-token spans
+  // (doc_id, s, e) merge into maximal islands via the running-max
+  // window trick, then aggregate to per-doc totals.
+
+  private[queries] def islandAgg(dup: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = dup.sparkSession
+    import spark.implicits._
+    val wD = Window.partitionBy($"doc_id").orderBy($"s")
+    dup
+      .withColumn("pm", max($"e").over(
+        wD.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when($"s" > coalesce($"pm", lit(-1L)), 1L).otherwise(0L))
+      .withColumn("isl", sum($"ni").over(
+        wD.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"isl")
+      .agg((max($"e") - min($"s")).as("len"))
+      .groupBy($"doc_id")
+      .agg(sum($"len").as("dup_tokens"), count(one).as("n_spans"))
+      .withColumnRenamed("doc_id", "ddoc")
+  }
+
+  /** Per-doc keep report: sizes LEFT JOIN island totals. */
+  private[queries] def keepReport(sz: org.apache.spark.sql.DataFrame,
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = sz.sparkSession
+    import spark.implicits._
+    sz.join(d, $"doc_id" === $"ddoc", "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        when($"n_tokens" === 0, lit(1000000L))
+          .otherwise(expr(
+            "1000000 * (n_tokens - COALESCE(dup_tokens, 0))" +
+              " DIV n_tokens")).as("keep_ppm"))
+  }
+
+  /** Oracle twin of [[islandAgg]]: CTEs from `dupCte` (doc_id, s, e)
+    * to the per-doc `d` table. */
+  private[queries] def oracleIslandCtes(dupCte: String): String =
+    s"""isl AS (SELECT doc_id, s, e,
+       |    SUM(CASE WHEN s > COALESCE(pm, -1) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s
+       |            ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
+       |          ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+       |          AND 1 PRECEDING) AS pm FROM $dupCte)),
+       |spans AS (SELECT doc_id, isl, MAX(e) - MIN(s) AS len
+       |          FROM isl GROUP BY 1, 2),
+       |d AS (SELECT doc_id, CAST(SUM(len) AS BIGINT) AS dup_tokens,
+       |      CAST(COUNT(*) AS BIGINT) AS n_spans FROM spans GROUP BY 1)"""
+      .stripMargin
+
+  /** Oracle twin of [[keepReport]] (final select over `sz`/`d`). */
+  private[queries] val oracleKeepSelect: String =
+    s"""SELECT sz.doc_id, n_tokens,
+       |  COALESCE(dup_tokens, 0) AS dup_tokens,
+       |  COALESCE(n_spans, 0) AS n_spans,
+       |  CASE WHEN n_tokens = 0 THEN 1000000
+       |    ELSE 1000000 * (n_tokens - COALESCE(dup_tokens, 0))
+       |      // n_tokens END AS keep_ppm
+       |FROM sz LEFT JOIN d USING (doc_id)""".stripMargin
+
+  /** Oracle fragment: W-token window occurrences (doc_id, p, h) over
+    * `toks` — shared by q261 and the q290 delta twin. */
+  private[queries] val oracleOccCtes: String =
+    s"""occ0 AS (SELECT doc_id,
+       |    unnest(list_transform(range(len(tk) - ${W - 1}), i ->
+       |      {'p': i, 'g': array_to_string(tk[i + 1 : i + $W], ' ')}))
+       |      AS u
+       |  FROM toks WHERE len(tk) >= $W),
+       |occ AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+       |    ${TextOps.oracleHashSql("u.g")} AS h
+       |  FROM occ0)""".stripMargin
+
+  /** DF twin of [[oracleOccCtes]]: window occurrences from staged toks. */
+  private[queries] def occFrame(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    toks.filter(size($"tk") >= W)
+      .select($"doc_id",
+        posexplode(TextOps.shingles($"tk", W)).as(Seq("p", "g")))
+      .select($"doc_id", $"p".cast(LongType).as("p"),
+        TextOps.hashMod($"g").as("h"))
+  }
 
   val all: Seq[Qry] = Seq(
 
@@ -179,36 +270,13 @@ object Extras84 {
       s"""WITH ${TextOps.oracleToksCte},
          |sz AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens
          |       FROM toks),
-         |occ0 AS (SELECT doc_id,
-         |    unnest(list_transform(range(len(tk) - ${W - 1}), i ->
-         |      {'p': i, 'g': array_to_string(tk[i + 1 : i + $W], ' ')}))
-         |      AS u
-         |  FROM toks WHERE len(tk) >= $W),
-         |occ AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p,
-         |    ${TextOps.oracleHashSql("u.g")} AS h
-         |  FROM occ0),
+         |$oracleOccCtes,
          |dup AS (SELECT doc_id, p AS s, p + $W AS e FROM (
          |    SELECT doc_id, p, row_number() OVER (PARTITION BY h
          |        ORDER BY doc_id, p) AS rn FROM occ)
          |  WHERE rn > 1),
-         |isl AS (SELECT doc_id, s, e,
-         |    SUM(CASE WHEN s > COALESCE(pm, -1) THEN 1 ELSE 0 END)
-         |      OVER (PARTITION BY doc_id ORDER BY s
-         |            ROWS UNBOUNDED PRECEDING) AS isl
-         |  FROM (SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id
-         |          ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
-         |          AND 1 PRECEDING) AS pm FROM dup)),
-         |spans AS (SELECT doc_id, isl, MAX(e) - MIN(s) AS len
-         |          FROM isl GROUP BY 1, 2),
-         |d AS (SELECT doc_id, CAST(SUM(len) AS BIGINT) AS dup_tokens,
-         |      CAST(COUNT(*) AS BIGINT) AS n_spans FROM spans GROUP BY 1)
-         |SELECT sz.doc_id, n_tokens,
-         |  COALESCE(dup_tokens, 0) AS dup_tokens,
-         |  COALESCE(n_spans, 0) AS n_spans,
-         |  CASE WHEN n_tokens = 0 THEN 1000000
-         |    ELSE 1000000 * (n_tokens - COALESCE(dup_tokens, 0))
-         |      // n_tokens END AS keep_ppm
-         |FROM sz LEFT JOIN d USING (doc_id)""".stripMargin) {
+         |${oracleIslandCtes("dup")}
+         |$oracleKeepSelect""".stripMargin) {
       (spark, dir) =>
       import spark.implicits._
       // staged: the tokenize pass feeds sizes AND shingle positions
@@ -218,40 +286,13 @@ object Extras84 {
         eager = false)
       val sz = toks.select($"doc_id",
         size($"tk").cast(LongType).as("n_tokens"))
-      val occ = toks.filter(size($"tk") >= W)
-        .select($"doc_id",
-          posexplode(TextOps.shingles($"tk", W)).as(Seq("p", "g")))
-        .select($"doc_id", $"p".cast(LongType).as("p"),
-          TextOps.hashMod($"g").as("h"))
       // rank 1 per hash = the kept first occurrence; later ranks are
       // duplicated spans — one shuffle on h, linear in positions
       val wH = Window.partitionBy($"h").orderBy($"doc_id", $"p")
-      val dup = occ.withColumn("rn", row_number().over(wH))
+      val dup = occFrame(toks).withColumn("rn", row_number().over(wH))
         .filter($"rn" > 1)
         .select($"doc_id", $"p".as("s"), ($"p" + W).as("e"))
-      // merge overlapping-or-adjacent spans into maximal islands:
-      // running max of span-end, new island when s jumps past it
-      val wD = Window.partitionBy($"doc_id").orderBy($"s")
-      val isl = dup
-        .withColumn("pm", max($"e").over(
-          wD.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("ni",
-          when($"s" > coalesce($"pm", lit(-1L)), 1L).otherwise(0L))
-        .withColumn("isl", sum($"ni").over(
-          wD.rowsBetween(Window.unboundedPreceding, 0)))
-      val d = isl.groupBy($"doc_id", $"isl")
-        .agg((max($"e") - min($"s")).as("len"))
-        .groupBy($"doc_id")
-        .agg(sum($"len").as("dup_tokens"), count(one).as("n_spans"))
-        .withColumnRenamed("doc_id", "ddoc")
-      sz.join(d, $"doc_id" === $"ddoc", "left")
-        .select($"doc_id", $"n_tokens",
-          coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
-          coalesce($"n_spans", lit(0L)).as("n_spans"),
-          when($"n_tokens" === 0, lit(1000000L))
-            .otherwise(expr(
-              "1000000 * (n_tokens - COALESCE(dup_tokens, 0))" +
-                " DIV n_tokens")).as("keep_ppm"))
+      keepReport(sz, islandAgg(dup))
     }
   )
 }

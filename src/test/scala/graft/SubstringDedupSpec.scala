@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.Extras84
+import graft.queries.{Extras84, Extras99}
 
 /** q261's island semantics, pinned on a crafted corpus: the merged
   * duplicate spans must be EXACTLY the maximal >=W-token regions that
@@ -40,5 +40,31 @@ class SubstringDedupSpec extends SparkTestBase {
     // doc3: the 16-token copy of A collapses 9 overlapping windows
     // into ONE 16-token island
     assert(out(3L) == ((16L, 1L)), s"doc3 island wrong: ${out(3L)}")
+  }
+
+  test("q290 delta twin: corpus hits flagged, within-batch dups are not") {
+    val dir = java.nio.file.Files.createTempDirectory("ssd_d_").toString
+    // corpus = doc_id % 7 != 3 (docs 1, 2); delta = doc 3.
+    // Delta doc 3 embeds corpus block A once (-> ONE island, 16 tokens)
+    // and its OWN block B twice (B absent from the corpus -> within-
+    // batch repetition, deliberately NOT flagged by the delta grain)
+    val A = (0 until 16).map(i => s"a$i")
+    val B = (0 until 8).map(i => s"b$i")
+    val doc1 = (A ++ (0 until 8).map(i => s"u$i")).mkString(" ")
+    val doc2 = (0 until 24).map(i => s"w$i").mkString(" ")
+    val doc3 = ((0 until 8).map(i => s"p$i") ++ A ++ B ++
+      (0 until 8).map(i => s"q$i") ++ B).mkString(" ")
+    Seq((1L, doc1), (2L, doc2), (3L, doc3))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Extras99.all.find(_.name == "q290_delta_substring_dedup")
+      .get.fn(spark, dir).collect()
+    // only delta docs appear
+    assert(rows.map(_.getLong(0)).toSet == Set(3L),
+      s"delta report must cover exactly the delta docs: ${rows.toSeq}")
+    val r3 = rows.find(_.getLong(0) == 3L).get
+    assert((r3.getLong(2), r3.getLong(3)) == ((16L, 1L)),
+      s"doc3 delta spans wrong: $r3")
   }
 }
