@@ -38,7 +38,7 @@ object Extras94 {
   private val one = lit(1)
 
   /** Bootstrap replicas. */
-  private val B = 32
+  val B = 32
   /** Poisson(1) CDF thresholds in ppm: P(X <= k), k = 0..6; u >= last
     * threshold draws weight 7. */
   private val PoisCdfPpm =
@@ -117,14 +117,12 @@ object Extras94 {
         expr("1000000 * auc2 DIV (2 * n_pos * n_neg)").as("auc_ppm"))
   }
 
-  val all: Seq[Qry] = Seq(
-
-    // ---- Poisson bootstrap CI ----------------------------------------------
-    Qry(
-      "q280_poisson_bootstrap", {
-        val u = TextOps.oracleHashSql(
-          "CAST(l_orderkey AS VARCHAR) || ':' || " +
-            "CAST(l_linenumber AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
+  /** q280's oracle text — shared verbatim by the q294 streaming twin
+    * (the q281/q283 pattern). */
+  val BootstrapOracle: String = {
+    val u = TextOps.oracleHashSql(
+      "CAST(l_orderkey AS VARCHAR) || ':' || " +
+        "CAST(l_linenumber AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
         s"""WITH li AS (SELECT l_returnflag AS flag, l_orderkey,
            |    l_linenumber, l_extendedprice AS px FROM lineitem),
            |full0 AS (SELECT flag,
@@ -146,36 +144,63 @@ object Extras94 {
            |FROM full0 f
            |  JOIN rk lo ON lo.flag = f.flag AND lo.rn = $LoRank
            |  JOIN rk hi ON hi.flag = f.flag AND hi.rn = $HiRank"""
-          .stripMargin
-      }) { (spark, dir) =>
+      .stripMargin
+  }
+
+  /** Spark-side deterministic Poisson(1) weight over (l_orderkey,
+    * l_linenumber, replica b) — the md5→ppm→threshold cascade, spelled
+    * once for q280 and the q294 streaming twin. */
+  val WeightSql: String = weightCase(
+    "(CAST(conv(substring(md5(CAST(l_orderkey AS STRING) || ':' ||" +
+      " CAST(l_linenumber AS STRING) || ':' ||" +
+      " CAST(b AS STRING)), 1, 15), 16, 10) AS BIGINT)" +
+      s" % ${TextOps.P} % 1000000)")
+
+  /** CI tail over the per-(flag, replica) weighted sums — `sums` needs
+    * (flag, b, s decimal, wt long); `full0` the batch audit (flag,
+    * mean_full, n_rows). Bounded: B rows per flag. Shared by q280 and
+    * the q294 streaming twin. */
+  def bootstrapTail(sums: org.apache.spark.sql.DataFrame,
+      full0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import sums.sparkSession.implicits._
+    val rm = sums.filter($"wt" > 0)
+      .select($"flag", $"b", ($"s".cast(DoubleType) / $"wt").as("m"))
+    val rk = rm.withColumn("rn", row_number().over(
+      Window.partitionBy($"flag").orderBy($"m", $"b")))
+    full0
+      .join(rk.filter($"rn" === LoRank)
+        .select($"flag".as("f1"), $"m".as("ci_lo")), $"flag" === $"f1")
+      .join(rk.filter($"rn" === HiRank)
+        .select($"flag".as("f2"), $"m".as("ci_hi")), $"flag" === $"f2")
+      .select($"flag", $"n_rows", $"mean_full",
+        lit(B.toLong).as("n_replicas"), $"ci_lo", $"ci_hi")
+  }
+
+  /** The batch full-sample audit side (flag, mean_full, n_rows). */
+  def bootstrapFull0(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import li.sparkSession.implicits._
+    li.groupBy($"flag")
+      .agg((sum($"px".cast(Money)).cast(DoubleType) / count(one))
+        .as("mean_full"), count(one).as("n_rows"))
+  }
+
+  val all: Seq[Qry] = Seq(
+
+    // ---- Poisson bootstrap CI ----------------------------------------------
+    Qry("q280_poisson_bootstrap", BootstrapOracle) { (spark, dir) =>
       import spark.implicits._
       val li = Tables(spark, dir).lineitem
         .select($"l_returnflag".as("flag"), $"l_orderkey",
           $"l_linenumber", $"l_extendedprice".as("px"))
-      val full0 = li.groupBy($"flag")
-        .agg((sum($"px".cast(Money)).cast(DoubleType) / count(one))
-          .as("mean_full"), count(one).as("n_rows"))
       // one explode to B replicas; the weight is a pure function of
       // (row identity, replica) — no RNG state anywhere
-      val w = li.crossJoin(broadcast((0 until B).toDF("b")))
-        .select($"flag", $"b", $"px", expr(weightCase(
-          "(CAST(conv(substring(md5(CAST(l_orderkey AS STRING) || ':' ||" +
-            " CAST(l_linenumber AS STRING) || ':' ||" +
-            " CAST(b AS STRING)), 1, 15), 16, 10) AS BIGINT)" +
-            s" % ${TextOps.P} % 1000000)")).as("w"))
-      val rm = w.groupBy($"flag", $"b")
-        .agg((sum($"w" * $"px".cast(Money)).cast(DoubleType) /
-          sum($"w")).as("m"), sum($"w").as("wt"))
-        .filter($"wt" > 0)
-      val rk = rm.withColumn("rn", row_number().over(
-        Window.partitionBy($"flag").orderBy($"m", $"b")))
-      full0
-        .join(rk.filter($"rn" === LoRank)
-          .select($"flag".as("f1"), $"m".as("ci_lo")), $"flag" === $"f1")
-        .join(rk.filter($"rn" === HiRank)
-          .select($"flag".as("f2"), $"m".as("ci_hi")), $"flag" === $"f2")
-        .select($"flag", $"n_rows", $"mean_full",
-          lit(B.toLong).as("n_replicas"), $"ci_lo", $"ci_hi")
+      val sums = li.crossJoin(broadcast((0 until B).toDF("b")))
+        .select($"flag", $"b", $"px", expr(WeightSql).as("w"))
+        .groupBy($"flag", $"b")
+        .agg(sum($"w" * $"px".cast(Money)).as("s"), sum($"w").as("wt"))
+      bootstrapTail(sums, bootstrapFull0(li))
     },
 
     // ---- exact AUC (Mann-Whitney with tie credit) ---------------------------
