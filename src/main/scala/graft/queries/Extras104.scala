@@ -43,12 +43,10 @@ object Extras104 {
   /** q295: flag when 10000·|dev| > Thresh·MAD (3 × 1.4826 in 1e4). */
   private val Thresh = 44478L
 
-  val all: Seq[Qry] = Seq(
-
-    // ---- median/MAD robust anomaly flags -----------------------------------
-    Qry(
-      "q295_mad_anomaly",
-      s"""WITH h AS (SELECT event_type,
+  /** q295's oracle text — shared verbatim by the q298 streaming twin
+    * (the q281/q283 pattern). */
+  val MadOracle: String =
+    s"""WITH h AS (SELECT event_type,
          |    CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600
          |      AS BIGINT) AS hi,
          |    CAST(SUM(CAST(value AS DECIMAL(28,6)) * 100) AS BIGINT)
@@ -68,35 +66,48 @@ object Extras104 {
          |  JOIN st USING (event_type) WHERE rn = (n + 1) // 2)
          |SELECT d.event_type, d.hi, d.vc, d.med, d.adev, m.mad
          |FROM dv d JOIN mad m USING (event_type)
-         |WHERE 10000 * d.adev > $Thresh * m.mad""".stripMargin) {
-      (spark, dir) =>
+         |WHERE 10000 * d.adev > $Thresh * m.mad""".stripMargin
+
+  /** Median/MAD flag tail over the hourly (event_type, hi, vc) series —
+    * both median ranks and the flag scan run over HOURS per type, never
+    * corpus rows. Shared by batch q295 and streaming q298. */
+  def madTail(hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import hourly.sparkSession.implicits._
+    val h = hourly
+    val st = h.groupBy($"event_type").agg(count(one).as("n"))
+    val wMed = Window.partitionBy($"event_type").orderBy($"vc", $"hi")
+    val med = h.withColumn("rn", row_number().over(wMed))
+      .join(st, Seq("event_type"))
+      .filter($"rn" === expr("(n + 1) DIV 2"))
+      .select($"event_type", $"vc".as("med"))
+    val dv = h.join(med, Seq("event_type"))
+      .select($"event_type", $"hi", $"vc", $"med",
+        abs($"vc" - $"med").as("adev"))
+    val wMad = Window.partitionBy($"event_type").orderBy($"adev", $"hi")
+    val mad = dv.withColumn("rn", row_number().over(wMad))
+      .join(st, Seq("event_type"))
+      .filter($"rn" === expr("(n + 1) DIV 2"))
+      .select($"event_type", $"adev".as("mad"))
+    dv.join(mad, Seq("event_type"))
+      .filter(lit(10000L) * $"adev" > lit(Thresh) * $"mad")
+      .select($"event_type", $"hi", $"vc", $"med", $"adev", $"mad")
+  }
+
+  val all: Seq[Qry] = Seq(
+
+    // ---- median/MAD robust anomaly flags -----------------------------------
+    Qry("q295_mad_anomaly", MadOracle) { (spark, dir) =>
       import spark.implicits._
       // staged: the hourly series feeds the median rank, the deviation
       // rank, and the final flag scan
-      val h = Staging.stage(Tables(spark, dir).events
+      madTail(Staging.stage(Tables(spark, dir).events
         .groupBy($"event_type",
           (unix_timestamp(date_trunc("hour", $"ts")) / 3600)
             .cast(LongType).as("hi"))
         .agg((sum($"value".cast(graft.Exact.Money)) * 100)
           .cast(LongType).as("vc")),
-        eager = false)
-      val st = h.groupBy($"event_type").agg(count(one).as("n"))
-      val wMed = Window.partitionBy($"event_type").orderBy($"vc", $"hi")
-      val med = h.withColumn("rn", row_number().over(wMed))
-        .join(st, Seq("event_type"))
-        .filter($"rn" === expr("(n + 1) DIV 2"))
-        .select($"event_type", $"vc".as("med"))
-      val dv = h.join(med, Seq("event_type"))
-        .select($"event_type", $"hi", $"vc", $"med",
-          abs($"vc" - $"med").as("adev"))
-      val wMad = Window.partitionBy($"event_type").orderBy($"adev", $"hi")
-      val mad = dv.withColumn("rn", row_number().over(wMad))
-        .join(st, Seq("event_type"))
-        .filter($"rn" === expr("(n + 1) DIV 2"))
-        .select($"event_type", $"adev".as("mad"))
-      dv.join(mad, Seq("event_type"))
-        .filter(lit(10000L) * $"adev" > lit(Thresh) * $"mad")
-        .select($"event_type", $"hi", $"vc", $"med", $"adev", $"mad")
+        eager = false))
     },
 
     // ---- k-fold AUC stability ----------------------------------------------

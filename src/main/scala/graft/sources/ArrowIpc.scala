@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector.{BigIntVector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
-import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowReader, ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -22,8 +22,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Arrow IPC interchange: write a DataFrame as Arrow *stream-format*
-  * files (one per partition), read them back distributed through a
-  * DataSource V2 batch source (`format("graft-arrow").load(dir)`).
+  * files (`.arrows`, one per partition) or *file-format* files
+  * (`.arrow` — the random-access variant with a footer, what
+  * memory-mapped readers and Feather v2 consumers open), read either
+  * back distributed through a DataSource V2 batch source
+  * (`format("graft-arrow").load(dir)` — the reader picks
+  * stream/file decoding per file by extension).
   *
   * Arrow IPC is the interchange layer the ML data stacks the engine
   * feeds actually speak (pandas/polars/Ray/torch dataloaders consume
@@ -80,16 +84,20 @@ object ArrowIpc {
   /** Write `df` as Arrow stream files under `dir` (one file per
     * non-empty partition, named by partition id). Distributed: each
     * task streams its rows through a fixed-size VectorSchemaRoot. */
-  def write(df: DataFrame, dir: String): Unit = {
+  def write(df: DataFrame, dir: String,
+      fileFormat: Boolean = false): Unit = {
     val schema = df.schema // StructType is serializable; build the
     df.foreachPartition { (it: Iterator[Row]) => // Arrow schema per task
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.get().partitionId()
         val allocator = new RootAllocator()
         val root = VectorSchemaRoot.create(toArrow(schema), allocator)
+        val ext = if (fileFormat) "arrow" else "arrows"
         val ch = new java.io.FileOutputStream(
-          f"$dir/part-$pid%05d.arrows").getChannel
-        val w = new ArrowStreamWriter(root, null, ch)
+          f"$dir/part-$pid%05d.$ext").getChannel
+        val w =
+          if (fileFormat) new ArrowFileWriter(root, null, ch)
+          else new ArrowStreamWriter(root, null, ch)
         try {
           w.start()
           it.grouped(ChunkRows).foreach { chunk =>
@@ -130,18 +138,30 @@ object ArrowIpc {
   private val cachedDirs = new ConcurrentHashMap[String, String]()
 
   /** Write once per (key) for the session; returns the directory. */
-  def writeCached(key: String, df: => DataFrame): String =
+  def writeCached(key: String, df: => DataFrame,
+      fileFormat: Boolean = false): String =
     cachedDirs.computeIfAbsent(key, { _ =>
       val d = java.nio.file.Files.createTempDirectory("graft_arrow_")
       d.toFile.deleteOnExit()
-      write(df, d.toString)
+      write(df, d.toString, fileFormat)
       d.toString
     })
+
+  /** Open a per-file reader: `.arrow` = random-access file format
+    * (footer), `.arrows` = stream format. */
+  private[sources] def openReader(path: String,
+      allocator: RootAllocator): ArrowReader =
+    if (path.endsWith(".arrow"))
+      new ArrowFileReader(
+        new java.io.FileInputStream(path).getChannel, allocator)
+    else new ArrowStreamReader(new java.io.FileInputStream(path), allocator)
 
   private[sources] def listFiles(dir: String): Array[String] = {
     val fs = new java.io.File(dir).listFiles()
     require(fs != null && fs.nonEmpty, s"graft-arrow: no files under $dir")
-    fs.filter(_.getName.endsWith(".arrows")).map(_.getPath).sorted
+    fs.filter(f => f.getName.endsWith(".arrows") ||
+        f.getName.endsWith(".arrow"))
+      .map(_.getPath).sorted
   }
 }
 
@@ -154,9 +174,8 @@ private[sources] class ArrowReaderFactory(schema: StructType)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val allocator = new RootAllocator()
-      private val in = new java.io.FileInputStream(
-        p.asInstanceOf[ArrowFilePartition].path)
-      private val reader = new ArrowStreamReader(in, allocator)
+      private val reader = ArrowIpc.openReader(
+        p.asInstanceOf[ArrowFilePartition].path, allocator)
       private val root = reader.getVectorSchemaRoot
       private var i = 0
       private var n = 0
@@ -190,7 +209,7 @@ private[sources] class ArrowReaderFactory(schema: StructType)
       }
 
       override def close(): Unit = {
-        reader.close(); in.close(); allocator.close()
+        reader.close(); allocator.close()
       }
     }
 }
@@ -200,10 +219,9 @@ private[sources] class ArrowTable(dir: String) extends Table
   override def name(): String = s"graft_arrow_$dir"
   override def schema(): StructType = {
     val allocator = new RootAllocator()
-    val in = new java.io.FileInputStream(ArrowIpc.listFiles(dir).head)
-    val r = new ArrowStreamReader(in, allocator)
+    val r = ArrowIpc.openReader(ArrowIpc.listFiles(dir).head, allocator)
     try ArrowIpc.fromArrow(r.getVectorSchemaRoot.getSchema)
-    finally { r.close(); in.close(); allocator.close() }
+    finally { r.close(); allocator.close() }
   }
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
