@@ -22,7 +22,13 @@ import graft.sources.Tables
   *    connected component (q74's machinery) as the sanity column: LPA
   *    communities always REFINE components — every community lives
   *    inside one component, and the gate's exact rows pin where the
-  *    refinement splits dense families apart.
+  *    refinement splits dense families apart. The oracle's `edges`
+  *    CTE is declared MATERIALIZED: it is referenced ~7 times (three
+  *    vote rounds, self-weights, nodes, the recursive reach) and
+  *    DuckDB otherwise inlines the whole shingle-pair pipeline into
+  *    every reference — at the 10x heavy tier that re-evaluation
+  *    spilled past 79 GB of temp before running out of disk; one
+  *    materialization makes the heavy oracle feasible (measured).
   *
   *    Scale shape: the expensive frame (the shingle→Jaccard pair
   *    pipeline) is the SAME df-capped blocked join every dedup-family
@@ -67,7 +73,8 @@ object Extras102 {
            |  GROUP BY 1, 2),
            |ed0 AS (SELECT da, db, shared FROM pairs
            |        WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5e0),
-           |edges AS (SELECT da AS a, db AS b, shared AS w FROM ed0
+           |edges AS MATERIALIZED (
+           |          SELECT da AS a, db AS b, shared AS w FROM ed0
            |          UNION ALL SELECT db, da, shared FROM ed0),
            |nodes AS (SELECT DISTINCT a AS id FROM edges),
            |selfw AS (SELECT b AS node, MAX(w) AS mw FROM edges
