@@ -4,7 +4,15 @@ object Bench {
 
   /** Prior per-query seconds (decimal query number -> s) — the
     * reference the spike-shaped "rem" re-measure below compares
-    * against. Regenerated in round 10 from BENCH_r10_quiet.json: the
+    * against. Regenerated in round 11 from BENCH_r11_quiet.json
+    * (= the r10 artifact's sixteen runs plus three catalog-301 runs:
+    * two sv=elevated folded normally, one sv=storm folded --min-only).
+    * The round-11 additions q287-q301 are evidenced by those three
+    * runs only — elevated/storm windows, upper bounds until a quiet
+    * run min-folds them; the storm run still REMEASURED two round-11
+    * fixes in-table (q294 34.6 -> 6.4 s after the pre-explode
+    * repartition, q293 9.0 -> 6.4 s after staging the pair join once).
+    * History of the folded prior runs, r10 and earlier: the
     * seven round-9 same-HEAD-family full sf0.1 runs plus two round-10
     * runs at catalogs 258 and 259 (each run carrying its own sorted
     * name list for positional qt decode, so catalog growth between
@@ -67,7 +75,7 @@ object Bench {
     134 -> 1.3, 135 -> 0.8, 136 -> 0.8, 137 -> 0.6, 138 -> 1.5, 139 -> 0.7,
     140 -> 1.2, 141 -> 0.8, 142 -> 0.7, 143 -> 3, 144 -> 1.1, 145 -> 0.7,
     146 -> 2.4, 147 -> 1.4, 148 -> 0.7, 149 -> 1.7, 150 -> 0.4, 151 -> 0.2,
-    152 -> 0.8, 153 -> 0.5, 154 -> 0.4, 155 -> 0.2, 156 -> 0.9, 157 -> 1,
+    152 -> 0.8, 153 -> 0.5, 154 -> 0.4, 155 -> 0.1, 156 -> 0.9, 157 -> 1,
     158 -> 1.5, 159 -> 1.8, 160 -> 0.2, 161 -> 2.4, 162 -> 0.6, 163 -> 0.8,
     164 -> 0.8, 165 -> 0.6, 166 -> 0.6, 167 -> 0.7, 168 -> 1.2, 169 -> 1.2,
     170 -> 0.8, 171 -> 0.5, 172 -> 0.8, 173 -> 1.7, 174 -> 2.4, 175 -> 1,
@@ -88,8 +96,10 @@ object Bench {
     260 -> 1.1, 261 -> 1, 262 -> 5.6, 263 -> 3.2, 264 -> 0.9, 265 -> 1,
     266 -> 1.6, 267 -> 1, 268 -> 0.8, 269 -> 2.3, 270 -> 1.6, 271 -> 1,
     272 -> 1.4, 273 -> 0.2, 274 -> 1.6, 275 -> 2.5, 276 -> 2.5, 277 -> 1.6,
-    278 -> 1.7, 279 -> 1.9, 280 -> 3.8, 281 -> 0.6, 282 -> 0.8, 283 -> 1.1,
-    284 -> 2.6, 285 -> 2.4, 286 -> 4.3)
+    278 -> 1.7, 279 -> 1.9, 280 -> 3.3, 281 -> 0.6, 282 -> 0.8, 283 -> 1.1,
+    284 -> 2.6, 285 -> 2.4, 286 -> 4.3, 287 -> 3.6, 288 -> 6.9, 289 -> 5.6,
+    290 -> 1.6, 291 -> 1.2, 292 -> 4.3, 293 -> 6.4, 294 -> 6.4, 295 -> 1.3,
+    296 -> 1.2, 297 -> 3.6, 298 -> 1.4, 299 -> 1.8, 300 -> 0.6, 301 -> 2.8)
 
 
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{ConnectedComponents, Dedup, LabelProp, TextOps}
+import graft.operators.{ConnectedComponents, Dedup, LabelProp, Staging, TextOps}
 import graft.sources.Tables
 
 /** Hundred-second coverage wave: community detection over the near-dup
@@ -94,12 +94,18 @@ object Extras102 {
       }) { (spark, dir) =>
       import spark.implicits._
       // ONE shingle pipeline feeds both the LPA edges and the CC sanity
-      // column (jaccardPairs stages the shingle leaf internally)
-      val pairs = Dedup.jaccardPairs(
-          Dedup.shingleHashes(Tables(spark, dir).documents,
-            "doc_id", "text"), "doc_id")
-        .filter($"jaccard" >= 0.5)
-        .select($"id_a", $"id_b", $"shared")
+      // column — and the PAIR JOIN itself is staged here: jaccardPairs
+      // stages only the shingle leaf, and LabelProp.run and
+      // ConnectedComponents.minLabel each stage their edge input
+      // EAGERLY, which without this would execute the pair join twice
+      // (measured ~9 s at sf0.1; staged once it is paid once)
+      val pairs = Staging.stage(
+        Dedup.jaccardPairs(
+            Dedup.shingleHashes(Tables(spark, dir).documents,
+              "doc_id", "text"), "doc_id")
+          .filter($"jaccard" >= 0.5)
+          .select($"id_a", $"id_b", $"shared"),
+        eager = false)
       val edges = pairs
         .select($"id_a".as("src"), $"id_b".as("dst"), $"shared".as("w"))
         .unionByName(pairs

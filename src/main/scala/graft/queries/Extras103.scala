@@ -40,6 +40,14 @@ object Extras103 {
       val sums = Streams.fileStream(spark, dir, "lineitem")
         .select($"l_returnflag".as("flag"), $"l_orderkey",
           $"l_linenumber", $"l_extendedprice".as("px"))
+        // the fixture arrives as ONE file -> one scan partition, and the
+        // x B explode + per-(row, replica) md5 below happen map-side of
+        // the aggregation — without this narrow shuffle the whole 19M-
+        // hash stage runs on a single task (measured 34.6 s at sf0.1 vs
+        // ~3 s batch); one row-sized shuffle buys full parallelism. On a
+        // real multi-file stream the scan already fans out and this is a
+        // cheap no-op-sized exchange.
+        .repartition($"l_orderkey")
         .select($"flag", $"px", $"l_orderkey", $"l_linenumber",
           explode(sequence(lit(0), lit(Extras94.B - 1))).as("b"))
         .select($"flag", $"b", $"px",

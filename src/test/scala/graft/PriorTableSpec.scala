@@ -3,11 +3,10 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins `Bench.priorDriverSec` to the checked-in artifact it claims to
-  * be derived from (BENCH_r10_quiet.json — the seven round-9
-  * same-HEAD-family full sf0.1 runs plus round 10's catalog-258/-259/
-  * -261/-273/-283 storm runs, the QUIET catalog-267 run, and the
-  * elevated catalog-277/-286/-286 runs, folded per the steal policy
-  * at the table's doc
+  * be derived from (BENCH_r11_quiet.json — the sixteen r9/r10-era
+  * full sf0.1 runs plus round 11's three catalog-301 runs: two
+  * elevated folded normally, one storm folded --min-only, per the
+  * steal policy at the table's doc
   * comment). The r6->r7
   * gap where the compiled-in table silently lagged the latest
   * measurements let two movers slip the re-measure net; this spec
@@ -27,8 +26,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class PriorTableSpec extends AnyFunSuite {
 
   test("priorDriverSec matches the checked-in BENCH_r10_quiet artifact") {
-    val f = new java.io.File("BENCH_r10_quiet.json")
-    assume(f.isFile, "BENCH_r10_quiet.json not present in working directory")
+    val f = new java.io.File("BENCH_r11_quiet.json")
+    assume(f.isFile, "BENCH_r11_quiet.json not present in working directory")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
     val root = mapper.readTree(f)
     def qnum(n: String) = n.takeWhile(_ != '_').stripPrefix("q").toInt
