@@ -5,9 +5,10 @@ object Bench {
   /** Prior per-query seconds (decimal query number -> s) — the
     * reference the spike-shaped "rem" re-measure below compares
     * against. Regenerated in round 11 from BENCH_r11_quiet.json
-    * (= the r10 artifact's sixteen runs plus three catalog-301 runs:
-    * two sv=elevated folded normally, one sv=storm folded --min-only).
-    * The round-11 additions q287-q301 are evidenced by those three
+    * (= the r10 artifact's sixteen runs plus three catalog-301 runs —
+    * two sv=elevated folded normally, one sv=storm folded --min-only —
+    * and one sv=elevated catalog-303 run covering the final wave).
+    * The round-11 additions q287-q303 are evidenced by those four
     * runs only — elevated/storm windows, upper bounds until a quiet
     * run min-folds them; the storm run still REMEASURED two round-11
     * fixes in-table (q294 34.6 -> 6.4 s after the pre-explode
@@ -58,7 +59,7 @@ object Bench {
     32 -> 0.4, 33 -> 0.4, 34 -> 0.3, 35 -> 0.3, 36 -> 2.1, 37 -> 0.9,
     38 -> 1.7, 39 -> 0.4, 40 -> 0.2, 41 -> 0.4, 42 -> 0.5, 43 -> 0.4,
     44 -> 1, 45 -> 1.7, 46 -> 0.8, 47 -> 1.1, 48 -> 0.2, 49 -> 0.1,
-    50 -> 1.2, 51 -> 0.7, 52 -> 1.3, 53 -> 0.7, 54 -> 0.2, 55 -> 1.2,
+    50 -> 1.1, 51 -> 0.7, 52 -> 1.3, 53 -> 0.7, 54 -> 0.2, 55 -> 1.2,
     56 -> 0.1, 57 -> 0.8, 58 -> 0.6, 59 -> 0.8, 60 -> 0.1, 61 -> 0.8,
     62 -> 1.1, 63 -> 0.8, 64 -> 1.3, 65 -> 0.6, 66 -> 2.3, 67 -> 0.4,
     68 -> 0.2, 69 -> 1.4, 70 -> 0.1, 71 -> 0.6, 72 -> 0.5, 73 -> 0.7,
@@ -95,11 +96,12 @@ object Bench {
     254 -> 2.5, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
     260 -> 1.1, 261 -> 1, 262 -> 5.6, 263 -> 3.2, 264 -> 0.9, 265 -> 1,
     266 -> 1.6, 267 -> 1, 268 -> 0.8, 269 -> 2.3, 270 -> 1.6, 271 -> 1,
-    272 -> 1.4, 273 -> 0.2, 274 -> 1.6, 275 -> 2.5, 276 -> 2.5, 277 -> 1.6,
-    278 -> 1.7, 279 -> 1.9, 280 -> 3.3, 281 -> 0.6, 282 -> 0.8, 283 -> 1.1,
-    284 -> 2.6, 285 -> 2.4, 286 -> 4.3, 287 -> 3.6, 288 -> 6.9, 289 -> 5.6,
-    290 -> 1.6, 291 -> 1.2, 292 -> 4.3, 293 -> 6.4, 294 -> 6.4, 295 -> 1.3,
-    296 -> 1.2, 297 -> 3.6, 298 -> 1.4, 299 -> 1.8, 300 -> 0.6, 301 -> 2.8)
+    272 -> 1.4, 273 -> 0.2, 274 -> 1.6, 275 -> 2.4, 276 -> 2.5, 277 -> 1.6,
+    278 -> 1.7, 279 -> 1.9, 280 -> 3.1, 281 -> 0.6, 282 -> 0.8, 283 -> 1.1,
+    284 -> 2.6, 285 -> 2.4, 286 -> 4.3, 287 -> 3.4, 288 -> 6.9, 289 -> 5.6,
+    290 -> 1.5, 291 -> 1.2, 292 -> 4.3, 293 -> 6.2, 294 -> 6.4, 295 -> 1.2,
+    296 -> 1.1, 297 -> 3.6, 298 -> 1.3, 299 -> 1.6, 300 -> 0.6, 301 -> 2.6,
+    302 -> 1.3, 303 -> 1.2)
 
 
 
