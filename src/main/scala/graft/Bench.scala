@@ -7,8 +7,9 @@ object Bench {
     * against. Regenerated in round 11 from BENCH_r11_quiet.json
     * (= the r10 artifact's sixteen runs plus three catalog-301 runs —
     * two sv=elevated folded normally, one sv=storm folded --min-only —
-    * and one sv=elevated catalog-303 run covering the final wave).
-    * The round-11 additions q287-q303 are evidenced by those four
+    * one sv=elevated catalog-303 run, and one sv=storm catalog-304
+    * run folded --min-only covering the final wave).
+    * The round-11 additions q287-q304 are evidenced by those five
     * runs only — elevated/storm windows, upper bounds until a quiet
     * run min-folds them; the storm run still REMEASURED two round-11
     * fixes in-table (q294 34.6 -> 6.4 s after the pre-explode
@@ -98,10 +99,10 @@ object Bench {
     266 -> 1.6, 267 -> 1, 268 -> 0.8, 269 -> 2.3, 270 -> 1.6, 271 -> 1,
     272 -> 1.4, 273 -> 0.2, 274 -> 1.6, 275 -> 2.4, 276 -> 2.5, 277 -> 1.6,
     278 -> 1.7, 279 -> 1.9, 280 -> 3.1, 281 -> 0.6, 282 -> 0.8, 283 -> 1.1,
-    284 -> 2.6, 285 -> 2.4, 286 -> 4.3, 287 -> 3.4, 288 -> 6.9, 289 -> 5.6,
+    284 -> 2.6, 285 -> 2.4, 286 -> 4.3, 287 -> 3.4, 288 -> 6.9, 289 -> 5.3,
     290 -> 1.5, 291 -> 1.2, 292 -> 4.3, 293 -> 6.2, 294 -> 6.4, 295 -> 1.2,
     296 -> 1.1, 297 -> 3.6, 298 -> 1.3, 299 -> 1.6, 300 -> 0.6, 301 -> 2.6,
-    302 -> 1.3, 303 -> 1.2)
+    302 -> 1.3, 303 -> 1.2, 304 -> 3.6)
 
 
 
