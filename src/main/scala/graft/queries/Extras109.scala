@@ -13,7 +13,10 @@ import graft.sources.Tables
   *    row each: primary-key uniqueness (customer, orders, part,
   *    supplier; lineitem's composite key), referential integrity as
   *    anti-join orphan counts (orders→customer, lineitem→orders,
-  *    lineitem→part, lineitem→supplier), and accepted-range/null
+  *    lineitem→part, lineitem→supplier; the oracle spells them
+  *    NOT EXISTS, not NOT IN — NOT IN's three-valued NULL semantics
+  *    would silently empty the check if a child key were ever NULL,
+  *    whereas NOT EXISTS matches Spark's left_anti exactly), and accepted-range/null
   *    checks on the columns the TPC-H contract fixes (quantity in
   *    1..50, discount in 0..0.10, non-null ship date). Output =
   *    (check, tbl, n_rows, n_violations, pass) — the table a loader
@@ -70,26 +73,26 @@ object Extras109 {
          |  SELECT 'fk_orphans', 'orders->customer',
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
          |    CAST(COUNT(*) AS BIGINT)
-         |  FROM orders WHERE o_custkey NOT IN
-         |    (SELECT c_custkey FROM customer)
+         |  FROM orders o WHERE NOT EXISTS
+         |    (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)
          |  UNION ALL
          |  SELECT 'fk_orphans', 'lineitem->orders',
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
          |    CAST(COUNT(*) AS BIGINT)
-         |  FROM lineitem WHERE l_orderkey NOT IN
-         |    (SELECT o_orderkey FROM orders)
+         |  FROM lineitem l WHERE NOT EXISTS
+         |    (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)
          |  UNION ALL
          |  SELECT 'fk_orphans', 'lineitem->part',
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
          |    CAST(COUNT(*) AS BIGINT)
-         |  FROM lineitem WHERE l_partkey NOT IN
-         |    (SELECT p_partkey FROM part)
+         |  FROM lineitem l WHERE NOT EXISTS
+         |    (SELECT 1 FROM part WHERE p_partkey = l.l_partkey)
          |  UNION ALL
          |  SELECT 'fk_orphans', 'lineitem->supplier',
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
          |    CAST(COUNT(*) AS BIGINT)
-         |  FROM lineitem WHERE l_suppkey NOT IN
-         |    (SELECT s_suppkey FROM supplier)
+         |  FROM lineitem l WHERE NOT EXISTS
+         |    (SELECT 1 FROM supplier WHERE s_suppkey = l.l_suppkey)
          |  UNION ALL
          |  SELECT 'range_quantity_1_50', 'lineitem',
          |    CAST(COUNT(*) AS BIGINT),
