@@ -153,4 +153,96 @@ object PageRank {
       ranks.select(col("id"), col("r").as("rank_ppm"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
+
+  /** Personalized PageRank (PPR): the teleport distribution
+    * concentrates on `seeds` instead of all nodes — the "affinity to
+    * THIS set" primitive (similar-item ranking, boilerplate-source
+    * tracing, spam-family expansion from known seeds). Fixed-iteration
+    * only: PPR is gated cross-engine by an unrolled oracle (q305) and
+    * a data-dependent round count is exactly what an unrolled oracle
+    * cannot follow (the q262 rationale).
+    *
+    * Exact fixed-point arithmetic, total mass = n·Ppm (the uniform
+    * loop's convention): round init gives every seed n·Ppm DIV s and
+    * everyone else 0; each round
+    *   r(v) = [v ∈ S]·((100−d)·n·Ppm DIV (100·s))
+    *        + d·(inflow(v) + [v ∈ S]·(dangSum DIV s)) DIV 100
+    * — teleport AND dangling mass both return to the seeds (the
+    * standard PPR convention; dropping dangling mass would leak it,
+    * sending it uniform would dilute personalization). The inflow
+    * product uses the same overflow-safe floor(r·w/tw) decomposition
+    * as [[run]]. Loop discipline identical: staged edge leaf, lazy
+    * per-round rank staging + release, broadcast rank sliver below
+    * [[BroadcastNodeLimit]].
+    */
+  def runPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int, dampingPct: Int = 85): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    require(dampingPct > 0 && dampingPct < 100,
+      s"dampingPct ($dampingPct) must be in (0, 100)")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val ew = Staging.stage(
+      e.join(e.groupBy(col("src")).agg(sum(col("w")).as("tw")), "src"),
+      eager = true)
+    val seedIds = Staging.stage(
+      seeds.select(col(seedCol).as("sid")).distinct(), eager = true)
+    val nodes = Staging.stage(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+        .join(seedIds, col("id") === col("sid"), "left_outer")
+        .select(col("id"),
+          when(col("sid").isNotNull, 1L).otherwise(0L).as("isSeed")),
+      eager = true)
+    val n = nodes.count()
+    val sCnt = nodes.filter(col("isSeed") === 1L).count()
+    require(sCnt > 0, "personalized pagerank needs >= 1 seed IN the graph")
+    val dangling = Staging.stage(
+      nodes.select(col("id"), col("isSeed"))
+        .join(ew.select(col("src").as("id")).distinct(),
+          Seq("id"), "left_anti"),
+      eager = true)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val teleport = (100L - dampingPct) * n * Ppm / (100L * sCnt)
+      var ranks = Staging.stage(
+        nodes.withColumn("r",
+          when(col("isSeed") === 1L, lit(n * Ppm / sCnt))
+            .otherwise(lit(0L))),
+        eager = false)
+      ranks.count()
+      var i = 0
+      while (i < rounds) {
+        val dangSum = ranks.join(dangling.select(col("id")), "id")
+          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+        val dangSeedShare = dangSum / sCnt
+        val rankSide =
+          if (n <= BroadcastNodeLimit) broadcast(ranks) else ranks
+        val contrib = ew.join(rankSide, col("src") === col("id"))
+          .select(col("dst"),
+            expr("(r DIV tw) * w + ((r % tw) * w) DIV tw").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+        val next = Staging.stage(
+          ranks.select(col("id"), col("isSeed"))
+            .join(contrib, col("id") === col("dst"), "left_outer")
+            .select(col("id"), col("isSeed"),
+              (when(col("isSeed") === 1L, lit(teleport)).otherwise(0L) +
+                expr(s"($dampingPct * (coalesce(inflow, 0L) + " +
+                  s"if(isSeed = 1, ${dangSeedShare}L, 0L))) DIV 100")
+              ).as("r")),
+          eager = false)
+        next.count()
+        Staging.release(ranks)
+        ranks = next
+        i += 1
+        log.info(s"ppr: completed round $i")
+      }
+      Staging.release(ew); Staging.release(nodes)
+      Staging.release(dangling); Staging.release(seedIds)
+      ranks.select(col("id"), col("r").as("rank_ppm"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
 }

@@ -83,4 +83,41 @@ class PageRankSpec extends SparkTestBase {
         maxIterations = 1, tolPpm = 10L)
     }
   }
+
+  test("personalized: teleport and mass return to the seed (2-cycle)") {
+    // a<->b, seed {a}, 2 fixed rounds — hand-derived integer states:
+    // init: a=2e6, b=0; teleport(a) = 15*2*1e6/100 = 300000
+    // r1: a = 300000 + 0; b = 85*2e6/100 = 1700000
+    // r2: a = 300000 + 85*1700000/100 = 1745000; b = 85*300000/100 = 255000
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("sid")
+    val r = graft.operators.PageRank.runPersonalized(
+        edges, "src", "dst", "w", seeds, "sid", rounds = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1745000L, 2L -> 255000L), s"got $r")
+  }
+
+  test("personalized: dangling mass returns to the seeds, not uniform") {
+    // seed a points at dangling sink b; b's mass must flow back to a
+    // (uniform redistribution would leak half of it to b forever)
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("sid")
+    val r = graft.operators.PageRank.runPersonalized(
+        edges, "src", "dst", "w", seeds, "sid", rounds = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round arithmetic: init a=2e6,b=0; teleport=3e5; dang(b)=r(b)
+    // r1: dang=0;   a=3e5,            b=85*2e6/100=17e5
+    // r2: dang=17e5; a=3e5+85*17e5/100=1745000, b=85*3e5/100=255000
+    // r3: dang=255000; a=3e5+85*255000/100=516750, b=85*1745000/100=1483250
+    assert(r == Map(1L -> 516750L, 2L -> 1483250L), s"got $r")
+  }
+
+  test("personalized: a seed set absent from the graph fails loudly") {
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(99L).toDF("sid")
+    intercept[IllegalArgumentException] {
+      graft.operators.PageRank.runPersonalized(
+        edges, "src", "dst", "w", seeds, "sid", rounds = 1)
+    }
+  }
 }
