@@ -7,9 +7,10 @@ object Bench {
     * against. Regenerated in round 11 from BENCH_r11_quiet.json
     * (= the r10 artifact's sixteen runs plus three catalog-301 runs —
     * two sv=elevated folded normally, one sv=storm folded --min-only —
-    * one sv=elevated catalog-303 run, and one sv=storm catalog-304
-    * run folded --min-only covering the final wave).
-    * The round-11 additions q287-q304 are evidenced by those five
+    * one sv=elevated catalog-303 run, one sv=storm catalog-304 run
+    * folded --min-only, and one sv=elevated catalog-305 run covering
+    * the final wave).
+    * The round-11 additions q287-q305 are evidenced by those six
     * runs only — elevated/storm windows, upper bounds until a quiet
     * run min-folds them; the storm run still REMEASURED two round-11
     * fixes in-table (q294 34.6 -> 6.4 s after the pre-explode
@@ -53,7 +54,7 @@ object Bench {
     */
   private[graft] val priorDriverSec: Map[Int, Double] = Map(
     1 -> 1.2, 2 -> 0.2, 3 -> 1, 4 -> 1.4, 5 -> 0.4, 6 -> 0.4, 7 -> 0.5,
-    8 -> 0.7, 9 -> 0.4, 10 -> 0.6, 11 -> 0.6, 12 -> 0.8, 13 -> 0.6,
+    8 -> 0.6, 9 -> 0.4, 10 -> 0.6, 11 -> 0.6, 12 -> 0.8, 13 -> 0.6,
     14 -> 0.6, 15 -> 0.4, 16 -> 0.8, 17 -> 0.7, 18 -> 0.2, 19 -> 0.5,
     20 -> 1.7, 21 -> 0.6, 22 -> 0.3, 23 -> 0.8, 24 -> 0.4, 25 -> 0.6,
     26 -> 1.2, 27 -> 0.7, 28 -> 0.7, 29 -> 0.8, 30 -> 0.7, 31 -> 0.6,
@@ -95,14 +96,14 @@ object Bench {
     242 -> 1, 243 -> 0.2, 244 -> 1.3, 245 -> 0.6, 246 -> 0.7, 247 -> 2.4,
     248 -> 1.6, 249 -> 1.1, 250 -> 0.9, 251 -> 1.1, 252 -> 0.6, 253 -> 1.2,
     254 -> 2.5, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
-    260 -> 1.1, 261 -> 1, 262 -> 5.6, 263 -> 3.2, 264 -> 0.9, 265 -> 1,
+    260 -> 1.1, 261 -> 1, 262 -> 5.3, 263 -> 3.2, 264 -> 0.9, 265 -> 1,
     266 -> 1.6, 267 -> 1, 268 -> 0.8, 269 -> 2.3, 270 -> 1.6, 271 -> 1,
-    272 -> 1.4, 273 -> 0.2, 274 -> 1.6, 275 -> 2.4, 276 -> 2.5, 277 -> 1.6,
+    272 -> 1.4, 273 -> 0.2, 274 -> 1.6, 275 -> 2.4, 276 -> 2.4, 277 -> 1.6,
     278 -> 1.7, 279 -> 1.9, 280 -> 3.1, 281 -> 0.6, 282 -> 0.8, 283 -> 1.1,
-    284 -> 2.6, 285 -> 2.4, 286 -> 4.3, 287 -> 3.4, 288 -> 6.9, 289 -> 5.3,
-    290 -> 1.5, 291 -> 1.2, 292 -> 4.3, 293 -> 6.2, 294 -> 6.4, 295 -> 1.2,
-    296 -> 1.1, 297 -> 3.6, 298 -> 1.3, 299 -> 1.6, 300 -> 0.6, 301 -> 2.6,
-    302 -> 1.3, 303 -> 1.2, 304 -> 3.6)
+    284 -> 2.6, 285 -> 2.4, 286 -> 4.3, 287 -> 3.3, 288 -> 6, 289 -> 5.3,
+    290 -> 1.5, 291 -> 1.2, 292 -> 4.3, 293 -> 5.8, 294 -> 6.2, 295 -> 1,
+    296 -> 1.1, 297 -> 3.3, 298 -> 1.3, 299 -> 1.6, 300 -> 0.5, 301 -> 2.6,
+    302 -> 0.9, 303 -> 1.2, 304 -> 3.6, 305 -> 6.4)
 
 
 

@@ -6,8 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * be derived from (BENCH_r11_quiet.json — the sixteen r9/r10-era
   * full sf0.1 runs plus round 11's three catalog-301 runs
   * (two elevated folded normally, one storm --min-only) the
-  * elevated catalog-303 run, and the storm catalog-304 run
-  * (--min-only) covering the final wave, per the
+  * elevated catalog-303 run, the storm catalog-304 run (--min-only),
+  * and the elevated catalog-305 run covering the final wave, per the
   * steal policy at the table's doc
   * comment). The r6->r7
   * gap where the compiled-in table silently lagged the latest
