@@ -25,7 +25,9 @@ import graft.sources.{ArrowIpc, Tables}
   *    never hash-gate; per-shard exact top-K + cutoff is
   *    order-independent, so the oracle rebuilds it bit for bit).
   *    Scale shape: one corpus-sized (shard, word) partial-aggregated
-  *    count; everything after is S×K-bounded.
+  *    count; everything after is S×K-bounded except the audit's
+  *    vocabulary-sized exact-count table, which the TopN rank probes
+  *    via a bounded broadcast join (never an unpartitioned sort).
   *  - q300: q291's interchange proof for Arrow *file format* — the
   *    random-access variant with the footer (what memory-mapped
   *    readers and Feather v2 consumers open; stream format cannot
@@ -106,12 +108,22 @@ object Extras106 {
       val top = est.withColumn("brank",
           row_number().over(Window.orderBy($"lb".desc, $"word")))
         .filter($"brank" <= TopN).select($"word", $"lb", $"ub")
-      val xr = w.groupBy($"word").agg(count(one).as("exact"))
-        .select($"word".as("xword"), $"exact",
-          row_number().over(Window.orderBy($"exact".desc, $"word"))
-            .cast("long").as("true_rank"))
-      top.join(xr, $"word" === $"xword")
-        .select($"word", $"lb", $"ub", $"exact", $"true_rank",
+      // audit side: true_rank for the TopN words only — 1 + the number
+      // of vocabulary entries sorting strictly before (exact DESC, word
+      // ASC). A bounded broadcast-NLJ count over the vocab table
+      // replaces the r11 unpartitioned Window.orderBy over every
+      // distinct word (one task pulling the whole vocabulary — the
+      // full-shuffle shape this query exists to avoid)
+      val ex = w.groupBy($"word").agg(count(one).as("exact"))
+      val topEx = ex.join(broadcast(top), "word")
+        .select($"word", $"lb", $"ub", $"exact")
+      val pred = ex.select($"word".as("w2"), $"exact".as("x2"))
+        .join(broadcast(topEx.select($"word".as("tw"), $"exact".as("tx"))),
+          $"x2" > $"tx" || ($"x2" === $"tx" && $"w2" < $"tw"))
+        .groupBy($"tw").agg(count(one).as("npred"))
+      topEx.join(broadcast(pred), $"word" === $"tw", "left_outer")
+        .select($"word", $"lb", $"ub", $"exact",
+          (coalesce($"npred", lit(0L)) + 1L).as("true_rank"),
           ($"lb" <= $"exact" && $"exact" <= $"ub").as("contained"))
     },
 

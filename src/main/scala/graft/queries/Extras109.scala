@@ -66,8 +66,8 @@ object Extras109 {
          |  FROM supplier
          |  UNION ALL
          |  SELECT 'pk_unique', 'lineitem', CAST(COUNT(*) AS BIGINT),
-         |    CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 16
-         |      + l_linenumber) AS BIGINT)
+         |    CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+         |      AS BIGINT)
          |  FROM lineitem
          |  UNION ALL
          |  SELECT 'fk_orphans', 'orders->customer',
@@ -117,9 +117,16 @@ object Extras109 {
       import spark.implicits._
       val t = Tables(spark, dir)
 
-      def pkUnique(tbl: String, df: DataFrame, key: org.apache.spark.sql.Column) =
+      // composite keys count the ACTUAL column tuple — an encoded
+      // single-column key (orderkey * 16 + linenumber) is injective
+      // only under a range assumption the audit itself never checks
+      // (r11 advisory: a collision would undercount identically in
+      // both engines, so the gate could not catch it)
+      def pkUnique(tbl: String, df: DataFrame,
+          key: org.apache.spark.sql.Column*) =
         df.agg(count(one).as("n_rows"),
-            (count(one) - countDistinct(key)).as("n_violations"))
+            (count(one) - countDistinct(key.head, key.tail: _*))
+              .as("n_violations"))
           .select(lit("pk_unique").as("chk"), lit(tbl).as("tbl"),
             $"n_rows", $"n_violations")
 
@@ -141,7 +148,7 @@ object Extras109 {
         .unionByName(pkUnique("part", t.part, $"p_partkey"))
         .unionByName(pkUnique("supplier", t.supplier, $"s_suppkey"))
         .unionByName(pkUnique("lineitem", li,
-          $"l_orderkey" * 16 + $"l_linenumber"))
+          $"l_orderkey", $"l_linenumber"))
       val fk = fkOrphans("orders->customer", t.orders, "o_custkey",
           t.customer, "c_custkey")
         .unionByName(fkOrphans("lineitem->orders", li, "l_orderkey",

@@ -34,7 +34,9 @@ import graft.sources.Tables
 object Extras110 {
 
   private val Rounds = 3
-  /** Seed suppliers: s_suppkey < SeedMax. */
+  /** Seed suppliers: 1 <= s_suppkey <= SeedMax (TPC-H supplier keys
+    * start at 1 — an r11 advisory caught the 0-based range seeding
+    * only four live suppliers while the docs said five). */
   private val SeedMax = 5
 
   /** One unrolled PPR round: teleport-to-seeds + damped inflow. */
@@ -65,7 +67,8 @@ object Extras110 {
          |tw AS (SELECT src, SUM(w) AS tw FROM e GROUP BY 1),
          |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |seeds AS (SELECT node FROM n
-         |          WHERE node % 2 = 1 AND (node - 1) // 2 < $SeedMax),
+         |          WHERE node % 2 = 1
+         |            AND (node - 1) // 2 BETWEEN 1 AND $SeedMax),
          |r0 AS (SELECT n.node, CASE WHEN s.node IS NOT NULL
          |      THEN ((SELECT COUNT(*) FROM n) * 1000000)
          |        // (SELECT COUNT(*) FROM seeds) ELSE 0 END AS r
@@ -85,7 +88,7 @@ object Extras110 {
           $"w")
         .unionByName(b.select(($"s" * 2 + 1).as("src"),
           ($"c" * 2).as("dst"), $"w"))
-      val seeds = spark.range(SeedMax)
+      val seeds = spark.range(1, SeedMax + 1)
         .select(($"id" * 2 + 1).as("sid"))
       PageRank.runPersonalized(edges, "src", "dst", "w",
           seeds, "sid", rounds = Rounds)

@@ -3,13 +3,10 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins `Bench.priorDriverSec` to the checked-in artifact it claims to
-  * be derived from (BENCH_r11_quiet.json — the sixteen r9/r10-era
-  * full sf0.1 runs plus round 11's three catalog-301 runs
-  * (two elevated folded normally, one storm --min-only) the
-  * elevated catalog-303 run, the storm catalog-304 run (--min-only),
-  * and the elevated catalog-305 run covering the final wave, per the
-  * steal policy at the table's doc
-  * comment). The r6->r7
+  * be derived from (BENCH_r12_quiet.json — the accumulated r9–r12-era
+  * full sf0.1 runs, folded per the steal policy at the table's doc
+  * comment; the round number in the filename tracks the current
+  * round's artifact, seeded from the previous round's). The r6->r7
   * gap where the compiled-in table silently lagged the latest
   * measurements let two movers slip the re-measure net; this spec
   * makes staleness a test failure instead of a judge finding.
@@ -27,9 +24,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PriorTableSpec extends AnyFunSuite {
 
-  test("priorDriverSec matches the checked-in BENCH_r10_quiet artifact") {
-    val f = new java.io.File("BENCH_r11_quiet.json")
-    assume(f.isFile, "BENCH_r11_quiet.json not present in working directory")
+  test("priorDriverSec matches the checked-in quiet bench artifact") {
+    val f = new java.io.File("BENCH_r12_quiet.json")
+    assume(f.isFile, "BENCH_r12_quiet.json not present in working directory")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
     val root = mapper.readTree(f)
     def qnum(n: String) = n.takeWhile(_ != '_').stripPrefix("q").toInt
