@@ -4,12 +4,13 @@ object Bench {
 
   /** Prior per-query seconds (decimal query number -> s) — the
     * reference the spike-shaped "rem" re-measure below compares
-    * against. Regenerated in round 11 from BENCH_r11_quiet.json
-    * (= the r10 artifact's sixteen runs plus three catalog-301 runs —
-    * two sv=elevated folded normally, one sv=storm folded --min-only —
-    * one sv=elevated catalog-303 run, one sv=storm catalog-304 run
-    * folded --min-only, and one sv=elevated catalog-305 run covering
-    * the final wave).
+    * against. Regenerated in round 12 from BENCH_r12_quiet.json
+    * (= the r11 artifact's twenty-two runs plus the sv=storm
+    * catalog-310 run folded --min-only — its q306-q310 entries are the
+    * only evidence for the round-12 waves, upper bounds until a
+    * quieter run min-folds them; the artifact's rem_floor_qs field
+    * tags entries whose floor came from a rem/z95 re-measure rather
+    * than a full-run cell).
     * The round-11 additions q287-q305 are evidenced by those six
     * runs only — elevated/storm windows, upper bounds until a quiet
     * run min-folds them; the storm run still REMEASURED two round-11
@@ -53,57 +54,58 @@ object Bench {
     * position in "stb" as an upper bound.
     */
   private[graft] val priorDriverSec: Map[Int, Double] = Map(
-    1 -> 1.2, 2 -> 0.2, 3 -> 1, 4 -> 1.4, 5 -> 0.4, 6 -> 0.4, 7 -> 0.5,
-    8 -> 0.6, 9 -> 0.4, 10 -> 0.6, 11 -> 0.6, 12 -> 0.8, 13 -> 0.6,
-    14 -> 0.6, 15 -> 0.4, 16 -> 0.8, 17 -> 0.7, 18 -> 0.2, 19 -> 0.5,
-    20 -> 1.7, 21 -> 0.6, 22 -> 0.3, 23 -> 0.8, 24 -> 0.4, 25 -> 0.6,
-    26 -> 1.2, 27 -> 0.7, 28 -> 0.7, 29 -> 0.8, 30 -> 0.7, 31 -> 0.6,
-    32 -> 0.4, 33 -> 0.4, 34 -> 0.3, 35 -> 0.3, 36 -> 2.1, 37 -> 0.9,
+    1 -> 1.2, 2 -> 0.2, 3 -> 1, 4 -> 1.4, 5 -> 0.4, 6 -> 0.3, 7 -> 0.5,
+    8 -> 0.6, 9 -> 0.4, 10 -> 0.6, 11 -> 0.5, 12 -> 0.8, 13 -> 0.4,
+    14 -> 0.5, 15 -> 0.4, 16 -> 0.6, 17 -> 0.5, 18 -> 0.2, 19 -> 0.5,
+    20 -> 1.7, 21 -> 0.5, 22 -> 0.3, 23 -> 0.7, 24 -> 0.3, 25 -> 0.6,
+    26 -> 1.2, 27 -> 0.5, 28 -> 0.5, 29 -> 0.8, 30 -> 0.7, 31 -> 0.6,
+    32 -> 0.3, 33 -> 0.4, 34 -> 0.3, 35 -> 0.3, 36 -> 2.1, 37 -> 0.9,
     38 -> 1.7, 39 -> 0.4, 40 -> 0.2, 41 -> 0.4, 42 -> 0.5, 43 -> 0.4,
     44 -> 1, 45 -> 1.7, 46 -> 0.8, 47 -> 1.1, 48 -> 0.2, 49 -> 0.1,
     50 -> 1.1, 51 -> 0.7, 52 -> 1.3, 53 -> 0.7, 54 -> 0.2, 55 -> 1.2,
-    56 -> 0.1, 57 -> 0.8, 58 -> 0.6, 59 -> 0.8, 60 -> 0.1, 61 -> 0.8,
-    62 -> 1.1, 63 -> 0.8, 64 -> 1.3, 65 -> 0.6, 66 -> 2.3, 67 -> 0.4,
-    68 -> 0.2, 69 -> 1.4, 70 -> 0.1, 71 -> 0.6, 72 -> 0.5, 73 -> 0.7,
+    56 -> 0.1, 57 -> 0.8, 58 -> 0.6, 59 -> 0.8, 60 -> 0.1, 61 -> 0.6,
+    62 -> 1.1, 63 -> 0.7, 64 -> 1.3, 65 -> 0.6, 66 -> 2.2, 67 -> 0.4,
+    68 -> 0.2, 69 -> 1.4, 70 -> 0.1, 71 -> 0.5, 72 -> 0.5, 73 -> 0.6,
     74 -> 2.8, 75 -> 0.1, 76 -> 0.3, 77 -> 1.2, 78 -> 0.3, 79 -> 2.2,
-    80 -> 0.8, 81 -> 1, 82 -> 0.5, 83 -> 0.5, 84 -> 0.7, 85 -> 0.6,
+    80 -> 0.5, 81 -> 1, 82 -> 0.5, 83 -> 0.5, 84 -> 0.7, 85 -> 0.6,
     86 -> 0.6, 87 -> 1.1, 88 -> 2.1, 89 -> 0.6, 90 -> 0.4, 91 -> 1,
-    92 -> 1, 93 -> 0.5, 94 -> 1.2, 95 -> 2.4, 96 -> 0.7, 97 -> 1,
-    98 -> 0.7, 99 -> 1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.7, 103 -> 3.6,
-    104 -> 1.2, 105 -> 0.7, 106 -> 0.4, 107 -> 0.8, 108 -> 0.4, 109 -> 1.2,
+    92 -> 0.8, 93 -> 0.4, 94 -> 1.2, 95 -> 2.4, 96 -> 0.7, 97 -> 1,
+    98 -> 0.7, 99 -> 1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.6, 103 -> 3.3,
+    104 -> 1, 105 -> 0.6, 106 -> 0.4, 107 -> 0.8, 108 -> 0.3, 109 -> 1.2,
     110 -> 0.7, 111 -> 1.2, 112 -> 0.6, 113 -> 0.6, 114 -> 1, 115 -> 0.6,
-    116 -> 0.3, 117 -> 1.3, 118 -> 0.7, 119 -> 1, 120 -> 0.8, 121 -> 0.7,
-    122 -> 3, 123 -> 0.6, 124 -> 1, 125 -> 0.9, 126 -> 0.5, 127 -> 0.4,
-    128 -> 0.4, 129 -> 0.7, 130 -> 1.1, 131 -> 0.5, 132 -> 0.4, 133 -> 1.8,
-    134 -> 1.3, 135 -> 0.8, 136 -> 0.8, 137 -> 0.6, 138 -> 1.5, 139 -> 0.7,
-    140 -> 1.2, 141 -> 0.8, 142 -> 0.7, 143 -> 3, 144 -> 1.1, 145 -> 0.7,
-    146 -> 2.4, 147 -> 1.4, 148 -> 0.7, 149 -> 1.7, 150 -> 0.4, 151 -> 0.2,
-    152 -> 0.8, 153 -> 0.5, 154 -> 0.4, 155 -> 0.1, 156 -> 0.9, 157 -> 1,
-    158 -> 1.5, 159 -> 1.8, 160 -> 0.2, 161 -> 2.4, 162 -> 0.6, 163 -> 0.8,
-    164 -> 0.8, 165 -> 0.6, 166 -> 0.6, 167 -> 0.7, 168 -> 1.2, 169 -> 1.2,
-    170 -> 0.8, 171 -> 0.5, 172 -> 0.8, 173 -> 1.7, 174 -> 2.4, 175 -> 1,
-    176 -> 0.6, 177 -> 0.2, 178 -> 2.3, 179 -> 3.5, 180 -> 1.4, 181 -> 0.2,
-    182 -> 1.1, 183 -> 0.7, 184 -> 0.6, 185 -> 0.2, 186 -> 0.2, 187 -> 1.6,
-    188 -> 0.6, 189 -> 0.2, 190 -> 0.1, 191 -> 0.2, 192 -> 0.4, 193 -> 0.8,
+    116 -> 0.3, 117 -> 1.2, 118 -> 0.6, 119 -> 1, 120 -> 0.7, 121 -> 0.6,
+    122 -> 3, 123 -> 0.5, 124 -> 0.7, 125 -> 0.9, 126 -> 0.3, 127 -> 0.4,
+    128 -> 0.3, 129 -> 0.4, 130 -> 1.1, 131 -> 0.4, 132 -> 0.4, 133 -> 1.8,
+    134 -> 1.3, 135 -> 0.8, 136 -> 0.6, 137 -> 0.6, 138 -> 1.5, 139 -> 0.7,
+    140 -> 1, 141 -> 0.6, 142 -> 0.6, 143 -> 2.6, 144 -> 0.9, 145 -> 0.6,
+    146 -> 2.3, 147 -> 1.4, 148 -> 0.7, 149 -> 1.7, 150 -> 0.4, 151 -> 0.2,
+    152 -> 0.7, 153 -> 0.4, 154 -> 0.3, 155 -> 0.1, 156 -> 0.8, 157 -> 1,
+    158 -> 1.5, 159 -> 1.8, 160 -> 0.2, 161 -> 1.9, 162 -> 0.6, 163 -> 0.8,
+    164 -> 0.8, 165 -> 0.4, 166 -> 0.4, 167 -> 0.5, 168 -> 1.1, 169 -> 1.2,
+    170 -> 0.8, 171 -> 0.5, 172 -> 0.6, 173 -> 1.5, 174 -> 2.4, 175 -> 0.8,
+    176 -> 0.6, 177 -> 0.2, 178 -> 2.1, 179 -> 2.5, 180 -> 1.4, 181 -> 0.2,
+    182 -> 0.9, 183 -> 0.7, 184 -> 0.6, 185 -> 0.2, 186 -> 0.2, 187 -> 1.5,
+    188 -> 0.4, 189 -> 0.2, 190 -> 0.1, 191 -> 0.2, 192 -> 0.4, 193 -> 0.8,
     194 -> 1.7, 195 -> 0.2, 196 -> 0.8, 197 -> 0.2, 198 -> 0.2, 199 -> 0.5,
-    200 -> 0.2, 201 -> 0.2, 202 -> 0.2, 203 -> 0.2, 204 -> 0.4, 205 -> 0.6,
+    200 -> 0.2, 201 -> 0.2, 202 -> 0.2, 203 -> 0.2, 204 -> 0.3, 205 -> 0.6,
     206 -> 1, 207 -> 0.2, 208 -> 0.2, 209 -> 0.1, 210 -> 0.3, 211 -> 1.5,
-    212 -> 0.4, 213 -> 0.5, 214 -> 0.1, 215 -> 0.3, 216 -> 0.6, 217 -> 0.2,
-    218 -> 2.6, 219 -> 4.1, 220 -> 1.4, 221 -> 2.7, 222 -> 3.5, 223 -> 0.7,
-    224 -> 2.2, 225 -> 0.2, 226 -> 0.8, 227 -> 1.9, 228 -> 0.2, 229 -> 0.7,
-    230 -> 0.6, 231 -> 0.2, 232 -> 0.4, 233 -> 0.4, 234 -> 1.3, 235 -> 0.3,
-    236 -> 0.7, 237 -> 0.7, 238 -> 0.9, 239 -> 1, 240 -> 0.8, 241 -> 1.3,
-    242 -> 1, 243 -> 0.2, 244 -> 1.3, 245 -> 0.6, 246 -> 0.7, 247 -> 2.4,
-    248 -> 1.6, 249 -> 1.1, 250 -> 0.9, 251 -> 1.1, 252 -> 0.6, 253 -> 1.2,
+    212 -> 0.4, 213 -> 0.4, 214 -> 0.1, 215 -> 0.3, 216 -> 0.6, 217 -> 0.2,
+    218 -> 2.6, 219 -> 4.1, 220 -> 1.4, 221 -> 2.5, 222 -> 3.5, 223 -> 0.6,
+    224 -> 2.2, 225 -> 0.2, 226 -> 0.6, 227 -> 1.9, 228 -> 0.2, 229 -> 0.5,
+    230 -> 0.4, 231 -> 0.2, 232 -> 0.3, 233 -> 0.3, 234 -> 1.3, 235 -> 0.2,
+    236 -> 0.7, 237 -> 0.4, 238 -> 0.9, 239 -> 1, 240 -> 0.8, 241 -> 1.2,
+    242 -> 1, 243 -> 0.2, 244 -> 1.3, 245 -> 0.6, 246 -> 0.7, 247 -> 2.2,
+    248 -> 1.6, 249 -> 0.8, 250 -> 0.7, 251 -> 0.8, 252 -> 0.6, 253 -> 1.2,
     254 -> 2.5, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
-    260 -> 1.1, 261 -> 1, 262 -> 5.3, 263 -> 3.2, 264 -> 0.9, 265 -> 1,
-    266 -> 1.6, 267 -> 1, 268 -> 0.8, 269 -> 2.3, 270 -> 1.6, 271 -> 1,
-    272 -> 1.4, 273 -> 0.2, 274 -> 1.6, 275 -> 2.4, 276 -> 2.4, 277 -> 1.6,
+    260 -> 1.1, 261 -> 1, 262 -> 5.3, 263 -> 3.2, 264 -> 0.9, 265 -> 0.8,
+    266 -> 1.6, 267 -> 1, 268 -> 0.6, 269 -> 2.3, 270 -> 1.3, 271 -> 0.7,
+    272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 2.4, 277 -> 1.3,
     278 -> 1.7, 279 -> 1.9, 280 -> 3.1, 281 -> 0.6, 282 -> 0.8, 283 -> 1.1,
-    284 -> 2.6, 285 -> 2.4, 286 -> 4.3, 287 -> 3.3, 288 -> 6, 289 -> 5.3,
-    290 -> 1.5, 291 -> 1.2, 292 -> 4.3, 293 -> 5.8, 294 -> 6.2, 295 -> 1,
-    296 -> 1.1, 297 -> 3.3, 298 -> 1.3, 299 -> 1.6, 300 -> 0.5, 301 -> 2.6,
-    302 -> 0.9, 303 -> 1.2, 304 -> 3.6, 305 -> 6.4)
+    284 -> 2, 285 -> 2.4, 286 -> 4.3, 287 -> 3.3, 288 -> 6, 289 -> 5,
+    290 -> 1.4, 291 -> 1.1, 292 -> 3.5, 293 -> 4.1, 294 -> 6.2, 295 -> 0.9,
+    296 -> 1, 297 -> 2.6, 298 -> 1.3, 299 -> 1.6, 300 -> 0.5, 301 -> 2.6,
+    302 -> 0.8, 303 -> 0.8, 304 -> 2.7, 305 -> 6.4, 306 -> 0.7, 307 -> 5.4,
+    308 -> 3.8, 309 -> 4.3, 310 -> 7.3)
 
 
 

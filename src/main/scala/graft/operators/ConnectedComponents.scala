@@ -163,4 +163,110 @@ object ConnectedComponents {
       labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
+
+  /** Incremental (delta) connected components — standing dup-cluster
+    * MAINTENANCE. Given yesterday's `(id, component)` labels (component
+    * = min reachable node id, [[minLabel]]'s invariant) and today's
+    * DELTA edges, produce the labels full batch CC over
+    * corpus-edges ∪ delta-edges would produce — WITHOUT the corpus
+    * edges, which this method never sees (so "only touched components
+    * recompute" holds by construction, not by review).
+    *
+    * Algorithm — CC on the QUOTIENT graph: map each delta endpoint x to
+    * comp(x) = its standing component, or x itself when x is new; run
+    * [[minLabel]] over the delta-sized edge list (comp(a), comp(b)).
+    * Because every standing component id IS the min node id of its
+    * members, the quotient min-label of a merged group = min over the
+    * constituent components' mins and the new node ids = exactly the
+    * batch min label of the merged component. Untouched components
+    * never enter the quotient graph, so their labels pass through the
+    * final projection bit-identical (a left-outer broadcast join that
+    * finds no remap row).
+    *
+    * Scale shape (the q156/q290 asymmetry, on the graph): the standing
+    * table streams ONCE through two broadcast hash joins (endpoint
+    * lookup + final remap) and is never shuffled or self-joined; every
+    * other frame — endpoints, quotient edges, the remap — is bounded by
+    * the DELTA size. The iterated loop runs on the quotient graph
+    * (nodes = touched components + new nodes), not the corpus graph.
+    *
+    * @param standing (id, component) from a previous [[minLabel]] run
+    *                 (ids absent here are treated as isolated, i.e.
+    *                 component = own id — minLabel's own convention for
+    *                 edge-less nodes)
+    * @param deltaEdges undirected delta edges (self-loops ignored)
+    * @return (id, component) for standing ids ∪ delta endpoints
+    */
+  /** comp(x) for every delta endpoint, in ONE standing pass: the
+    * endpoint sliver broadcasts into the corpus-sized standing scan
+    * (never the reverse), and endpoints the scan does not find are new
+    * nodes mapping to themselves. Returns (found, newNodes), both
+    * staged eagerly and delta-bounded; shared by the batch incremental
+    * path and the streaming twin so the two cannot drift. */
+  private[graft] def endpointComponents(standing: DataFrame,
+      ends: DataFrame): (DataFrame, DataFrame) = {
+    val found = Staging.stage(
+      standing.join(broadcast(ends), col("id") === col("nid"))
+        .select(col("nid"), col("component")),
+      eager = true)
+    val newNodes = Staging.stage(
+      ends.join(found.select(col("nid")).withColumnRenamed("nid", "fid"),
+          col("nid") === col("fid"), "left_anti")
+        .select(col("nid"), col("nid").as("component")),
+      eager = true)
+    (found, newNodes)
+  }
+
+  /** Quotient edges over the component mapping `comp0` (nid,
+    * component): delta-bounded, so both attachments broadcast; edges
+    * internal to one component drop. Shared by [[incremental]] and the
+    * streaming twin. */
+  private[graft] def quotientEdges(de: DataFrame,
+      comp0: DataFrame): DataFrame = de
+    .join(broadcast(comp0.select(col("nid").as("a"),
+      col("component").as("ca"))), "a")
+    .join(broadcast(comp0.select(col("nid").as("b"),
+      col("component").as("cb"))), "b")
+    .select(col("ca"), col("cb")).filter(col("ca") =!= col("cb"))
+
+  /** The final projection shared by [[incremental]] and its streaming
+    * twin: remap (oldc -> newc, touched components only) broadcasts
+    * into one standing pass — untouched labels coalesce through
+    * unchanged — and new nodes take their quotient label. */
+  private[graft] def applyRemap(standing: DataFrame, remap: DataFrame,
+      newNodes: DataFrame): DataFrame = {
+    val updated = standing
+      .join(broadcast(remap), col("component") === col("oldc"),
+        "left_outer")
+      .select(col("id"), coalesce(col("newc"), col("component"))
+        .as("component"))
+    val newRows = newNodes.select(col("nid"), col("component").as("c0"))
+      .join(broadcast(remap), col("c0") === col("oldc"), "left_outer")
+      .select(col("nid").as("id"), coalesce(col("newc"), col("c0"))
+        .as("component"))
+    updated.unionByName(newRows)
+  }
+
+  def incremental(standing: DataFrame, deltaEdges: DataFrame,
+      srcCol: String, dstCol: String, maxIterations: Int = 20)
+      : DataFrame = {
+    val de = Staging.stage(
+      deltaEdges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .filter(col("a") =!= col("b")).distinct(),
+      eager = true)
+    val ends = de.select(col("a").as("nid"))
+      .unionByName(de.select(col("b").as("nid"))).distinct()
+    val (found, newNodes) = endpointComponents(standing, ends)
+    val rEdges = quotientEdges(de, found.unionByName(newNodes))
+    // min-label over the quotient graph; empty when every delta edge is
+    // internal to one existing component (remap is then empty and the
+    // final projection is the identity)
+    val remap = Staging.stage(
+      minLabel(rEdges, "ca", "cb", maxIterations)
+        .select(col("id").as("oldc"), col("component").as("newc"))
+        .filter(col("oldc") =!= col("newc")),
+      eager = true)
+    Staging.release(de); Staging.release(found)
+    applyRemap(standing, remap, newNodes)
+  }
 }

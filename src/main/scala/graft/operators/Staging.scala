@@ -71,6 +71,20 @@ object Staging {
     out
   }
 
+  /** [[stage]] + attach a KNOWN row count as LogicalRDD statistics
+    * (via `GraftSqlBridge.withKnownStats`), so downstream joins against
+    * the staged frame get a real size estimate and Catalyst makes the
+    * broadcast decision itself — no hand-placed `broadcast()` hint, and
+    * the decision flips to shuffle automatically when the frame
+    * outgrows `autoBroadcastJoinThreshold` at scale. Use in iterated
+    * loops where the per-round sliver's cardinality is already known
+    * (graph label/rank tables: one row per node). `release`/`sweep`
+    * work unchanged — the stats wrapper shares the staged RDD. */
+  def stageWithStats(df: DataFrame, rowCount: Long,
+      eager: Boolean): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.withKnownStats(
+      stage(df, eager), rowCount)
+
   /** Release ONE staged frame's blocks (non-blocking). Matches only when
     * `staged` is directly the frame `stage` returned (its analyzed plan
     * is the checkpoint's LogicalRDD leaf itself) — derived frames are

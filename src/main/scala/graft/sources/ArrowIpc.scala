@@ -6,13 +6,15 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, Float4Vector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, ArrowReader, ArrowStreamReader, ArrowStreamWriter}
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
@@ -42,41 +44,64 @@ import org.apache.spark.unsafe.types.UTF8String
   * (bounded memory; no driver collect anywhere). The READ plans one
   * input partition per file, so a 1000-file dataset fans out to 1000
   * parallel readers; per-task memory is one Arrow record batch.
-  * Supported Spark types: BIGINT, INT, DOUBLE, STRING — the typed
-  * projection surface the interchange queries exercise; unsupported
-  * types fail loudly at write time.
+  * Supported Spark types: BIGINT, INT, DOUBLE, STRING, and (round 12)
+  * ARRAY&lt;FLOAT&gt; / ARRAY&lt;DOUBLE&gt; — embedding columns, the
+  * payload a torch/Ray dataloader actually pulls over Arrow (Arrow
+  * `ListVector` of `Float4`/`Float8`); unsupported types (and NULL
+  * elements inside a list — Arrow allows them, no fixture produces
+  * them) fail loudly at write time.
   */
 object ArrowIpc {
 
   private val ChunkRows = 4096
 
   private def arrowField(f: StructField): Field = {
-    val t = f.dataType match {
+    def flat(dt: DataType): ArrowType = dt match {
       case LongType => new ArrowType.Int(64, true)
       case IntegerType => new ArrowType.Int(32, true)
+      case FloatType => new ArrowType.FloatingPoint(
+        FloatingPointPrecision.SINGLE)
       case DoubleType => new ArrowType.FloatingPoint(
         FloatingPointPrecision.DOUBLE)
       case StringType => new ArrowType.Utf8
       case other => throw new IllegalArgumentException(
         s"graft-arrow: unsupported type $other for column ${f.name}")
     }
-    new Field(f.name, FieldType.nullable(t), null)
+    f.dataType match {
+      case ArrayType(et @ (FloatType | DoubleType), _) =>
+        new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
+          Seq(new Field("item", FieldType.nullable(flat(et)), null)).asJava)
+      case ArrayType(other, _) => throw new IllegalArgumentException(
+        s"graft-arrow: unsupported array element type $other for " +
+          s"column ${f.name}")
+      case dt => new Field(f.name, FieldType.nullable(flat(dt)), null)
+    }
   }
 
   private[sources] def toArrow(st: StructType): ArrowSchema =
     new ArrowSchema(st.fields.map(arrowField).toSeq.asJava)
 
+  private def flatFromArrow(t: ArrowType): DataType = t match {
+    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+    case _: ArrowType.Utf8 => StringType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.DOUBLE =>
+      DoubleType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.SINGLE =>
+      FloatType
+    case other => throw new IllegalArgumentException(
+      s"graft-arrow: unsupported Arrow type $other")
+  }
+
   private[sources] def fromArrow(s: ArrowSchema): StructType =
     StructType(s.getFields.asScala.map { f =>
       val dt = f.getType match {
-        case i: ArrowType.Int if i.getBitWidth == 64 => LongType
-        case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
-        case _: ArrowType.Utf8 => StringType
-        case fp: ArrowType.FloatingPoint
-            if fp.getPrecision == FloatingPointPrecision.DOUBLE =>
-          DoubleType
-        case other => throw new IllegalArgumentException(
-          s"graft-arrow: unsupported Arrow type $other")
+        case _: ArrowType.List =>
+          ArrayType(flatFromArrow(f.getChildren.get(0).getType),
+            containsNull = false)
+        case t => flatFromArrow(t)
       }
       StructField(f.getName, dt, nullable = true)
     }.toSeq)
@@ -109,15 +134,43 @@ object ArrowIpc {
                 if (row.isNullAt(j)) v match {
                   case x: BigIntVector => x.setNull(i)
                   case x: IntVector => x.setNull(i)
+                  case x: Float4Vector => x.setNull(i)
                   case x: Float8Vector => x.setNull(i)
                   case x: VarCharVector => x.setNull(i)
+                  case x: ListVector => x.setNull(i)
                 } else v match {
                   case x: BigIntVector => x.setSafe(i, row.getLong(j))
                   case x: IntVector => x.setSafe(i, row.getInt(j))
+                  case x: Float4Vector => x.setSafe(i, row.getFloat(j))
                   case x: Float8Vector => x.setSafe(i, row.getDouble(j))
                   case x: VarCharVector => x.setSafe(i,
                     row.getString(j).getBytes(
                       java.nio.charset.StandardCharsets.UTF_8))
+                  case x: ListVector =>
+                    // embedding column: one offsets entry + the
+                    // elements appended to the shared child vector;
+                    // setSafe on the child grows it as needed. NULL
+                    // elements are a loud error (scaladoc contract).
+                    val seq = row.getAs[scala.collection.Seq[Any]](j)
+                    val start = x.startNewValue(i)
+                    var k = 0
+                    x.getDataVector match {
+                      case dv: Float4Vector => seq.foreach { e =>
+                        require(e != null, "graft-arrow: NULL list " +
+                          s"element in column ${schema.fields(j).name}")
+                        dv.setSafe(start + k, e.asInstanceOf[Float])
+                        k += 1
+                      }
+                      case dv: Float8Vector => seq.foreach { e =>
+                        require(e != null, "graft-arrow: NULL list " +
+                          s"element in column ${schema.fields(j).name}")
+                        dv.setSafe(start + k, e.asInstanceOf[Double])
+                        k += 1
+                      }
+                      case other => throw new IllegalArgumentException(
+                        s"graft-arrow: unsupported list child $other")
+                    }
+                    x.endValue(i, k)
                 }
               }
               i += 1
@@ -198,9 +251,25 @@ private[sources] class ArrowReaderFactory(schema: StructType)
           else v match {
             case x: BigIntVector => row.setLong(j, x.get(i))
             case x: IntVector => row.setInt(j, x.get(i))
+            case x: Float4Vector => row.setFloat(j, x.get(i))
             case x: Float8Vector => row.setDouble(j, x.get(i))
             case x: VarCharVector =>
               row.update(j, UTF8String.fromBytes(x.get(i)))
+            case x: ListVector =>
+              val s = x.getElementStartIndex(i)
+              val e = x.getElementEndIndex(i)
+              val out = new Array[Any](e - s)
+              x.getDataVector match {
+                case dv: Float4Vector =>
+                  var k = s
+                  while (k < e) { out(k - s) = dv.get(k); k += 1 }
+                case dv: Float8Vector =>
+                  var k = s
+                  while (k < e) { out(k - s) = dv.get(k); k += 1 }
+                case other => throw new IllegalArgumentException(
+                  s"graft-arrow: unsupported list child $other")
+              }
+              row.update(j, new GenericArrayData(out))
           }
           j += 1
         }

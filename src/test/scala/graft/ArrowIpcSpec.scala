@@ -65,9 +65,65 @@ class ArrowIpcSpec extends SparkTestBase {
   }
 
   test("unsupported type fails loudly at write time") {
-    val df = Seq((1L, Seq(1.0))).toDF("k", "arr")
+    // float/double arrays are supported since r12 — string arrays are
+    // the representative still-unsupported case
+    val df = Seq((1L, Seq("a"))).toDF("k", "arr")
     val dir = java.nio.file.Files.createTempDirectory("arrow_u_").toString
     val e = intercept[Exception] { ArrowIpc.write(df, dir) }
     assert(e.getMessage != null)
+  }
+
+  test("embedding columns: float/double arrays, null row, empty list") {
+    val sch = StructType(Seq(
+      StructField("k", LongType),
+      StructField("fv", ArrayType(FloatType, containsNull = false)),
+      StructField("dv", ArrayType(DoubleType, containsNull = false))))
+    val rows = Seq(
+      Row(1L, Seq(1.5f, -0.0f, Float.MinPositiveValue), Seq(1.5, 2.5)),
+      Row(2L, Seq.empty[Float], Seq(-1.7976931348623157e308)),
+      Row(3L, null, null),
+      Row(4L, Seq(Float.MaxValue, -3.4e-38f), Seq.empty[Double]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), sch)
+    for (fileFormat <- Seq(false, true)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("arrow_emb_").toString
+      ArrowIpc.write(df, dir, fileFormat)
+      val back = spark.read.format("graft-arrow").load(dir)
+      assert(back.schema("fv").dataType.asInstanceOf[ArrayType]
+        .elementType == FloatType)
+      assert(back.schema("dv").dataType.asInstanceOf[ArrayType]
+        .elementType == DoubleType)
+      def canon(r: Row): (Long, String, String) = (
+        r.getLong(0),
+        if (r.isNullAt(1)) "<null>"
+        else r.getSeq[Float](1).map(f => java.lang.Integer.toHexString(
+          java.lang.Float.floatToRawIntBits(f))).mkString(","),
+        if (r.isNullAt(2)) "<null>"
+        else r.getSeq[Double](2).map(d => java.lang.Long.toHexString(
+          java.lang.Double.doubleToRawLongBits(d))).mkString(","))
+      assert(back.collect().map(canon).toSet ==
+        df.collect().map(canon).toSet)
+    }
+  }
+
+  test("chunk boundaries preserve list offsets (multi-batch file)") {
+    // > one 4096-row batch per partition, varying lengths — a broken
+    // offsets reset between batches would mis-slice every later vector
+    val df = spark.range(0, 9000, 1, 1).selectExpr("id as k",
+      "transform(sequence(1, CAST(id % 7 AS INT)), " +
+        "x -> CAST(x * 0.5 AS FLOAT)) AS fv")
+    val dir = java.nio.file.Files.createTempDirectory("arrow_mb_").toString
+    ArrowIpc.write(df, dir)
+    val back = spark.read.format("graft-arrow").load(dir)
+    val got = back.selectExpr("sum(k)", "sum(size(fv))",
+      "sum(CAST(aggregate(fv, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + CAST(x AS DOUBLE)) * 2 AS BIGINT))")
+      .head()
+    val want = df.selectExpr("sum(k)", "sum(size(fv))",
+      "sum(CAST(aggregate(fv, CAST(0.0 AS DOUBLE), " +
+        "(a, x) -> a + CAST(x AS DOUBLE)) * 2 AS BIGINT))")
+      .head()
+    assert(got == want)
   }
 }

@@ -74,6 +74,42 @@ class QDigestSpec extends SparkTestBase {
     assert(a.sortBy(_._1) == b.sortBy(_._1))
   }
 
+  test("weighted leaves: heavy skew keeps the weighted-rank bound (q308)") {
+    // leaf mass = SUM(weight), not row count — a handful of buckets carry
+    // 1000x the rest; the digest must still answer within the bound
+    // measured in WEIGHT units
+    val hist = (0 until 40).map { i =>
+      val b = (i * 13L + 3) % Nleaf
+      (b, if (i % 11 == 0) 5000L else 1L + (i % 5))
+    }.groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2).sum) }.toSeq
+    val n = hist.map(_._2).sum
+    val t = (n / 12).max(1)
+    val dig = localDigest(hist, t)
+    assert(dig.map(_._3).sum == n, "weighted mass not conserved")
+    val exact = hist.sortBy(_._1)
+    for (pct <- Seq(50, 95)) {
+      val target = (pct * n + 99) / 100
+      val geo = dig.map { case (node, lv, cnt) =>
+        val span = 1L << (Levels - lv)
+        val lo = node * span - Nleaf
+        (lo, lo + span - 1, cnt)
+      }.sortBy { case (lo, hi, _) => (hi, -lo) }
+      val estHi = geo.scanLeft(0L)(_ + _._3).tail.zip(geo)
+        .collectFirst { case (cum, (_, hi, _)) if cum >= target => hi }
+        .get
+      val rankLe = exact.filter(_._1 <= estHi).map(_._2).sum
+      val chosenCnt = geo.find(_._2 == estHi).map(_._3).getOrElse(0L)
+      assert(rankLe >= target &&
+        rankLe - target <= chosenCnt + 2L * Levels * t,
+        s"pct=$pct: weighted rank_le=$rankLe target=$target out of bound")
+      // the exact weighted quantile bucket is never ABOVE the estimate
+      val exactBucket = exact.scanLeft(0L)(_ + _._2).tail.zip(exact)
+        .collectFirst { case (cum, (b, _)) if cum >= target => b }.get
+      assert(exactBucket <= estHi,
+        s"pct=$pct: exact bucket $exactBucket above estimate $estHi")
+    }
+  }
+
   test("merge(shard digests) + recompress meets the rank bound") {
     val hist = histogram(400)
     val n = hist.map(_._2).sum

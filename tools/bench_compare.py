@@ -160,3 +160,15 @@ for extra in ("ingest_k", "ing0", "st", "str", "sv", "stb", "lat", "z95"):
 if "rem" in new:
     print("rem =", {norm(k, kb): (v / qd if v >= 0 else v)
                 for k, v in new["rem"].items()})
+
+# rem-derived prior floors (fold_bench tags them in the quiet artifact):
+# these priors come from one-off re-measure corrections, not full-run
+# cells — a "regression" against them is usually fold asymmetry, not code
+for qa in sorted(Path(".").glob("BENCH_r*_quiet.json"), reverse=True):
+    try:
+        tagged = json.loads(qa.read_text()).get("rem_floor_qs")
+    except Exception:
+        continue
+    if tagged is not None:
+        print(f"prior floors tagged src:rem in {qa.name}: {tagged}")
+        break
