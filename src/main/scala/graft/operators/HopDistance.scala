@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Multi-source BFS hop distance — shortest unweighted path length
+  * from a SEED SET to every node, by synchronous min-plus relaxation:
+  * dist_0 = 0 on seeds and unknown elsewhere; each round every node
+  * takes the minimum of its current distance and (min over in-neighbors
+  * of their distance) + 1. The fixed point is the exact multi-source
+  * BFS distance; unreached nodes stay NULL (another component).
+  *
+  * This closes the per-node graph profile next to degree, triangles,
+  * clustering coefficient, components, PageRank, LPA communities,
+  * coreness and personalized PageRank: PPR (q305) measures AFFINITY to
+  * the trusted core through edge weights; hop distance measures
+  * PROXIMITY in hops — the "how many introductions away from a known
+  * entity" question behind trust propagation, fraud-ring radius and
+  * contamination tracing in dedup graphs.
+  *
+  * Every round is integer-exact (distances are BIGINTs, relaxation is
+  * min/+1), so an unrolled SQL oracle replays the rounds bit-for-bit,
+  * and rounds past the fixed point are no-ops — the q262 proof shape.
+  * Rounds to converge = eccentricity of the seed set, small on the
+  * short-diameter graphs curation pipelines build.
+  *
+  * Loop discipline mirrors [[Coreness]]: edges staged eagerly once,
+  * the (id, dist) sliver staged lazily per round with its known row
+  * count so Catalyst broadcasts it while small and shuffles it at
+  * scale; shuffle width narrowed for the sliver loop and restored.
+  * Convergence is join-free: the DECIMAL(38,0) sum of
+  * coalesce(dist, n + 1) is strictly monotone decreasing until the
+  * fixed point (a NULL→k settle and a k→k' improvement both decrease
+  * it), so an unchanged sum IS convergence.
+  */
+object HopDistance {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** @param edges directed edges; symmetrize upstream for undirected.
+    * @param seeds one-column DataFrame of seed node ids (distance 0).
+    *              Seed ids not present in the edge list are ignored —
+    *              the result covers exactly the edge list's nodes.
+    * @return (id, dist) for every node appearing as src or dst; dist
+    *         is NULL for nodes unreachable from every seed.
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      maxIterations: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    def now() = System.nanoTime()
+    def secs(t0: Long) = f"${(now() - t0) / 1e9}%.2f"
+
+    val tEdges = now()
+    val e = Staging.stage(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
+      eager = true)
+    val nodes = Staging.stage(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct(),
+      eager = true)
+    val n = nodes.count()
+    log.info(s"hopdist: edge/node staging ${secs(tEdges)}s (n=$n)")
+
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // settle metric: sum of coalesce(dist, n+1) — monotone decreasing
+      // to the fixed point; n+1 exceeds any reachable distance
+      val sumCol = coalesce(
+        sum(coalesce(col("dist"), lit(n + 1)).cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0)))
+      var d = Staging.stageWithStats(
+        nodes.join(seeds.select(col(seedCol).as("sid")).distinct(),
+            col("id") === col("sid"), "left_outer")
+          .select(col("id"),
+            when(col("sid").isNotNull, lit(0L)).as("dist")),
+        n, eager = false)
+      var prevSum = d.agg(sumCol).head().getDecimal(0)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        val tRound = now()
+        // frontier relaxation: min over in-neighbors' settled distances
+        val relax = e.join(d.filter(col("dist").isNotNull),
+            col("src") === col("id"))
+          .groupBy(col("dst")).agg((min(col("dist")) + 1).as("md"))
+        val next = Staging.stageWithStats(
+          d.join(relax, col("id") === col("dst"), "left_outer")
+            .select(col("id"),
+              // explicit CASE (not least()): NULL-skipping least()
+              // semantics differ across engines, and the oracle must
+              // replay this line exactly
+              when(col("dist").isNull, col("md"))
+                .otherwise(when(col("md") < col("dist"), col("md"))
+                  .otherwise(col("dist"))).as("dist")),
+          n, eager = false)
+        val s = next.agg(sumCol).head().getDecimal(0)
+        Staging.release(d)
+        d = next
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        i += 1
+        log.info(s"hopdist: round $i ${secs(tRound)}s (sum=$s)")
+      }
+      require(converged,
+        s"hop distance did not converge in $maxIterations rounds")
+      Staging.release(e); Staging.release(nodes)
+      d
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+}
