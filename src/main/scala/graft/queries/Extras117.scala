@@ -42,11 +42,11 @@ import graft.sources.Tables
   */
 object Extras117 {
 
-  val all: Seq[Qry] = Seq(
-
-    Qry(
-      "q315_entity_resolution",
-      s"""WITH toks AS (SELECT doc_id, lang,
+  /** Oracle text shared VERBATIM with the streaming twin q319
+    * (Extras120): the stream replays the same corpus once, so batch
+    * and stream must produce the same resolved table. */
+  private[queries] val ErOracle =
+    s"""WITH toks AS (SELECT doc_id, lang,
          |  list_filter(string_split_regex(lower(text),
          |    '${TextOps.TokenReDuck}'), t -> len(t) > 0) AS tk
          |  FROM documents),
@@ -79,20 +79,37 @@ object Extras117 {
          |    AS n_cand, correct,
          |  CAST((1000000 * SUM(correct) OVER ()) // COUNT(*) OVER ()
          |    AS BIGINT) AS accuracy_ppm
-         |FROM best WHERE rn = 1""".stripMargin) { (spark, dir) =>
+         |FROM best WHERE rn = 1""".stripMargin
+
+  /** Clean-title entity registry: (doc_id, t) — ASCII titles of length
+    * ≥ 9 from the first five tokens of every English document. Shared
+    * with the streaming twin q319. */
+  private[queries] def entities(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val title = concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 5))
+    docs.filter(col("lang") === "en")
+      .select(col("doc_id"), title.as("t"))
+      .filter(length(col("t")) >= 9 && col("t").rlike("^[a-z0-9 ]+$"))
+  }
+
+  /** Deterministically corrupted probes: (doc_id, d, own) — one
+    * character deleted at a hash-chosen position. */
+  private[queries] def dirtyProbes(ent: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ent.withColumn("pos",
+        (TextOps.hashMod(col("t")) % length(col("t")) + 1)
+          .cast(IntegerType))
+      .select(col("doc_id"),
+        expr("substring(t, 1, pos - 1) || " +
+          "substring(t, pos + 1, length(t))").as("d"),
+        col("t").as("own"))
+
+  val all: Seq[Qry] = Seq(
+
+    Qry("q315_entity_resolution", ErOracle) { (spark, dir) =>
       import spark.implicits._
-      val title = concat_ws(" ", slice(TextOps.tokens($"text"), 1, 5))
-      val ent = Tables(spark, dir).documents
-        .filter($"lang" === "en")
-        .select($"doc_id", title.as("t"))
-        .filter(length($"t") >= 9 && $"t".rlike("^[a-z0-9 ]+$"))
-      val dd = ent
-        .withColumn("pos",
-          (TextOps.hashMod($"t") % length($"t") + 1).cast(IntegerType))
-        .select($"doc_id", $"t",
-          expr("substring(t, 1, pos - 1) || " +
-            "substring(t, pos + 1, length(t))").as("d"))
-      val probe = dd.select($"doc_id", $"d", $"t".as("own"))
+      val ent = entities(Tables(spark, dir).documents)
+      val probe = dirtyProbes(ent)
       val reg = ent.select($"doc_id".as("cid"), $"t".as("ct"))
       val cand = probe.join(reg,
           substring($"d", 1, 4) === substring($"ct", 1, 4))
