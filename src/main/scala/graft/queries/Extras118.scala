@@ -38,14 +38,13 @@ import graft.sources.Tables
   */
 object Extras118 {
 
-  private val MinPts = 30
+  private[queries] val MinPts = 30
   private val CellCents = 400000L // $4,000 price cells
 
-  val all: Seq[Qry] = Seq(
-
-    Qry(
-      "q316_grid_density_clusters",
-      s"""WITH RECURSIVE pts AS (SELECT CAST(l_quantity AS BIGINT) * 2
+  /** Oracle text shared VERBATIM with the streaming twin q325
+    * (Extras123): the stream replays the same lineitem corpus once. */
+  private[queries] val GridOracle =
+    s"""WITH RECURSIVE pts AS (SELECT CAST(l_quantity AS BIGINT) * 2
          |    AS cx,
          |    CAST(round(l_extendedprice * 100) AS BIGINT) // $CellCents
          |      AS cy FROM lineitem),
@@ -73,14 +72,22 @@ object Extras118 {
          |  FROM cells c
          |  WHERE c.n < $MinPts AND NOT EXISTS (SELECT 1 FROM corec k
          |    WHERE k.cx BETWEEN c.cx - 1 AND c.cx + 1
-         |      AND k.cy BETWEEN c.cy - 1 AND c.cy + 1)""".stripMargin) {
-      (spark, dir) =>
-      import spark.implicits._
-      val cells = Tables(spark, dir).lineitem
-        .select(($"l_quantity".cast(LongType) * 2).as("cx"),
-          expr(s"CAST(round(l_extendedprice * 100) AS BIGINT) " +
-            s"DIV $CellCents").as("cy"))
-        .groupBy($"cx", $"cy").agg(count(lit(1)).as("n"))
+         |      AND k.cy BETWEEN c.cy - 1 AND c.cy + 1)""".stripMargin
+
+  /** Integer cell coordinates for a lineitem frame (batch or stream). */
+  private[queries] def gridCells(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    li.select((col("l_quantity").cast(LongType) * 2).as("cx"),
+        expr(s"CAST(round(l_extendedprice * 100) AS BIGINT) " +
+          s"DIV $CellCents").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+
+  /** Core/border/noise + cluster assignment over a (cx, cy, n) cell
+    * table — shared verbatim by q316 and the streaming twin q325. */
+  private[queries] def densityTail(cells: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import cells.sparkSession.implicits._
+    {
       val core = cells.filter($"n" >= MinPts)
         .withColumn("id", $"cx" * 1000000L + $"cy")
       // 8-neighborhood as a 9-offset explode + equi-join (never a
@@ -118,6 +125,13 @@ object Extras118 {
           lit(null).cast(LongType).as("cluster"))
       corec.select($"cx", $"cy", $"n", lit(0).as("role"), $"cluster")
         .unionByName(border).unionByName(noise)
+    }
+  }
+
+  val all: Seq[Qry] = Seq(
+
+    Qry("q316_grid_density_clusters", GridOracle) { (spark, dir) =>
+      densityTail(gridCells(Tables(spark, dir).lineitem))
     }
   )
 }
