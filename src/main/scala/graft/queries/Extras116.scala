@@ -77,7 +77,7 @@ object Extras116 {
   /** Chi-square tail over a (source, lang, o) count table — margins,
     * full grid (empty cells included), exact integral statistics.
     * Shared verbatim between q313 and the streaming twin q314. */
-  private[queries] def chiSquareTail(counts: DataFrame): DataFrame = {
+  private[graft] def chiSquareTail(counts: DataFrame): DataFrame = {
     val r = counts.groupBy(col("source")).agg(sum(col("o")).as("r"))
     val c = counts.groupBy(col("lang")).agg(sum(col("o")).as("c"))
     val n = counts.agg(sum(col("o")).as("n"))

@@ -84,7 +84,7 @@ object Extras118 {
 
   /** Core/border/noise + cluster assignment over a (cx, cy, n) cell
     * table — shared verbatim by q316 and the streaming twin q325. */
-  private[queries] def densityTail(cells: org.apache.spark.sql.DataFrame)
+  private[graft] def densityTail(cells: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import cells.sparkSession.implicits._
     {
