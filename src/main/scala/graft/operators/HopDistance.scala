@@ -110,4 +110,101 @@ object HopDistance {
       d
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
+
+  /** Incremental hop-distance MAINTENANCE under edge INSERTIONS — the
+    * q307 (incremental CC) shape on shortest paths: yesterday's
+    * standing (id, dist) table + today's delta edges → today's exact
+    * distances, with per-round work bounded by the AFFECTED region,
+    * not the corpus.
+    *
+    * Soundness: inserting edges can only SHORTEN hop distances, so the
+    * standing table is a pointwise UPPER bound of the new fixed point,
+    * and min-plus relaxation started from any upper bound (seeds
+    * pinned at 0) converges to the exact distances — Bellman–Ford
+    * warm-starting. Efficiency: the first round relaxes only across
+    * the DELTA edges; every later round relaxes the full edge leaf
+    * against the FRONTIER (nodes improved last round) — a
+    * delta-bounded sliver joined into the staged edge leaf, exactly a
+    * standing index probed by a delta-sized shuffle. Untouched nodes'
+    * rows pass through bit-identical without ever being joined
+    * (spec-pinned). Convergence = empty frontier.
+    *
+    * New nodes (endpoints appearing only in delta edges) enter with
+    * unknown distance and settle through the same relaxation;
+    * unreachable ones stay NULL.
+    *
+    * @param standing yesterday's (id, dist) — [[run]]'s output schema
+    * @param edges    the FULL symmetrized edge set (corpus ∪ delta):
+    *                 improvements seeded by a delta edge propagate
+    *                 onward through corpus edges
+    * @param deltaEdges the newly inserted (already-symmetrized) edges
+    */
+  def incremental(standing: DataFrame, edges: DataFrame,
+      deltaEdges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 50): DataFrame = {
+    val spark = standing.sparkSession
+    val e = Staging.stage(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct(),
+      eager = true)
+    val de = Staging.stage(
+      deltaEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct(),
+      eager = true)
+    val newNodes = de.select(col("src").as("id"))
+      .unionByName(de.select(col("dst").as("id"))).distinct()
+      .join(standing.select(col("id").as("sid")),
+        col("id") === col("sid"), "left_anti")
+      .select(col("id"), lit(null).cast("long").as("dist"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // one staged frame per round: (id, dist, imp) — imp marks the
+      // frontier (rows improved last round); a single count() action
+      // materializes the round AND sizes the frontier
+      var d = Staging.stage(
+        standing.select(col("id"), col("dist").cast("long").as("dist"))
+          .unionByName(newNodes)
+          .withColumn("imp", lit(false)),
+        eager = true)
+      val n = d.count()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIterations) {
+        // round 0 relaxes across the delta edges only; later rounds
+        // relax the staged full-edge leaf restricted to the frontier —
+        // a delta-bounded sliver probing the standing index
+        val relaxFrom =
+          if (i == 0) de
+          else e.join(d.filter(col("imp")).select(col("id").as("fid")),
+              col("src") === col("fid"))
+            .select(col("src"), col("dst"))
+        val cand = relaxFrom
+          .join(d.filter(col("dist").isNotNull)
+              .select(col("id").as("sid"), col("dist").as("sd")),
+            col("src") === col("sid"))
+          .groupBy(col("dst")).agg((min(col("sd")) + 1).as("md"))
+        val next = Staging.stageWithStats(
+          d.select(col("id"), col("dist"))
+            .join(cand, col("id") === col("dst"), "left_outer")
+            .select(col("id"),
+              when(col("dist").isNull, col("md"))
+                .otherwise(when(col("md") < col("dist"), col("md"))
+                  .otherwise(col("dist"))).as("dist"),
+              (col("md").isNotNull &&
+                (col("dist").isNull || col("md") < col("dist")))
+                .as("imp")),
+          n, eager = false)
+        val fCount = next.filter(col("imp")).count()
+        Staging.release(d)
+        d = next
+        converged = fCount == 0
+        i += 1
+        log.info(s"hopdist-inc: round $i frontier=$fCount")
+      }
+      require(converged,
+        s"incremental hop distance did not converge in $maxIterations")
+      Staging.release(e); Staging.release(de)
+      d.select(col("id"), col("dist"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
 }

@@ -42,7 +42,7 @@ import graft.sources.Tables
 object Extras115 {
 
   /** Seed suppliers (q305's trusted core): 1 ≤ s_suppkey ≤ SeedMax. */
-  private val SeedMax = 5
+  private[queries] val SeedMax = 5
 
   /** Shared trade-graph CTE prefix (q262/q305's construction):
     * customer node = 2c, supplier node = 2s+1, one undirected edge per
@@ -76,7 +76,7 @@ object Extras115 {
        |    WHERE dn.dist IS NOT NULL GROUP BY 1) m
        |  ON m.node = d.node)""".stripMargin
 
-  private def tradeEdges(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def tradeEdges(spark: org.apache.spark.sql.SparkSession,
       dir: String) = {
     import spark.implicits._
     val tt = Tables(spark, dir)
@@ -87,6 +87,26 @@ object Extras115 {
     b.select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"))
       .unionByName(b.select(($"s" * 2 + 1).as("src"), ($"c" * 2).as("dst")))
   }
+
+  /** Full-graph BFS oracle — shared VERBATIM by q312 and q328 (the
+    * incremental path must reproduce the batch answer in one hash). */
+  private[queries] val BfsOracle =
+      s"""WITH $GraphCtes,
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |seeds AS (SELECT node FROM n
+         |          WHERE node % 2 = 1
+         |            AND (node - 1) // 2 BETWEEN 1 AND $SeedMax),
+         |d0 AS (SELECT n.node, CASE WHEN s.node IS NOT NULL
+         |        THEN CAST(0 AS BIGINT) END AS dist
+         |  FROM n LEFT JOIN seeds s ON n.node = s.node),
+         |${bfsRound("d1", "d0")},
+         |${bfsRound("d2", "d1")},
+         |${bfsRound("d3", "d2")},
+         |${bfsRound("d4", "d3")},
+         |${bfsRound("d5", "d4")},
+         |${bfsRound("d6", "d5")}
+         |SELECT node % 2 AS kind, node // 2 AS key, dist
+         |FROM d6""".stripMargin
 
   val all: Seq[Qry] = Seq(
 
@@ -109,24 +129,7 @@ object Extras115 {
           $"core")
     },
 
-    Qry(
-      "q312_hop_distance",
-      s"""WITH $GraphCtes,
-         |n AS (SELECT DISTINCT src AS node FROM e),
-         |seeds AS (SELECT node FROM n
-         |          WHERE node % 2 = 1
-         |            AND (node - 1) // 2 BETWEEN 1 AND $SeedMax),
-         |d0 AS (SELECT n.node, CASE WHEN s.node IS NOT NULL
-         |        THEN CAST(0 AS BIGINT) END AS dist
-         |  FROM n LEFT JOIN seeds s ON n.node = s.node),
-         |${bfsRound("d1", "d0")},
-         |${bfsRound("d2", "d1")},
-         |${bfsRound("d3", "d2")},
-         |${bfsRound("d4", "d3")},
-         |${bfsRound("d5", "d4")},
-         |${bfsRound("d6", "d5")}
-         |SELECT node % 2 AS kind, node // 2 AS key, dist
-         |FROM d6""".stripMargin) { (spark, dir) =>
+    Qry("q312_hop_distance", BfsOracle) { (spark, dir) =>
       import spark.implicits._
       val seeds = spark.range(1, SeedMax + 1)
         .select(($"id" * 2 + 1).as("sid"))
@@ -135,4 +138,5 @@ object Extras115 {
           $"dist")
     }
   )
+
 }
