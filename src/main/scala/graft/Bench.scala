@@ -69,9 +69,9 @@ object Bench {
     74 -> 2.8, 75 -> 0.1, 76 -> 0.3, 77 -> 1.2, 78 -> 0.3, 79 -> 2.2,
     80 -> 0.5, 81 -> 1, 82 -> 0.5, 83 -> 0.5, 84 -> 0.7, 85 -> 0.6,
     86 -> 0.6, 87 -> 1.1, 88 -> 2.1, 89 -> 0.6, 90 -> 0.4, 91 -> 1,
-    92 -> 0.8, 93 -> 0.4, 94 -> 1.2, 95 -> 2.4, 96 -> 0.7, 97 -> 1,
+    92 -> 0.8, 93 -> 0.4, 94 -> 1.2, 95 -> 2.3, 96 -> 0.7, 97 -> 1,
     98 -> 0.7, 99 -> 1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.6, 103 -> 3.3,
-    104 -> 1, 105 -> 0.6, 106 -> 0.4, 107 -> 0.8, 108 -> 0.3, 109 -> 1.2,
+    104 -> 0.9, 105 -> 0.6, 106 -> 0.4, 107 -> 0.8, 108 -> 0.3, 109 -> 1.2,
     110 -> 0.7, 111 -> 1.2, 112 -> 0.6, 113 -> 0.6, 114 -> 1, 115 -> 0.6,
     116 -> 0.3, 117 -> 1.2, 118 -> 0.6, 119 -> 1, 120 -> 0.7, 121 -> 0.6,
     122 -> 3, 123 -> 0.5, 124 -> 0.7, 125 -> 0.9, 126 -> 0.3, 127 -> 0.4,
@@ -97,15 +97,19 @@ object Bench {
     242 -> 1, 243 -> 0.2, 244 -> 1.3, 245 -> 0.6, 246 -> 0.7, 247 -> 2.2,
     248 -> 1.6, 249 -> 0.8, 250 -> 0.7, 251 -> 0.8, 252 -> 0.6, 253 -> 1.2,
     254 -> 2.5, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
-    260 -> 1.1, 261 -> 1, 262 -> 5.3, 263 -> 3.2, 264 -> 0.9, 265 -> 0.8,
+    260 -> 1, 261 -> 1, 262 -> 5.3, 263 -> 3.2, 264 -> 0.9, 265 -> 0.8,
     266 -> 1.6, 267 -> 1, 268 -> 0.6, 269 -> 2.3, 270 -> 1.3, 271 -> 0.7,
-    272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 2.4, 277 -> 1.3,
-    278 -> 1.7, 279 -> 1.9, 280 -> 3.1, 281 -> 0.6, 282 -> 0.8, 283 -> 1.1,
-    284 -> 2, 285 -> 2.4, 286 -> 4.3, 287 -> 3.3, 288 -> 6, 289 -> 5,
+    272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 2.3, 277 -> 1.3,
+    278 -> 1.7, 279 -> 1.8, 280 -> 3.1, 281 -> 0.6, 282 -> 0.8, 283 -> 1.1,
+    284 -> 2, 285 -> 2, 286 -> 4.2, 287 -> 3.1, 288 -> 6, 289 -> 5,
     290 -> 1.4, 291 -> 1.1, 292 -> 3.5, 293 -> 4.1, 294 -> 6.2, 295 -> 0.9,
-    296 -> 1, 297 -> 2.6, 298 -> 1.3, 299 -> 1.6, 300 -> 0.5, 301 -> 2.6,
-    302 -> 0.8, 303 -> 0.8, 304 -> 2.7, 305 -> 6.4, 306 -> 0.7, 307 -> 5.4,
-    308 -> 3.8, 309 -> 4.3, 310 -> 7.3)
+    296 -> 0.9, 297 -> 2.6, 298 -> 1.3, 299 -> 1.6, 300 -> 0.5, 301 -> 2.6,
+    302 -> 0.8, 303 -> 0.8, 304 -> 2.7, 305 -> 6.4, 306 -> 0.7, 307 -> 4.7,
+    308 -> 3.8, 309 -> 4.3, 310 -> 6.6, 311 -> 6.2, 312 -> 3.6, 313 -> 1,
+    314 -> 1.1, 315 -> 2.2, 316 -> 4.1, 317 -> 2.3, 318 -> 1, 319 -> 3.3,
+    320 -> 1.7, 321 -> 1.9, 322 -> 1, 323 -> 0.8, 324 -> 0.5, 325 -> 3.2,
+    326 -> 1.2, 327 -> 0.7, 328 -> 7.4, 329 -> 1.4, 330 -> 2.4, 331 -> 1.3,
+    332 -> 1.4)
 
 
 
