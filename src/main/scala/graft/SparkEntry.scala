@@ -46,7 +46,8 @@ object SparkEntry {
       Extras116.all ++ Extras117.all ++ Extras118.all ++ Extras119.all ++
       Extras120.all ++ Extras121.all ++ Extras122.all ++ Extras123.all ++
       Extras124.all ++ Extras125.all ++ Extras126.all ++ Extras127.all ++
-      Extras128.all ++ Extras129.all ++ Extras130.all ++ Extras131.all
+      Extras128.all ++ Extras129.all ++ Extras130.all ++ Extras131.all ++
+      Extras132.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
