@@ -48,10 +48,10 @@ object Extras115 {
     * customer node = 2c, supplier node = 2s+1, one undirected edge per
     * trading pair, both directions materialized. */
   private val GraphCtes =
-    """b AS (SELECT o_custkey AS c, l_suppkey AS s
+    """b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS s
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |  GROUP BY 1, 2),
-      |e AS (SELECT CAST(2 * c AS BIGINT) AS src,
+      |e AS MATERIALIZED (SELECT CAST(2 * c AS BIGINT) AS src,
       |    CAST(2 * s + 1 AS BIGINT) AS dst FROM b
       |  UNION ALL SELECT CAST(2 * s + 1 AS BIGINT),
       |    CAST(2 * c AS BIGINT) FROM b)""".stripMargin
@@ -59,7 +59,7 @@ object Extras115 {
   /** One unrolled H-index round: rank neighbor values descending,
     * h = max(min(rank, value)). */
   private def coreRound(name: String, prev: String): String =
-    s"""$name AS (SELECT node, MAX(LEAST(rn, nv)) AS v FROM (
+    s"""$name AS MATERIALIZED (SELECT node, MAX(LEAST(rn, nv)) AS v FROM (
        |  SELECT e.src AS node, c.v AS nv,
        |    row_number() OVER (PARTITION BY e.src ORDER BY c.v DESC) AS rn
        |  FROM e JOIN $prev c ON c.node = e.dst) GROUP BY node)""".stripMargin
@@ -67,7 +67,7 @@ object Extras115 {
   /** One unrolled min-plus BFS round (explicit CASE, no NULL-skipping
     * LEAST — the operator's relaxation line verbatim). */
   private def bfsRound(name: String, prev: String): String =
-    s"""$name AS (SELECT d.node,
+    s"""$name AS MATERIALIZED (SELECT d.node,
        |    CASE WHEN d.dist IS NULL THEN m.md
        |         WHEN m.md < d.dist THEN m.md ELSE d.dist END AS dist
        |  FROM $prev d LEFT JOIN (
