@@ -30,13 +30,13 @@ import graft.sources.Tables
   *    preferentially trade with hubs" at three thresholds, next to
   *    q338's global mixing coefficient.
   *
-  *  - q344: LSH dedup precision/recall — the candidate pairs of the
-  *    production MinHash banding (q156's K=16, B=4, R=4 geometry)
-  *    scored against EXACT Jaccard ≥ 0.5 ground truth (q74's pair
-  *    definition, same df-capped shingle universe): TP/FP/FN,
-  *    precision and recall in ppm, one audit row. The eval-tier
-  *    treatment q340 gives ANN, applied to the dedup family — "is
-  *    the banding catching the duplicates the exact join would".
+  *  - q344: the LSH GEOMETRY SWEEP — q179 scores the shipped (B=4,
+  *    R=4) banding once; q344 measures the (bands, rows) DECISION:
+  *    the same 16 MinHash signatures banded three ways — (8,2)
+  *    recall-leaning, (4,4) balanced, (2,8) precision-leaning — each
+  *    scored against the shared exact-Jaccard ≥ 0.5 truth in one
+  *    result (the S-curve tradeoff read from the gate, the tuning
+  *    table a pipeline consults before committing a geometry).
   */
 object Extras132 {
 
@@ -174,14 +174,23 @@ object Extras132 {
     },
 
     Qry(
-      "q344_lsh_dedup_eval", {
+      "q344_lsh_geometry_sweep", {
         val minCols = (0 until K).map(i =>
           s"min((h * ${TextOps.aParam(i)} + ${TextOps.bParam(i)}) % ${TextOps.P}) AS m$i")
           .mkString(", ")
-        val bandSelects = (0 until B).map { b =>
-          val ks = (0 until R).map(r => s"m${b * R + r}").mkString(", ")
-          s"SELECT doc_id, $b AS band_idx, concat_ws(':', $ks) AS band_key FROM sig"
+        def bandSelects(bands: Int, rows: Int) = (0 until bands).map { b =>
+          val ks = (0 until rows).map(r => s"m${b * rows + r}")
+            .mkString(", ")
+          s"SELECT doc_id, $b AS band_idx, concat_ws(':', $ks) " +
+            s"AS band_key FROM sig"
         }.mkString("\n  UNION ALL ")
+        def geo(tag: Int, bands: Int, rows: Int) =
+          s"""g$tag AS (SELECT DISTINCT $bands AS bands, $rows AS rows_,
+             |    a.doc_id AS da, b.doc_id AS db
+             |  FROM (${bandSelects(bands, rows)}) a
+             |  JOIN (${bandSelects(bands, rows)}) b
+             |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             |    AND a.doc_id < b.doc_id)""".stripMargin
         s"""WITH ${TextOps.oracleToksCte},
            |${TextOps.oracleSh3Cte},
            |${TextOps.oracleShCappedCte(Dedup.DefaultDfCap)},
@@ -194,52 +203,58 @@ object Extras132 {
            |truth AS (SELECT da, db FROM truthp
            |  WHERE CAST(shared AS DOUBLE)/(na + nb - shared) >= 0.5e0),
            |sig AS (SELECT doc_id, $minCols FROM shc GROUP BY doc_id),
-           |banded AS (
-           |  $bandSelects),
-           |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-           |  FROM banded a JOIN banded b ON a.band_idx = b.band_idx
-           |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-           |tp AS (SELECT COUNT(*) AS tp FROM cand
-           |  JOIN truth t ON t.da = cand.da AND t.db = cand.db),
-           |nt AS (SELECT COUNT(*) AS nt FROM truth),
-           |ncd AS (SELECT COUNT(*) AS nc FROM cand)
-           |SELECT CAST(nt.nt AS BIGINT) AS n_truth,
-           |  CAST(ncd.nc AS BIGINT) AS n_cand,
-           |  CAST(tp.tp AS BIGINT) AS tp,
-           |  CAST(ncd.nc - tp.tp AS BIGINT) AS fp,
-           |  CAST(nt.nt - tp.tp AS BIGINT) AS fn,
-           |  CAST(CASE WHEN ncd.nc > 0
-           |    THEN (1000000 * tp.tp) // ncd.nc END AS BIGINT)
+           |${geo(1, 8, 2)},
+           |${geo(2, 4, 4)},
+           |${geo(3, 2, 8)},
+           |cand AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+           |         UNION ALL SELECT * FROM g3),
+           |m AS (SELECT c.bands, c.rows_, COUNT(*) AS nc,
+           |    SUM(CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END) AS tp
+           |  FROM cand c LEFT JOIN truth t
+           |    ON t.da = c.da AND t.db = c.db
+           |  GROUP BY 1, 2),
+           |nt AS (SELECT COUNT(*) AS nt FROM truth)
+           |SELECT m.bands, m.rows_, CAST(nt.nt AS BIGINT) AS n_truth,
+           |  CAST(m.nc AS BIGINT) AS n_cand, CAST(m.tp AS BIGINT) AS tp,
+           |  CAST(m.nc - m.tp AS BIGINT) AS fp,
+           |  CAST(nt.nt - m.tp AS BIGINT) AS fn,
+           |  CAST(CASE WHEN m.nc > 0
+           |    THEN (1000000 * m.tp) // m.nc END AS BIGINT)
            |    AS precision_ppm,
            |  CAST(CASE WHEN nt.nt > 0
-           |    THEN (1000000 * tp.tp) // nt.nt END AS BIGINT)
+           |    THEN (1000000 * m.tp) // nt.nt END AS BIGINT)
            |    AS recall_ppm
-           |FROM tp CROSS JOIN nt CROSS JOIN ncd""".stripMargin
+           |FROM m CROSS JOIN nt""".stripMargin
       }) { (spark, dir) =>
       import spark.implicits._
       val d = Tables(spark, dir).documents
-      val sh = Dedup.shingleHashes(d, "doc_id", "text")
-      // df-capped universe shared by truth AND signatures
-      val shc = Dedup.dfCapped(sh, Dedup.DefaultDfCap)
-      // dfCap = 0 disables the internal cap: shc is already capped
+      val shc = Dedup.dfCapped(
+        Dedup.shingleHashes(d, "doc_id", "text"), Dedup.DefaultDfCap)
       val truth = Dedup.jaccardPairs(shc, "doc_id", dfCap = 0)
         .filter($"jaccard" >= 0.5)
-        .select($"id_a".as("da"), $"id_b".as("db"))
+        .select($"id_a".as("ta"), $"id_b".as("tb"))
       val sig = Dedup.minhashSignatures(shc, "doc_id", "h", K)
-      val banded = Dedup.lshBands(sig, "doc_id", B, R)
-      val cand = banded.as("a")
-        .join(banded.select($"doc_id".as("db0"),
-            $"band_idx".as("bi"), $"band_key".as("bk")),
-          $"band_idx" === $"bi" && $"band_key" === $"bk" &&
-            $"doc_id" < $"db0")
-        .select($"doc_id".as("da"), $"db0".as("db")).distinct()
-      val tp = cand.join(truth.select($"da".as("ta"), $"db".as("tb")),
-          $"da" === $"ta" && $"db" === $"tb")
-        .agg(count(lit(1)).as("tp"))
+      def candidates(bands: Int, rows: Int) = {
+        val banded = Dedup.lshBands(sig, "doc_id", bands, rows)
+        banded
+          .join(banded.select($"doc_id".as("db0"),
+              $"band_idx".as("bi"), $"band_key".as("bk")),
+            $"band_idx" === $"bi" && $"band_key" === $"bk" &&
+              $"doc_id" < $"db0")
+          .select(lit(bands).as("bands"), lit(rows).as("rows_"),
+            $"doc_id".as("da"), $"db0".as("db")).distinct()
+      }
+      val cand = candidates(8, 2)
+        .unionByName(candidates(4, 4)).unionByName(candidates(2, 8))
+      val m = cand.join(truth,
+          $"da" === $"ta" && $"db" === $"tb", "left_outer")
+        .groupBy($"bands", $"rows_")
+        .agg(count(lit(1)).as("nc"),
+          sum(when($"ta".isNotNull, 1).otherwise(0)).as("tp"))
       val nt = truth.agg(count(lit(1)).as("nt"))
-      val nc = cand.agg(count(lit(1)).as("nc"))
-      tp.crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
-        .select($"nt".cast(LongType).as("n_truth"),
+      m.crossJoin(broadcast(nt))
+        .select($"bands", $"rows_",
+          $"nt".cast(LongType).as("n_truth"),
           $"nc".cast(LongType).as("n_cand"),
           $"tp".cast(LongType).as("tp"),
           ($"nc" - $"tp").cast(LongType).as("fp"),
