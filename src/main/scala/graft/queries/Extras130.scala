@@ -17,8 +17,13 @@ import graft.sources.Tables
   *    assortativity). Pearson needs a square root, so the query
   *    reports the exact rational pieces instead: the sign of the
   *    covariance numerator and r² in ppm —
-  *    10⁶·(mΣxy−ΣxΣy)² DIV ((mΣx²−(Σx)²)·(mΣy²−(Σy)²)) — every
-  *    operand DECIMAL(38,0) (degree moments square past int64). On
+  *    10⁶·(mΣxy−ΣxΣy)²/((mΣx²−(Σx)²)·(mΣy²−(Σy)²)) — the moments
+  *    accumulate exactly in DECIMAL(38,0) (they square past int64);
+  *    the final ratio's numerator exceeds 38 digits at sf0.1 edge
+  *    counts, so it alone converts to double (q342's device: one
+  *    correctly-rounded conversion per operand, identical in both
+  *    engines — caught by the bench's sf0.1 run, not the sf0.01
+  *    gate). On
   *    the bipartite trade graph this reads customer-degree vs
   *    supplier-degree mixing.
   *
@@ -56,8 +61,10 @@ object Extras130 {
         |  CAST(CASE WHEN m * sxy - sx * sy > 0 THEN 1
         |    WHEN m * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS INTEGER)
         |    AS sign,
-        |  CAST((1000000 * (m * sxy - sx * sy) * (m * sxy - sx * sy))
-        |    // ((m * sxx - sx * sx) * (m * syy - sy * sy)) AS BIGINT)
+        |  CAST(round(1000000 * (CAST(m * sxy - sx * sy AS DOUBLE)
+        |      * CAST(m * sxy - sx * sy AS DOUBLE))
+        |    / (CAST(m * sxx - sx * sx AS DOUBLE)
+        |      * CAST(m * syy - sy * sy AS DOUBLE))) AS BIGINT)
         |    AS r2_ppm
         |FROM m""".stripMargin) { (spark, dir) =>
       import spark.implicits._
@@ -75,9 +82,10 @@ object Extras130 {
           expr("CAST(CASE WHEN m * sxy - sx * sy > 0 THEN 1 " +
             "WHEN m * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS INT)")
             .as("sign"),
-          expr("CAST((1000000 * (m * sxy - sx * sy) " +
-            "* (m * sxy - sx * sy)) " +
-            "DIV ((m * sxx - sx * sx) * (m * syy - sy * sy)) AS BIGINT)")
+          expr("CAST(round(1000000 * (CAST(m * sxy - sx * sy " +
+            "AS DOUBLE) * CAST(m * sxy - sx * sy AS DOUBLE)) " +
+            "/ (CAST(m * sxx - sx * sx AS DOUBLE) " +
+            "* CAST(m * syy - sy * sy AS DOUBLE))) AS BIGINT)")
             .as("r2_ppm"))
     },
 
