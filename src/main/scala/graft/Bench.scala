@@ -54,24 +54,24 @@ object Bench {
     * position in "stb" as an upper bound.
     */
   private[graft] val priorDriverSec: Map[Int, Double] = Map(
-    1 -> 1.2, 2 -> 0.2, 3 -> 1, 4 -> 1.4, 5 -> 0.4, 6 -> 0.3, 7 -> 0.5,
+    1 -> 1.1, 2 -> 0.2, 3 -> 1, 4 -> 1.4, 5 -> 0.4, 6 -> 0.3, 7 -> 0.5,
     8 -> 0.6, 9 -> 0.4, 10 -> 0.6, 11 -> 0.5, 12 -> 0.8, 13 -> 0.4,
     14 -> 0.5, 15 -> 0.4, 16 -> 0.6, 17 -> 0.5, 18 -> 0.2, 19 -> 0.5,
-    20 -> 1.7, 21 -> 0.5, 22 -> 0.3, 23 -> 0.7, 24 -> 0.3, 25 -> 0.6,
-    26 -> 1.2, 27 -> 0.5, 28 -> 0.5, 29 -> 0.8, 30 -> 0.7, 31 -> 0.6,
+    20 -> 1.6, 21 -> 0.5, 22 -> 0.3, 23 -> 0.7, 24 -> 0.3, 25 -> 0.6,
+    26 -> 1.2, 27 -> 0.5, 28 -> 0.5, 29 -> 0.8, 30 -> 0.7, 31 -> 0.5,
     32 -> 0.3, 33 -> 0.4, 34 -> 0.3, 35 -> 0.3, 36 -> 2.1, 37 -> 0.9,
     38 -> 1.7, 39 -> 0.4, 40 -> 0.2, 41 -> 0.4, 42 -> 0.5, 43 -> 0.4,
     44 -> 1, 45 -> 1.7, 46 -> 0.8, 47 -> 1.1, 48 -> 0.2, 49 -> 0.1,
-    50 -> 1.1, 51 -> 0.7, 52 -> 1.3, 53 -> 0.7, 54 -> 0.2, 55 -> 1.2,
-    56 -> 0.1, 57 -> 0.8, 58 -> 0.6, 59 -> 0.8, 60 -> 0.1, 61 -> 0.6,
-    62 -> 1.1, 63 -> 0.7, 64 -> 1.3, 65 -> 0.6, 66 -> 2.2, 67 -> 0.4,
-    68 -> 0.2, 69 -> 1.4, 70 -> 0.1, 71 -> 0.5, 72 -> 0.5, 73 -> 0.6,
+    50 -> 1.1, 51 -> 0.7, 52 -> 1.3, 53 -> 0.7, 54 -> 0.2, 55 -> 1,
+    56 -> 0.1, 57 -> 0.6, 58 -> 0.6, 59 -> 0.8, 60 -> 0.1, 61 -> 0.6,
+    62 -> 1, 63 -> 0.7, 64 -> 1.3, 65 -> 0.6, 66 -> 2.2, 67 -> 0.4,
+    68 -> 0.1, 69 -> 1.4, 70 -> 0.1, 71 -> 0.5, 72 -> 0.5, 73 -> 0.6,
     74 -> 2.8, 75 -> 0.1, 76 -> 0.3, 77 -> 1.2, 78 -> 0.3, 79 -> 2.2,
     80 -> 0.5, 81 -> 1, 82 -> 0.5, 83 -> 0.5, 84 -> 0.7, 85 -> 0.6,
     86 -> 0.6, 87 -> 1.1, 88 -> 2.1, 89 -> 0.6, 90 -> 0.4, 91 -> 1,
     92 -> 0.8, 93 -> 0.4, 94 -> 1.2, 95 -> 2.3, 96 -> 0.7, 97 -> 1,
     98 -> 0.7, 99 -> 1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.6, 103 -> 3.3,
-    104 -> 0.9, 105 -> 0.6, 106 -> 0.4, 107 -> 0.8, 108 -> 0.3, 109 -> 1.2,
+    104 -> 0.9, 105 -> 0.6, 106 -> 0.4, 107 -> 0.8, 108 -> 0.3, 109 -> 1.1,
     110 -> 0.7, 111 -> 1.2, 112 -> 0.6, 113 -> 0.6, 114 -> 1, 115 -> 0.6,
     116 -> 0.3, 117 -> 1.2, 118 -> 0.6, 119 -> 1, 120 -> 0.7, 121 -> 0.6,
     122 -> 3, 123 -> 0.5, 124 -> 0.7, 125 -> 0.9, 126 -> 0.3, 127 -> 0.4,
@@ -83,7 +83,7 @@ object Bench {
     158 -> 1.5, 159 -> 1.8, 160 -> 0.2, 161 -> 1.9, 162 -> 0.6, 163 -> 0.8,
     164 -> 0.8, 165 -> 0.4, 166 -> 0.4, 167 -> 0.5, 168 -> 1.1, 169 -> 1.2,
     170 -> 0.8, 171 -> 0.5, 172 -> 0.6, 173 -> 1.5, 174 -> 2.4, 175 -> 0.8,
-    176 -> 0.6, 177 -> 0.2, 178 -> 2.1, 179 -> 2.5, 180 -> 1.4, 181 -> 0.2,
+    176 -> 0.5, 177 -> 0.2, 178 -> 2.1, 179 -> 2.5, 180 -> 1.3, 181 -> 0.2,
     182 -> 0.9, 183 -> 0.7, 184 -> 0.6, 185 -> 0.2, 186 -> 0.2, 187 -> 1.5,
     188 -> 0.4, 189 -> 0.2, 190 -> 0.1, 191 -> 0.2, 192 -> 0.4, 193 -> 0.8,
     194 -> 1.7, 195 -> 0.2, 196 -> 0.8, 197 -> 0.2, 198 -> 0.2, 199 -> 0.5,
@@ -99,17 +99,19 @@ object Bench {
     254 -> 2.5, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
     260 -> 1, 261 -> 1, 262 -> 5.3, 263 -> 3.2, 264 -> 0.9, 265 -> 0.8,
     266 -> 1.6, 267 -> 1, 268 -> 0.6, 269 -> 2.3, 270 -> 1.3, 271 -> 0.7,
-    272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 2.3, 277 -> 1.3,
-    278 -> 1.7, 279 -> 1.8, 280 -> 3.1, 281 -> 0.6, 282 -> 0.8, 283 -> 1.1,
-    284 -> 2, 285 -> 2, 286 -> 4.2, 287 -> 3.1, 288 -> 6, 289 -> 5,
-    290 -> 1.4, 291 -> 1.1, 292 -> 3.5, 293 -> 4.1, 294 -> 6.2, 295 -> 0.9,
-    296 -> 0.9, 297 -> 2.6, 298 -> 1.3, 299 -> 1.6, 300 -> 0.5, 301 -> 2.6,
-    302 -> 0.8, 303 -> 0.8, 304 -> 2.7, 305 -> 6.4, 306 -> 0.7, 307 -> 4.7,
-    308 -> 3.8, 309 -> 4.3, 310 -> 6.6, 311 -> 6.2, 312 -> 3.6, 313 -> 1,
-    314 -> 1.1, 315 -> 2.2, 316 -> 4.1, 317 -> 2.3, 318 -> 1, 319 -> 3.3,
-    320 -> 1.7, 321 -> 1.9, 322 -> 1, 323 -> 0.8, 324 -> 0.5, 325 -> 3.2,
-    326 -> 1.2, 327 -> 0.7, 328 -> 7.4, 329 -> 1.4, 330 -> 2.4, 331 -> 1.3,
-    332 -> 1.4)
+    272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 2.2, 277 -> 1.3,
+    278 -> 1.6, 279 -> 1.7, 280 -> 3.1, 281 -> 0.6, 282 -> 0.7, 283 -> 1.1,
+    284 -> 2, 285 -> 2, 286 -> 3.9, 287 -> 3.1, 288 -> 6, 289 -> 5,
+    290 -> 1.2, 291 -> 1.1, 292 -> 3.5, 293 -> 4.1, 294 -> 6.2, 295 -> 0.9,
+    296 -> 0.8, 297 -> 2.6, 298 -> 1.2, 299 -> 1.6, 300 -> 0.5, 301 -> 2.5,
+    302 -> 0.8, 303 -> 0.8, 304 -> 2.6, 305 -> 5.8, 306 -> 0.7, 307 -> 4.7,
+    308 -> 3.2, 309 -> 3.9, 310 -> 5.7, 311 -> 5.2, 312 -> 3.1, 313 -> 0.7,
+    314 -> 0.9, 315 -> 1.9, 316 -> 3.7, 317 -> 2.1, 318 -> 0.8, 319 -> 2.7,
+    320 -> 1.1, 321 -> 1.7, 322 -> 0.8, 323 -> 0.7, 324 -> 0.4, 325 -> 2.5,
+    326 -> 1.1, 327 -> 0.6, 328 -> 6.9, 329 -> 1.2, 330 -> 2, 331 -> 1,
+    332 -> 1.3, 333 -> 0.9, 334 -> 0.7, 335 -> 0.4, 336 -> 1.2, 337 -> 0.7,
+    338 -> 2.4, 339 -> 0.9, 340 -> 1.2, 341 -> 0.8, 342 -> 1.5, 343 -> 3,
+    344 -> 3.4, 345 -> 4.6, 346 -> 1.4)
 
 
 
