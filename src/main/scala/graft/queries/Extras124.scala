@@ -33,10 +33,8 @@ object Extras124 {
   private val BenfordPpm = Seq(301030L, 176091L, 124939L, 96910L,
     79181L, 66947L, 57992L, 51153L, 45757L)
 
-  val all: Seq[Qry] = Seq(
-
-    Qry(
-      "q327_benford_audit",
+  /** Oracle shared VERBATIM with the streaming twin q348. */
+  private[queries] val BenfordOracle =
       s"""WITH d AS (SELECT CAST(substring(CAST(CAST(round(
          |      o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
          |      AS BIGINT) AS digit FROM orders),
@@ -55,14 +53,20 @@ object Extras124 {
          |    AS BIGINT) AS dev_ppm,
          |  CAST(SUM(((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm))
          |    // exp_ppm) OVER () AS BIGINT) AS total_dev_ppm
-         |FROM cell""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      val d = Tables(spark, dir).orders
-        .select(expr("CAST(substring(CAST(CAST(round(o_totalprice " +
-          "* 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)").as("digit"))
-      val o = d.groupBy($"digit").agg(count(lit(1)).as("obs"))
-      val n = d.agg(count(lit(1)).as("n"))
-      val exp = BenfordPpm.zipWithIndex
+         |FROM cell""".stripMargin
+
+  /** First significant digit of an order's total, as a column. */
+  private[queries] def firstDigit = expr(
+    "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) " +
+      "AS STRING), 1, 1) AS BIGINT)")
+
+  /** Benford tail over a (digit, obs) count table — shared verbatim
+    * by q327 and the streaming twin q348. */
+  private[queries] def benfordTail(o: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import o.sparkSession.implicits._
+    val n = o.agg(sum($"obs").cast(LongType).as("n"))
+    val exp = BenfordPpm.zipWithIndex
         .map { case (p, i) => ((i + 1).toLong, p) }
         .toDF("digit", "exp_ppm")
       exp.join(o, Seq("digit"), "left_outer")
@@ -77,6 +81,15 @@ object Extras124 {
         .withColumn("total_dev_ppm",
           expr("CAST(SUM(((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) " +
             "DIV exp_ppm) OVER () AS BIGINT)"))
+  }
+
+  val all: Seq[Qry] = Seq(
+
+    Qry("q327_benford_audit", BenfordOracle) { (spark, dir) =>
+      import spark.implicits._
+      benfordTail(Tables(spark, dir).orders
+        .select(firstDigit.as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("obs")))
     }
   )
 }

@@ -24,10 +24,8 @@ import graft.sources.Tables
   */
 object Extras134 {
 
-  val all: Seq[Qry] = Seq(
-
-    Qry(
-      "q346_per_source_ks",
+  /** Oracle shared VERBATIM with the streaming twin q347. */
+  private[queries] val PerSourceKsOracle =
       """WITH v AS (SELECT source, n_chars AS val,
         |    CAST(COUNT(*) AS HUGEINT) AS c
         |  FROM documents GROUP BY 1, 2),
@@ -59,13 +57,16 @@ object Extras134 {
         |FROM (SELECT g.*, n.ns, row_number() OVER
         |    (PARTITION BY g.source ORDER BY g.d_ppm DESC, g.val) AS rn
         |  FROM gap g JOIN n ON n.source = g.source)
-        |WHERE rn = 1""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
-      val v = Tables(spark, dir).documents
-        .groupBy($"source", $"n_chars".as("val"))
-        .agg(dec(count(lit(1))).as("c"))
-      val dom = v.select($"val").distinct()
+        |WHERE rn = 1""".stripMargin
+
+  /** KS-attribution tail over a (source, val, c) count table — shared
+    * verbatim by q346 and the streaming twin q347. */
+  private[queries] def ksTail(v0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import v0.sparkSession.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val v = v0.select($"source", $"val", dec($"c").as("c"))
+    val dom = v.select($"val").distinct()
       val src = v.select($"source").distinct()
       val grid = src.crossJoin(broadcast(dom))
         .join(v.withColumnRenamed("c", "vc"), Seq("source", "val"),
@@ -95,6 +96,15 @@ object Extras134 {
         .select($"source", $"ns".cast(LongType).as("n_docs"),
           $"val".cast(LongType).as("argmax_len"),
           $"d_ppm".cast(LongType).as("d_ppm"))
+  }
+
+  val all: Seq[Qry] = Seq(
+
+    Qry("q346_per_source_ks", PerSourceKsOracle) { (spark, dir) =>
+      import spark.implicits._
+      ksTail(Tables(spark, dir).documents
+        .groupBy($"source", $"n_chars".as("val"))
+        .agg(count(lit(1)).as("c")))
     }
   )
 }
