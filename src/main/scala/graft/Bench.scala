@@ -96,7 +96,7 @@ object Bench {
     236 -> 0.7, 237 -> 0.4, 238 -> 0.9, 239 -> 1, 240 -> 0.8, 241 -> 1.2,
     242 -> 1, 243 -> 0.2, 244 -> 1.3, 245 -> 0.6, 246 -> 0.7, 247 -> 2.2,
     248 -> 1.6, 249 -> 0.8, 250 -> 0.7, 251 -> 0.8, 252 -> 0.6, 253 -> 1.2,
-    254 -> 2.5, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
+    254 -> 2.2, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
     260 -> 1, 261 -> 1, 262 -> 5.3, 263 -> 3.2, 264 -> 0.9, 265 -> 0.8,
     266 -> 1.6, 267 -> 1, 268 -> 0.6, 269 -> 2.3, 270 -> 1.3, 271 -> 0.7,
     272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 2.2, 277 -> 1.3,
@@ -109,9 +109,9 @@ object Bench {
     314 -> 0.9, 315 -> 1.9, 316 -> 3.7, 317 -> 2.1, 318 -> 0.8, 319 -> 2.7,
     320 -> 1.1, 321 -> 1.7, 322 -> 0.8, 323 -> 0.7, 324 -> 0.4, 325 -> 2.5,
     326 -> 1.1, 327 -> 0.6, 328 -> 6.9, 329 -> 1.2, 330 -> 2, 331 -> 1,
-    332 -> 1.3, 333 -> 0.9, 334 -> 0.7, 335 -> 0.4, 336 -> 1.2, 337 -> 0.7,
-    338 -> 2.4, 339 -> 0.9, 340 -> 1.2, 341 -> 0.8, 342 -> 1.5, 343 -> 3,
-    344 -> 3.4, 345 -> 4.6, 346 -> 1.4)
+    332 -> 1.3, 333 -> 0.9, 334 -> 0.7, 335 -> 0.4, 336 -> 1, 337 -> 0.7,
+    338 -> 2.4, 339 -> 0.9, 340 -> 1.1, 341 -> 0.8, 342 -> 1.5, 343 -> 3,
+    344 -> 3.4, 345 -> 4.6, 346 -> 1.4, 347 -> 2, 348 -> 1.1)
 
 
 
