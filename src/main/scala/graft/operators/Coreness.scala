@@ -47,9 +47,14 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Per-round cost at 100 TB: the only edge-sized stages are the value
   * join and the per-node sort window (both key-partitioned and
-  * spillable); rounds needed = O(iterations of the H-index map), small
-  * in practice (4–6 on the fixture trade graph, and bounded by the
-  * graph's degeneracy ordering depth, not its diameter).
+  * spillable); rounds needed = O(iterations of the H-index map) —
+  * small in practice (4–6 on the fixture trade graph; short on the
+  * short-diameter graphs curation builds), but the worst case is
+  * diameter-LIKE, not degeneracy-bounded: on a long path the endpoint
+  * 1-values propagate inward one hop per round (~n/2 rounds), so
+  * capacity planning should budget O(diameter) rounds. maxIterations
+  * defaults generously for that reason; exceeding it fails loudly
+  * (require), never silently returns a non-fixed-point.
   */
 object Coreness {
 
@@ -65,7 +70,7 @@ object Coreness {
     *         happen for nodes appearing in the edge list).
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 200): DataFrame = {
     val spark = edges.sparkSession
     def now() = System.nanoTime()
     def secs(t0: Long) = f"${(now() - t0) / 1e9}%.2f"

@@ -138,9 +138,22 @@ object HopDistance {
     *                 improvements seeded by a delta edge propagate
     *                 onward through corpus edges
     * @param deltaEdges the newly inserted (already-symmetrized) edges
+    * @param seeds    the SEED SET (same one [[run]] was given). Without
+    *                 it, correctness silently assumes every seed is
+    *                 already present in `standing` at dist 0 — false
+    *                 when a seed node's first edges arrive in the delta
+    *                 (it would enter as a new node with NULL distance
+    *                 and settle to a WRONG positive distance via other
+    *                 seeds). Seed rows present in the node set are
+    *                 pinned to dist 0 and flagged into the initial
+    *                 frontier so they propagate through corpus edges;
+    *                 seed ids absent from both standing and delta
+    *                 endpoints are ignored, matching [[run]]'s
+    *                 nodes-of-the-edge-list coverage.
     */
   def incremental(standing: DataFrame, edges: DataFrame,
       deltaEdges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Option[DataFrame] = None, seedCol: String = "id",
       maxIterations: Int = 50): DataFrame = {
     val spark = standing.sparkSession
     val e = Staging.stage(
@@ -160,24 +173,45 @@ object HopDistance {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       // one staged frame per round: (id, dist, imp) — imp marks the
       // frontier (rows improved last round); a single count() action
-      // materializes the round AND sizes the frontier
+      // materializes the round AND sizes the frontier. Seeds (when
+      // given) are pinned to dist 0 up front; a seed whose standing
+      // distance was NULL or positive is itself an improvement and
+      // joins the initial frontier.
+      val base = standing
+        .select(col("id"), col("dist").cast("long").as("dist"))
+        .unionByName(newNodes)
       var d = Staging.stage(
-        standing.select(col("id"), col("dist").cast("long").as("dist"))
-          .unionByName(newNodes)
-          .withColumn("imp", lit(false)),
+        seeds match {
+          case Some(s) =>
+            base.join(
+                s.select(col(seedCol).as("__seed")).distinct(),
+                col("id") === col("__seed"), "left_outer")
+              .select(col("id"),
+                when(col("__seed").isNotNull, lit(0L))
+                  .otherwise(col("dist")).as("dist"),
+                (col("__seed").isNotNull &&
+                  (col("dist").isNull || col("dist") > 0)).as("imp"))
+          case None => base.withColumn("imp", lit(false))
+        },
         eager = true)
       val n = d.count()
       var converged = false
       var i = 0
       while (!converged && i < maxIterations) {
-        // round 0 relaxes across the delta edges only; later rounds
-        // relax the staged full-edge leaf restricted to the frontier —
-        // a delta-bounded sliver probing the standing index
-        val relaxFrom =
-          if (i == 0) de
-          else e.join(d.filter(col("imp")).select(col("id").as("fid")),
+        // round 0 relaxes across the delta edges (plus the corpus
+        // edges leaving seed-pinned frontier nodes, when seeds were
+        // given — with no seeds the initial frontier is empty and
+        // round 0 is exactly the delta); later rounds relax the staged
+        // full-edge leaf restricted to the frontier — a delta-bounded
+        // sliver probing the standing index
+        val frontierEdges =
+          e.join(d.filter(col("imp")).select(col("id").as("fid")),
               col("src") === col("fid"))
             .select(col("src"), col("dst"))
+        val relaxFrom =
+          if (i == 0) de.select(col("src"), col("dst"))
+            .unionByName(frontierEdges)
+          else frontierEdges
         val cand = relaxFrom
           .join(d.filter(col("dist").isNotNull)
               .select(col("id").as("sid"), col("dist").as("sd")),

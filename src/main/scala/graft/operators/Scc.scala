@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Strongly connected components of a DIRECTED graph by iterated
+  * forward/backward min-label peeling — the deterministic multi-pivot
+  * FW-BW scheme (Fleischer/Hendrickson/Pinar's divide-and-conquer
+  * collapsed onto min-id pivots, the "coloring" family of Orzan-style
+  * distributed SCC):
+  *
+  * Each PEEL round, over the still-active subgraph:
+  *   f(v) = min node id REACHABLE FROM v  (forward min-label fixpoint)
+  *   b(v) = min node id THAT REACHES v    (backward fixpoint)
+  * A node with f(v) = b(v) = m reaches m and is reached by m, so
+  * v ∈ SCC(m); conversely f and b are constant on an SCC, so whole
+  * components assign atomically, and the assigned scc id is exactly
+  * the component's minimum member id (m reaches v and v reaches m ⇒
+  * m ∈ SCC(v); f(v) ≤ every id reachable ⇒ m = min(SCC)). Assigned
+  * nodes peel off; the subgraph induced on the rest repeats. At least
+  * the SCC of the globally minimal active node assigns every round
+  * (its f and b are both that minimum), so the loop terminates in
+  * ≤ #SCCs rounds — in practice a handful: the first peel takes the
+  * giant SCC and every component whose min-labels already coincide,
+  * and the residue is condensation-DAG debris whose depth, not size,
+  * sets the remaining round count. Worst case (a pure path DAG) is
+  * O(n) peels — the documented capacity bound, loud-failure guarded,
+  * same honesty contract as [[Coreness]].
+  *
+  * Every quantity is an integer fixed point (labels only DECREASE,
+  * assignment is an integer equality), so an unrolled SQL oracle
+  * replays peel and propagation rounds bit-for-bit and rounds past
+  * the fixed point are provably no-ops — the q262/q311/q312 proof
+  * shape.
+  *
+  * Inner propagation is [[ConnectedComponents.minLabel]]'s loop on
+  * directed edges with the same pointer-jumping shortcut — and the
+  * hop join stays SOUND under direction because reachability is
+  * transitive: f(v) = m means v reaches m, f(m) = k means m reaches
+  * k, so k is a valid (reachable) candidate for v. Loop discipline
+  * mirrors the CC/coreness family: edge leaf staged eagerly per peel
+  * (restricted to active nodes — after the first peel it is
+  * residue-sized, not corpus-sized), label slivers staged lazily with
+  * known row counts ([[Staging.stageWithStats]]) so Catalyst makes
+  * the broadcast-vs-shuffle call itself, narrowed loop shuffle width,
+  * join-free convergence via the strictly-decreasing DECIMAL(38,0)
+  * label sum, per-round stage+release, driver holds sums/counts only.
+  */
+object Scc {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Directed min-reachable-label fixpoint over the given node set:
+    * for each (id) in `nodes`, the minimum node id reachable from it
+    * along `er` edges (including itself). `er` must already be
+    * restricted to the node set. Returns (id, l), staged lazily —
+    * caller releases. */
+  private def minReach(er: DataFrame, nodes: DataFrame, nodeCount: Long,
+      maxIterations: Int): DataFrame = {
+    val sumCol = coalesce(sum(col("l").cast(DecimalType(38, 0))),
+      lit(0).cast(DecimalType(38, 0)))
+    var labels = Staging.stageWithStats(
+      nodes.select(col("id"), col("id").as("l")),
+      nodeCount, eager = false)
+    var prevSum = labels.agg(sumCol).head().getDecimal(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // candidate streams folded by one min-aggregate (the CC union
+      // formulation): own label; out-neighbor labels (v→w: anything w
+      // reaches, v reaches); label-of-label (transitive shortcut,
+      // from round 3 — plain propagation finishes shallow graphs
+      // without the extra join, deep chains get path doubling)
+      val neighbor = er.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("l"))
+      val candidates =
+        if (i < 2) labels.unionByName(neighbor)
+        else labels.unionByName(neighbor).unionByName(
+          labels.select(col("l").as("__k"), col("id"))
+            .join(labels.select(col("id").as("__k2"), col("l").as("__ll")),
+              col("__k") === col("__k2"))
+            .select(col("id"), col("__ll").as("l")))
+      val next = Staging.stageWithStats(
+        candidates.groupBy(col("id")).agg(min(col("l")).as("l")),
+        nodeCount, eager = false)
+      val s = next.agg(sumCol).head().getDecimal(0)
+      Staging.release(labels)
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"directed min-label did not converge within $maxIterations " +
+          "rounds; raise maxIterations (reachability depth exceeds it)")
+    labels
+  }
+
+  /** @param edges directed edges (src → dst), duplicates tolerated
+    * @param maxPeels peel-round bound: ≤ #SCCs needed, condensation
+    *                 depth in practice; O(n) on adversarial path DAGs
+    * @return (id, scc) for every node appearing as src or dst; scc =
+    *         the minimum node id of the component
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      maxPeels: Int = 50, maxIterations: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    def now() = System.nanoTime()
+    def secs(t0: Long) = f"${(now() - t0) / 1e9}%.2f"
+
+    val tEdges = now()
+    val e = Staging.stage(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct(),
+      eager = true)
+    var active = Staging.stage(
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct(),
+      eager = true)
+    var activeN = active.count()
+    log.info(s"scc: edge/node staging ${secs(tEdges)}s (n=$activeN)")
+
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // assignments accumulate across peels; staged each peel so the
+      // union chain never re-executes earlier peels
+      var assigned = Staging.stage(
+        active.filter(lit(false)).select(col("id"), col("id").as("scc")),
+        eager = true)
+      var peel = 0
+      while (activeN > 0 && peel < maxPeels) {
+        val tPeel = now()
+        // the induced subgraph on active nodes: corpus-sized on peel 1,
+        // residue-sized after (the peeled giant SCC takes its edges
+        // with it)
+        val er = Staging.stage(
+          e.join(active.select(col("id").as("__s")),
+              col("src") === col("__s"))
+            .join(active.select(col("id").as("__d")),
+              col("dst") === col("__d"))
+            .select(col("src"), col("dst")),
+          eager = true)
+        val f = minReach(er, active, activeN, maxIterations)
+        val rev = er.select(col("dst").as("src"), col("src").as("dst"))
+        val b = minReach(rev, active, activeN, maxIterations)
+        val done = Staging.stage(
+          f.join(b.select(col("id").as("__i"), col("l").as("__bl")),
+              col("id") === col("__i") && col("l") === col("__bl"))
+            .select(col("id"), col("l").as("scc")),
+          eager = true)
+        val nextAssigned = Staging.stage(
+          assigned.unionByName(done), eager = true)
+        val nextActive = Staging.stage(
+          active.join(done.select(col("id").as("__a")),
+            col("id") === col("__a"), "left_anti"),
+          eager = true)
+        val nextN = nextActive.count()
+        Staging.release(er); Staging.release(f); Staging.release(b)
+        Staging.release(done); Staging.release(assigned)
+        Staging.release(active)
+        assigned = nextAssigned
+        active = nextActive
+        log.info(s"scc: peel ${peel + 1} ${secs(tPeel)}s " +
+          s"(assigned ${activeN - nextN}, remaining $nextN)")
+        activeN = nextN
+        peel += 1
+      }
+      Staging.release(e); Staging.release(active)
+      if (activeN > 0)
+        throw new IllegalStateException(
+          s"SCC did not finish within $maxPeels peel rounds " +
+            s"($activeN nodes unassigned); raise maxPeels " +
+            "(condensation depth exceeds it)")
+      assigned
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+}

@@ -20,11 +20,15 @@ import graft.streaming.Streams
   *    contribute their whole expectation): observed count, expected
   *    count (ppm), the cell's chi-square contribution (ppm), plus the
   *    grid-constant total statistic, degrees of freedom and Cramér's
-  *    V² (ppm) — all EXACT integer arithmetic (DECIMAL(38,0) /
-  *    HUGEINT, integral division only: chi2_cell = 10^6·(O·N − R·C)²
-  *    DIV (N·R·C), which is 10^6·(O−E)²/E with every operand kept
-  *    integral), so both engines compute bit-identical numbers with
-  *    no floating-point anywhere.
+  *    V² (ppm) — every OPERAND exact integer arithmetic
+  *    (DECIMAL(38,0) / HUGEINT: d = O·N − R·C and N·R·C are exact),
+  *    with the one final cell ratio 10⁶·d²/(N·R·C) computed through
+  *    the q342 device — one correctly-rounded decimal→double
+  *    conversion per operand, then IEEE division and round, identical
+  *    in both engines. (The all-integral DIV form needs ~10⁶·N⁴
+  *    headroom and silently NULLs past DECIMAL(38,0) once N > ~4·10⁷
+  *    rows — the r12 advisory; the device keeps the statistic
+  *    overflow-free at any corpus size.)
   *
   *  - q314: the same audit as a STREAMING monitor (q245/q248's
   *    proof shape): the (source, lang) count table is a complete-mode
@@ -53,14 +57,16 @@ object Extras116 {
       |r AS (SELECT source, SUM(o) AS r FROM o GROUP BY 1),
       |c AS (SELECT lang, SUM(o) AS c FROM o GROUP BY 1),
       |n AS (SELECT SUM(o) AS n FROM o),
-      |cell AS (SELECT r.source, c.lang, COALESCE(o.o, 0) AS o,
+      |cell0 AS (SELECT r.source, c.lang, COALESCE(o.o, 0) AS o,
       |    r.r, c.c, n.n,
       |    (1000000 * r.r * c.c) // n.n AS e_ppm,
-      |    (1000000 * (COALESCE(o.o, 0) * n.n - r.r * c.c)
-      |             * (COALESCE(o.o, 0) * n.n - r.r * c.c))
-      |      // (n.n * r.r * c.c) AS cell_chi2_ppm
+      |    COALESCE(o.o, 0) * n.n - r.r * c.c AS d
       |  FROM r CROSS JOIN c CROSS JOIN n
       |  LEFT JOIN o ON o.source = r.source AND o.lang = c.lang),
+      |cell AS (SELECT source, lang, o, e_ppm, n,
+      |    CAST(round((1000000 * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)))
+      |      / CAST(n * r * c AS DOUBLE)) AS BIGINT) AS cell_chi2_ppm
+      |  FROM cell0),
       |tot AS (SELECT SUM(cell_chi2_ppm) AS t,
       |    (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1)
       |      AS dof,
@@ -90,10 +96,17 @@ object Extras116 {
         coalesce(col("obs"), lit(0L)).cast(LongType).as("o"),
         dec(col("r")).as("r"), dec(col("c")).as("c"), dec(col("n")).as("n"))
       .withColumn("d", dec(col("o")) * col("n") - col("r") * col("c"))
+      // final cell ratio via the q342 device: d and n·r·c stay
+      // DECIMAL(38,0)-exact; ONE correctly-rounded conversion of each
+      // to double (engine-identical), then an IEEE division — the
+      // integral 10⁶·d² DIV (n·r·c) form would overflow 38 digits
+      // (silent NULL under non-ANSI decimal overflow) once the corpus
+      // count N passes ~4·10⁷ rows (r12 advisory)
       .select(col("source"), col("lang"), col("o"),
         expr("CAST((1000000 * r * c) DIV n AS BIGINT)").as("e_ppm"),
-        expr("CAST((1000000 * d * d) DIV (n * r * c) AS BIGINT)")
-          .as("cell_chi2_ppm"),
+        expr("CAST(round((1000000 * (CAST(d AS DOUBLE) " +
+          "* CAST(d AS DOUBLE))) / CAST(n * r * c AS DOUBLE)) " +
+          "AS BIGINT)").as("cell_chi2_ppm"),
         col("n"))
     // grid-constant totals: one tiny window over the bounded cell table
     val w = Window.partitionBy()

@@ -117,19 +117,29 @@ object Extras117 {
         .distinct()
       val wCand = Window.partitionBy($"doc_id")
       val wBest = Window.partitionBy($"doc_id").orderBy($"dist", $"cid")
-      cand
-        .select($"doc_id", $"cid",
-          levenshtein($"d", $"ct").cast(LongType).as("dist"),
-          $"ct", $"own")
-        .withColumn("n_cand", count(lit(1)).over(wCand))
-        .filter($"dist" <= 1)
-        .withColumn("correct",
-          when($"ct" === $"own", 1).otherwise(0))
-        .withColumn("rn", row_number().over(wBest))
-        .filter($"rn" === 1)
-        .withColumn("accuracy_ppm",
-          expr("CAST((1000000 * SUM(correct) OVER ()) " +
-            "DIV COUNT(*) OVER () AS BIGINT)"))
+      // accuracy tail: a SCALAR aggregate crossJoin(broadcast(...))-ed
+      // back onto the per-probe rows — NEVER an unpartitioned window
+      // over the corpus-sized matched table, which would move every
+      // probe row through one task at 100 TB (r12 verdict; q318's own
+      // tot/est pattern 30 lines away in Extras120). The best table is
+      // staged once: both the output rows and the accuracy scalar read
+      // it, and unstaged the candidate joins + windows would run twice.
+      val best = graft.operators.Staging.stage(
+        cand
+          .select($"doc_id", $"cid",
+            levenshtein($"d", $"ct").cast(LongType).as("dist"),
+            $"ct", $"own")
+          .withColumn("n_cand", count(lit(1)).over(wCand))
+          .filter($"dist" <= 1)
+          .withColumn("correct",
+            when($"ct" === $"own", 1).otherwise(0))
+          .withColumn("rn", row_number().over(wBest))
+          .filter($"rn" === 1),
+        eager = false)
+      val acc = best.agg(
+        expr("CAST((1000000 * SUM(correct)) DIV COUNT(*) AS BIGINT)")
+          .as("accuracy_ppm"))
+      best.crossJoin(broadcast(acc))
         .select($"doc_id", $"cid".as("matched_doc"), $"dist",
           $"n_cand".cast(LongType).as("n_cand"), $"correct",
           $"accuracy_ppm")

@@ -121,14 +121,19 @@ object Extras120 {
           min(when($"dist" <= 1,
             struct($"dist", $"cid", $"corr"))).as("best"))
       val done = Streams.runToMemory(resolved, "complete")
-      done.filter($"best".isNotNull)
+      // accuracy as a scalar aggregate broadcast back (q318's tot/est
+      // pattern) — not an unpartitioned window over the corpus-sized
+      // resolved table (r12 verdict). `done` is a materialized memory
+      // sink, so branching it twice re-reads cached batch rows.
+      val res = done.filter($"best".isNotNull)
         .select($"doc_id", $"best.cid".as("matched_doc"),
           $"best.dist".as("dist"),
           size($"cands").cast(LongType).as("n_cand"),
           $"best.corr".as("correct"))
-        .withColumn("accuracy_ppm",
-          expr("CAST((1000000 * SUM(correct) OVER ()) " +
-            "DIV COUNT(*) OVER () AS BIGINT)"))
+      val acc = res.agg(
+        expr("CAST((1000000 * SUM(correct)) DIV COUNT(*) AS BIGINT)")
+          .as("accuracy_ppm"))
+      res.crossJoin(broadcast(acc))
     }
   )
 }

@@ -19,10 +19,12 @@ import graft.sources.Tables
   *    contingency-table rule). delta_ppm = full − LOO is the source's
   *    contribution to the dependence signal. No corpus rescan per
   *    source — the 100 TB shape: ONE corpus-sized count groupBy, then
-  *    sources × cells arithmetic on broadcast-bounded tables. Exact
-  *    DECIMAL(38,0)/HUGEINT integral arithmetic throughout; signed
-  *    divisions truncate toward zero in both engines (r11 parity
-  *    probe).
+  *    sources × cells arithmetic on broadcast-bounded tables. Margins
+  *    and differences stay exact DECIMAL(38,0)/HUGEINT; each final
+  *    cell ratio uses the q342 device (correctly-rounded double
+  *    conversion of the exact operands, IEEE division, round) so the
+  *    statistic never overflows 38 digits at any corpus size (the
+  *    integral DIV form NULLs silently past N ≈ 4·10⁷ — r12 advisory).
   *
   *  - q321: fuzzy benchmark-contamination scan — the edit-tolerant
   *    rung that exact n-gram overlap (q107) and embedding similarity
@@ -52,14 +54,19 @@ object Extras121 {
         |g AS (SELECT r.source, c.lang, COALESCE(o.o, 0) AS o, r.r, c.c
         |  FROM r CROSS JOIN c
         |  LEFT JOIN o ON o.source = r.source AND o.lang = c.lang),
-        |full_chi AS (SELECT SUM((1000000 * (g.o * n.n - g.r * g.c)
-        |      * (g.o * n.n - g.r * g.c)) // (n.n * g.r * g.c)) AS f
+        |full_chi AS (SELECT SUM(CAST(round((1000000
+        |      * (CAST(g.o * n.n - g.r * g.c AS DOUBLE)
+        |         * CAST(g.o * n.n - g.r * g.c AS DOUBLE)))
+        |      / CAST(n.n * g.r * g.c AS DOUBLE)) AS BIGINT)) AS f
         |  FROM g CROSS JOIN n),
         |loo AS (SELECT x.source AS xs, SUM(
         |    CASE WHEN g.c - xo.o > 0 THEN
-        |      (1000000 * (g.o * (n.n - x.r) - g.r * (g.c - xo.o))
-        |        * (g.o * (n.n - x.r) - g.r * (g.c - xo.o)))
-        |      // ((n.n - x.r) * g.r * (g.c - xo.o)) ELSE 0 END) AS chi
+        |      CAST(round((1000000
+        |        * (CAST(g.o * (n.n - x.r) - g.r * (g.c - xo.o) AS DOUBLE)
+        |           * CAST(g.o * (n.n - x.r) - g.r * (g.c - xo.o)
+        |               AS DOUBLE)))
+        |      / CAST((n.n - x.r) * g.r * (g.c - xo.o) AS DOUBLE))
+        |        AS BIGINT) ELSE 0 END) AS chi
         |  FROM r x CROSS JOIN n
         |  JOIN g ON g.source <> x.source
         |  JOIN g xo ON xo.source = x.source AND xo.lang = g.lang
@@ -84,9 +91,16 @@ object Extras121 {
         .select($"source", $"lang",
           dec(coalesce($"obs", lit(0L))).as("o"),
           dec($"r").as("r"), dec($"c").as("c"))
+      // final cell ratios via the q342 device (exact decimal operands,
+      // one correctly-rounded double conversion each, IEEE division +
+      // round — engine-identical): the all-integral DIV form needs
+      // ~10⁶·N⁴ headroom and silently NULLs past DECIMAL(38,0) once
+      // N > ~4·10⁷ rows (r12 advisory)
       val full = g.crossJoin(broadcast(n))
-        .select(expr("(1000000 * (o * n - r * c) * (o * n - r * c)) " +
-          "DIV (n * r * c)").as("t"))
+        .select(expr("CAST(round((1000000 " +
+          "* (CAST(o * n - r * c AS DOUBLE) " +
+          "* CAST(o * n - r * c AS DOUBLE))) " +
+          "/ CAST(n * r * c AS DOUBLE)) AS BIGINT)").as("t"))
         .agg(sum($"t").as("f"))
       // LOO by margin algebra: for excluded source xs, n' = n - r_xs
       // and c'_l = c_l - o_{xs,l}; cells of xs drop, empty columns drop
@@ -99,10 +113,11 @@ object Extras121 {
         .crossJoin(broadcast(n))
         .select($"xs",
           when($"c" - $"xo" > 0,
-            expr("(1000000 * (o * (n - xrr) - r * (c - xo)) " +
-              "* (o * (n - xrr) - r * (c - xo))) " +
-              "DIV ((n - xrr) * r * (c - xo))"))
-            .otherwise(lit(0)).as("t"))
+            expr("CAST(round((1000000 " +
+              "* (CAST(o * (n - xrr) - r * (c - xo) AS DOUBLE) " +
+              "* CAST(o * (n - xrr) - r * (c - xo) AS DOUBLE))) " +
+              "/ CAST((n - xrr) * r * (c - xo) AS DOUBLE)) AS BIGINT)"))
+            .otherwise(lit(0L)).as("t"))
         .groupBy($"xs").agg(sum($"t").as("chi"))
       r.select($"source", $"r".cast(LongType).as("n_docs"))
         .join(loo, $"source" === $"xs")

@@ -54,8 +54,15 @@ object Extras125 {
       val seeds = spark.range(1, Extras115.SeedMax + 1)
         .select(($"id" * 2 + 1).as("sid"))
       val standing = HopDistance.run(corpus, "src", "dst", seeds, "sid")
+      // seeds passed through: a seed supplier whose orders all landed
+      // in the delta split would otherwise enter as a new node with
+      // NULL distance and settle WRONG via other seeds (r12 advisory);
+      // on this fixture every seed has corpus orders, so the pin is a
+      // behavioral no-op — same hash — but the operator contract is
+      // airtight for arbitrary splits
       HopDistance.incremental(standing,
-          Extras115.tradeEdges(spark, dir), delta, "src", "dst")
+          Extras115.tradeEdges(spark, dir), delta, "src", "dst",
+          seeds = Some(seeds), seedCol = "sid")
         .select(($"id" % 2).as("kind"), expr("id DIV 2").as("key"),
           $"dist")
     }

@@ -64,15 +64,47 @@ object Extras129 {
         |    AS lift_ppm
         |FROM d""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val s = Tables(spark, dir).documents
-        .select($"doc_id", $"n_chars",
-          when($"lang" === "en", 1).otherwise(0).as("pos"))
-      val wAll = Window.partitionBy()
+      // TWO-PASS GLOBAL RANK (r12 verdict): the first formulation
+      // ranked ALL documents with one unpartitioned row_number — a
+      // full-corpus single-partition sort. q223's bucketed prefix-sum
+      // device applies verbatim to a rank: the total order
+      // (n_chars DESC, doc_id) is split into buckets that are
+      // CONTIGUOUS in that order — exact n_chars value, sub-bucketed
+      // by doc_id range so a heavy tie never serializes —
+      //   pass 1: bucket-LOCAL row_number (parallelism = #buckets,
+      //           grows with the corpus);
+      //   pass 2: per-bucket counts (a tiny aggregate, ~corpus/4096
+      //           rows), cumulated in bucket order and broadcast back.
+      // rank = bucket offset + local rank — bit-identical to the
+      // global row_number because bucket boundaries respect the order.
+      // The corpus totals (n, tot_pos) ride the same bucket aggregate
+      // as a broadcast 1-row frame, retiring the unpartitioned
+      // count/sum windows too.
+      val bucketD = 4096L
+      val s = graft.operators.Staging.stage(
+        Tables(spark, dir).documents
+          .select($"doc_id", $"n_chars",
+            when($"lang" === "en", 1).otherwise(0).as("pos"))
+          .withColumn("bkt", expr(s"doc_id DIV $bucketD")),
+        eager = false)
+      val wLoc = Window.partitionBy($"n_chars", $"bkt").orderBy($"doc_id")
+      // bucket-offset cumulation: unpartitioned, but over the
+      // 4096x-smaller bucket table (the q223-adjudicated shape)
+      val wBkt = Window.orderBy($"__c".desc, $"__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val buckets = s.groupBy($"n_chars".as("__c"), $"bkt".as("__b"))
+        .agg(count(lit(1)).as("bc"), sum($"pos").as("bpos"))
+      val offs = buckets
+        .withColumn("off", coalesce(sum($"bc").over(wBkt), lit(0L)))
+        .select($"__c", $"__b", $"off")
+      val tots = buckets.agg(sum($"bc").cast(LongType).as("n"),
+        sum($"bpos").cast(LongType).as("tot_pos"))
       val r = s
-        .withColumn("rn", row_number().over(
-          Window.orderBy($"n_chars".desc, $"doc_id")))
-        .withColumn("n", count(lit(1)).over(wAll))
-        .withColumn("tot_pos", sum($"pos").over(wAll))
+        .withColumn("loc", row_number().over(wLoc))
+        .join(broadcast(offs),
+          $"n_chars" === $"__c" && $"bkt" === $"__b")
+        .withColumn("rn", $"off" + $"loc")
+        .crossJoin(broadcast(tots))
       val d = r.groupBy(expr("((rn - 1) * 10) DIV n + 1").as("decile"))
         .agg(count(lit(1)).as("dn"), sum($"pos").as("dpos"),
           max($"n").as("n"), max($"tot_pos").as("tot_pos"))

@@ -79,6 +79,41 @@ class CatalogInvariantSpec extends SparkTestBase {
       s"imperative row iteration in: ${offenders.mkString(", ")}")
   }
 
+  test("q315/q335: every unpartitioned window runs over pre-aggregated " +
+      "(bounded) input, never corpus rows") {
+    // r12 verdict: these two carried corpus-sized single-partition
+    // windows (q315's SUM(correct) OVER () accuracy tail, q335's global
+    // row_number decile rank). Both now compute corpus-wide scalars as
+    // aggregates crossJoin(broadcast(...))-ed back / two-pass bucketed
+    // prefix sums. Pin the shape structurally: an unpartitioned
+    // WindowExec is legal ONLY when its input subtree is already an
+    // aggregate (bucket offsets, decile cumulations — bounded tables);
+    // an unpartitioned window directly over un-aggregated input is the
+    // single-task corpus sort this pin exists to forbid.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ p.children.flatMap(flatten) ++ (p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case s: QueryStageExec => flatten(s.plan)
+        case _ => Nil
+      })
+    for (name <- Seq("q315_entity_resolution", "q335_lift_gains")) {
+      val plan =
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val offenders = flatten(plan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+            !flatten(w.child).exists(_.isInstanceOf[BaseAggregateExec]) =>
+          w.simpleStringWithNodeId()
+      }
+      assert(offenders.isEmpty,
+        s"$name plans an unpartitioned window over un-aggregated " +
+          s"(corpus-sized) input: ${offenders.mkString("; ")}")
+    }
+  }
+
   test("v4 positional decode contract: quoted-name source scan == catalog") {
     // tools/bench_compare.py decodes the v4 "qt" vector by recovering
     // the sorted name list from a quoted-string scan over

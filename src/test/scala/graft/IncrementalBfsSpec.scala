@@ -51,6 +51,34 @@ class IncrementalBfsSpec extends SparkTestBase {
     assert(out(10L) === None); assert(out(11L) === None)
   }
 
+  test("seed arriving IN the delta pins to 0 and propagates through " +
+      "corpus edges (r12 advisory)") {
+    // corpus: 1-2-3 seeded at {1}; delta: edge 9-3 where 9 is ALSO a
+    // seed whose first edge arrives in the delta. Without the seeds
+    // param, 9 enters as a new node with NULL distance and settles to
+    // a WRONG dist 3 (via seed 1); with it, 9 pins to 0 and IMPROVES
+    // node 3 from 2 to 1 — propagation through corpus edges requires
+    // the seed to enter the initial frontier, not just the node set.
+    val corpus = Seq(1L -> 2L, 2L -> 3L)
+    val delta = Seq(9L -> 3L)
+    val standing = HopDistance.run(sym(corpus), "src", "dst",
+      Seq(1L).toDF("sid"), "sid")
+    val out = dists(HopDistance.incremental(standing,
+      sym(corpus ++ delta), sym(delta), "src", "dst",
+      seeds = Some(Seq(1L, 9L).toDF("sid")), seedCol = "sid"))
+    val batch = dists(HopDistance.run(sym(corpus ++ delta), "src", "dst",
+      Seq(1L, 9L).toDF("sid"), "sid"))
+    assert(out === batch)
+    assert(out === Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(1L),
+      9L -> Some(0L)))
+    // and: seeds param with every seed already standing at 0 is a
+    // behavioral no-op (the q328 call-site situation)
+    val noop = dists(HopDistance.incremental(standing,
+      sym(corpus), sym(Seq(1L -> 2L)), "src", "dst",
+      seeds = Some(Seq(1L).toDF("sid")), seedCol = "sid"))
+    assert(noop === Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L)))
+  }
+
   test("re-inserting an existing edge is a no-op (one empty round)") {
     val corpus = Seq(1L -> 2L, 2L -> 3L)
     val standing = HopDistance.run(sym(corpus), "src", "dst",
