@@ -90,6 +90,7 @@ object Scc {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
+      log.info(s"scc: propagation round $i (sum=$s)")
     }
     if (!converged)
       throw new IllegalStateException(

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.Scc
+import graft.sources.Tables
+
+/** Hundred-thirty-sixth coverage wave: strongly connected components
+  * of the DIRECTED trade-flow graph — the cycle/ring question the
+  * undirected graph tier (CC/coreness/BFS/LPA/triangles) cannot ask.
+  *
+  *  - q349: [[graft.operators.Scc]] over the directed trade graph:
+  *    customer→supplier edge for every trading pair (goods ordered),
+  *    supplier→customer BACK-edge only for pairs with a returned item
+  *    (l_returnflag = 'R') — the return flow closes cycles, so an SCC
+  *    is a maximal set of parties mutually reachable through
+  *    order/return chains: the circular-trading / link-farm detector
+  *    (on citation or dedup-provenance graphs, the citation-ring
+  *    finder). Output: every node's SCC id (the component's minimum
+  *    member, decoded to kind/key) plus the component size.
+  *
+  *    Algorithm (deterministic multi-pivot FW-BW, r12 verdict ask):
+  *    per peel round, f = min id reachable forward, b = min id
+  *    reachable backward (both integer min-label fixpoints over the
+  *    active subgraph); nodes with f = b belong to SCC(f) and peel
+  *    off. The oracle unrolls 3 peel rounds × 10 plain propagation
+  *    rounds per direction (the Spark side converges adaptively — 2
+  *    peels, ≤5 pointer-jumped rounds at both gate SFs; plain
+  *    propagation needs a few more, and every round past a fixed
+  *    point is provably a no-op because labels are stationary there —
+  *    the q262/q311/q312 proof shape). All-integer labels, so the
+  *    unrolled CTE stack replays bit-for-bit; shared CTEs are
+  *    MATERIALIZED (the q293/q328 DuckDB re-inlining lesson).
+  *
+  * Scale shape: the staged edge leaf is corpus-sized only in peel 1
+  * (peeled components take their edges with them); label tables are
+  * stats-carrying one-row-per-node slivers (Catalyst flips broadcast →
+  * shuffle at 100×); convergence is the join-free monotone decimal
+  * sum; the size tail is one groupBy + equi-join back, never a
+  * window partitioned by a possibly-corpus-sized component.
+  */
+object Extras136 {
+
+  /** Unrolled peel rounds (2 needed at both gate SFs + 1 no-op). */
+  private val Peels = 3
+  /** Unrolled plain-propagation rounds per direction (≤7 observed
+    * without pointer jumping; extras are no-ops). */
+  private val Inner = 10
+
+  /** One plain min-label propagation round along `srcC` → adopt labels
+    * seen at `dstC` (forward: src→dst; backward: swapped). The
+    * explicit CASE mirrors the operator's min fold exactly. */
+  private def reachRound(name: String, prev: String, e: String,
+      srcC: String, dstC: String): String =
+    s"""$name AS MATERIALIZED (SELECT p.node,
+       |    CASE WHEN m.ml < p.l THEN m.ml ELSE p.l END AS l
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT t.$srcC AS node, MIN(pl.l) AS ml
+       |    FROM $e t JOIN $prev pl ON pl.node = t.$dstC GROUP BY 1) m
+       |  ON m.node = p.node)""".stripMargin
+
+  /** One peel round: restrict edges to the active set, run both
+    * directed fixpoints, assign f = b, shrink the active set. */
+  private def peelBlock(k: Int, act: String): String = {
+    val e = s"e$k"
+    def chain(pfx: String, srcC: String, dstC: String): String =
+      (1 to Inner).map(j =>
+        reachRound(s"$pfx${k}_$j", s"$pfx${k}_${j - 1}", e, srcC, dstC))
+        .mkString(",\n")
+    Seq(
+      s"""$e AS MATERIALIZED (SELECT t.src, t.dst FROM e0 t
+         |  JOIN $act x ON t.src = x.node
+         |  JOIN $act y ON t.dst = y.node)""".stripMargin,
+      s"f${k}_0 AS (SELECT node, node AS l FROM $act)",
+      chain("f", "src", "dst"),
+      s"b${k}_0 AS (SELECT node, node AS l FROM $act)",
+      chain("b", "dst", "src"),
+      s"""d$k AS MATERIALIZED (SELECT f.node, f.l AS scc
+         |  FROM f${k}_$Inner f JOIN b${k}_$Inner b
+         |    ON b.node = f.node AND b.l = f.l)""".stripMargin,
+      s"""act$k AS MATERIALIZED (SELECT x.node FROM $act x
+         |  LEFT JOIN d$k d ON d.node = x.node
+         |  WHERE d.node IS NULL)""".stripMargin).mkString(",\n")
+  }
+
+  private[queries] val SccOracle: String = {
+    val peels = (1 to Peels)
+      .map(k => peelBlock(k, if (k == 1) "n0" else s"act${k - 1}"))
+      .mkString(",\n")
+    val asg = (1 to Peels).map(k => s"SELECT node, scc FROM d$k")
+      .mkString(" UNION ALL ")
+    s"""WITH b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS s,
+       |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |e0 AS MATERIALIZED (SELECT CAST(2 * c AS BIGINT) AS src,
+       |    CAST(2 * s + 1 AS BIGINT) AS dst FROM b
+       |  UNION ALL SELECT CAST(2 * s + 1 AS BIGINT),
+       |    CAST(2 * c AS BIGINT) FROM b WHERE ret = 1),
+       |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM (
+       |    SELECT src FROM e0 UNION ALL SELECT dst FROM e0)),
+       |$peels,
+       |asg AS MATERIALIZED ($asg),
+       |sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS csize
+       |       FROM asg GROUP BY 1)
+       |SELECT node % 2 AS kind, node // 2 AS key,
+       |  scc % 2 AS scc_kind, scc // 2 AS scc_key, sz.csize
+       |FROM asg JOIN sz USING (scc)""".stripMargin
+  }
+
+  val all: Seq[Qry] = Seq(
+
+    Qry("q349_scc_trade", SccOracle) { (spark, dir) =>
+      import spark.implicits._
+      val tt = Tables(spark, dir)
+      val b = tt.orders
+        .join(tt.lineitem, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_custkey".cast(LongType).as("c"),
+          $"l_suppkey".cast(LongType).as("s"))
+        .agg(max(when($"l_returnflag" === "R", 1).otherwise(0)).as("ret"))
+      val e = b.select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"))
+        .unionByName(b.filter($"ret" === 1)
+          .select(($"s" * 2 + 1).as("src"), ($"c" * 2).as("dst")))
+      val res = Scc.run(e, "src", "dst")
+      val sz = res.groupBy($"scc".as("__scc"))
+        .agg(count(lit(1)).cast(LongType).as("csize"))
+      res.join(sz, $"scc" === $"__scc")
+        .select(($"id" % 2).as("kind"), expr("id DIV 2").as("key"),
+          ($"scc" % 2).as("scc_kind"), expr("scc DIV 2").as("scc_key"),
+          $"csize")
+    }
+  )
+}

@@ -53,20 +53,27 @@ object Extras94 {
     s"(CASE $whens ELSE ${PoisCdfPpm.size} END)"
   }
 
-  /** q281's oracle text — shared verbatim by the q283 streaming twin
-    * (the q192/q248 pattern). */
-  val AucOracle: String = {
+  /** q34's quality score quantized to milli, as DuckDB SQL over a
+    * toks-CTE row (doc_id, lang, text, tk) — the oracle twin of
+    * [[scoreMilli]]; shared with q351's heuristic-baseline AUC. */
+  val ScoreMilliSql: String = {
     val stopRe = "\\b(the|and|of|to|in|is|that|it|was|for)\\b"
-    s"""WITH ${TextOps.oracleToksCte},
-       |q AS (SELECT doc_id, lang,
-       |    CAST(floor(1000 * (
+    s"""CAST(floor(1000 * (
        |      0.5e0 * (CAST(len(regexp_extract_all(lower(text),
        |          '$stopRe')) AS DOUBLE) / greatest(len(tk), 1))
        |      + 0.3e0 * (CAST(length(array_to_string(tk, ''))
        |          AS DOUBLE) / greatest(length(text), 1))
        |      - 0.2e0 * (CAST(len(regexp_extract_all(text,
        |          '[.,!?;:]')) AS DOUBLE) / greatest(length(text), 1))
-       |    )) AS BIGINT) AS sm
+       |    )) AS BIGINT)""".stripMargin
+  }
+
+  /** q281's oracle text — shared verbatim by the q283 streaming twin
+    * (the q192/q248 pattern). */
+  val AucOracle: String = {
+    s"""WITH ${TextOps.oracleToksCte},
+       |q AS (SELECT doc_id, lang,
+       |    $ScoreMilliSql AS sm
        |  FROM toks),
        |g AS (SELECT sm,
        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
