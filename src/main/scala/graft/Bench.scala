@@ -4,10 +4,10 @@ object Bench {
 
   /** Prior per-query seconds (decimal query number -> s) — the
     * reference the spike-shaped "rem" re-measure below compares
-    * against. Regenerated in round 12 from BENCH_r12_quiet.json
-    * (= the r11 artifact's twenty-two runs plus the sv=storm
-    * catalog-310 run folded --min-only — its q306-q310 entries are the
-    * only evidence for the round-12 waves, upper bounds until a
+    * against. Regenerated in round 13 from BENCH_r13_quiet.json
+    * (= the r12 artifact's twenty-eight runs plus the sv=elevated
+    * catalog-357 run folded normally — its q349-q357 entries are the
+    * only evidence for the round-13 waves, upper bounds until a
     * quieter run min-folds them; the artifact's rem_floor_qs field
     * tags entries whose floor came from a rem/z95 re-measure rather
     * than a full-run cell).
@@ -54,22 +54,22 @@ object Bench {
     * position in "stb" as an upper bound.
     */
   private[graft] val priorDriverSec: Map[Int, Double] = Map(
-    1 -> 1.1, 2 -> 0.2, 3 -> 1, 4 -> 1.4, 5 -> 0.4, 6 -> 0.3, 7 -> 0.5,
+    1 -> 1.1, 2 -> 0.2, 3 -> 1, 4 -> 1.3, 5 -> 0.4, 6 -> 0.3, 7 -> 0.5,
     8 -> 0.6, 9 -> 0.4, 10 -> 0.6, 11 -> 0.5, 12 -> 0.8, 13 -> 0.4,
     14 -> 0.5, 15 -> 0.4, 16 -> 0.6, 17 -> 0.5, 18 -> 0.2, 19 -> 0.5,
     20 -> 1.6, 21 -> 0.5, 22 -> 0.3, 23 -> 0.7, 24 -> 0.3, 25 -> 0.6,
     26 -> 1.2, 27 -> 0.5, 28 -> 0.5, 29 -> 0.8, 30 -> 0.7, 31 -> 0.5,
     32 -> 0.3, 33 -> 0.4, 34 -> 0.3, 35 -> 0.3, 36 -> 2.1, 37 -> 0.9,
     38 -> 1.7, 39 -> 0.4, 40 -> 0.2, 41 -> 0.4, 42 -> 0.5, 43 -> 0.4,
-    44 -> 1, 45 -> 1.7, 46 -> 0.8, 47 -> 1.1, 48 -> 0.2, 49 -> 0.1,
+    44 -> 1, 45 -> 1.7, 46 -> 0.8, 47 -> 1.1, 48 -> 0.1, 49 -> 0.1,
     50 -> 1.1, 51 -> 0.7, 52 -> 1.3, 53 -> 0.7, 54 -> 0.2, 55 -> 1,
     56 -> 0.1, 57 -> 0.6, 58 -> 0.6, 59 -> 0.8, 60 -> 0.1, 61 -> 0.6,
     62 -> 1, 63 -> 0.7, 64 -> 1.3, 65 -> 0.6, 66 -> 2.2, 67 -> 0.4,
     68 -> 0.1, 69 -> 1.4, 70 -> 0.1, 71 -> 0.5, 72 -> 0.5, 73 -> 0.6,
-    74 -> 2.8, 75 -> 0.1, 76 -> 0.3, 77 -> 1.2, 78 -> 0.3, 79 -> 2.2,
+    74 -> 2.8, 75 -> 0.1, 76 -> 0.2, 77 -> 1.1, 78 -> 0.3, 79 -> 2.2,
     80 -> 0.5, 81 -> 1, 82 -> 0.5, 83 -> 0.5, 84 -> 0.7, 85 -> 0.6,
     86 -> 0.6, 87 -> 1.1, 88 -> 2.1, 89 -> 0.6, 90 -> 0.4, 91 -> 1,
-    92 -> 0.8, 93 -> 0.4, 94 -> 1.2, 95 -> 2.3, 96 -> 0.7, 97 -> 1,
+    92 -> 0.8, 93 -> 0.4, 94 -> 1.2, 95 -> 2.3, 96 -> 0.7, 97 -> 0.9,
     98 -> 0.7, 99 -> 1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.6, 103 -> 3.3,
     104 -> 0.9, 105 -> 0.6, 106 -> 0.4, 107 -> 0.8, 108 -> 0.3, 109 -> 1.1,
     110 -> 0.7, 111 -> 1.2, 112 -> 0.6, 113 -> 0.6, 114 -> 1, 115 -> 0.6,
@@ -99,19 +99,21 @@ object Bench {
     254 -> 2.2, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
     260 -> 1, 261 -> 1, 262 -> 5.3, 263 -> 3.2, 264 -> 0.9, 265 -> 0.8,
     266 -> 1.6, 267 -> 1, 268 -> 0.6, 269 -> 2.3, 270 -> 1.3, 271 -> 0.7,
-    272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 2.2, 277 -> 1.3,
+    272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 1.9, 277 -> 1.3,
     278 -> 1.6, 279 -> 1.7, 280 -> 3.1, 281 -> 0.6, 282 -> 0.7, 283 -> 1.1,
     284 -> 2, 285 -> 2, 286 -> 3.9, 287 -> 3.1, 288 -> 6, 289 -> 5,
     290 -> 1.2, 291 -> 1.1, 292 -> 3.5, 293 -> 4.1, 294 -> 6.2, 295 -> 0.9,
     296 -> 0.8, 297 -> 2.6, 298 -> 1.2, 299 -> 1.6, 300 -> 0.5, 301 -> 2.5,
-    302 -> 0.8, 303 -> 0.8, 304 -> 2.6, 305 -> 5.8, 306 -> 0.7, 307 -> 4.7,
+    302 -> 0.8, 303 -> 0.8, 304 -> 2.6, 305 -> 5.8, 306 -> 0.6, 307 -> 4.7,
     308 -> 3.2, 309 -> 3.9, 310 -> 5.7, 311 -> 5.2, 312 -> 3.1, 313 -> 0.7,
     314 -> 0.9, 315 -> 1.9, 316 -> 3.7, 317 -> 2.1, 318 -> 0.8, 319 -> 2.7,
     320 -> 1.1, 321 -> 1.7, 322 -> 0.8, 323 -> 0.7, 324 -> 0.4, 325 -> 2.5,
-    326 -> 1.1, 327 -> 0.6, 328 -> 6.9, 329 -> 1.2, 330 -> 2, 331 -> 1,
-    332 -> 1.3, 333 -> 0.9, 334 -> 0.7, 335 -> 0.4, 336 -> 1, 337 -> 0.7,
+    326 -> 0.9, 327 -> 0.5, 328 -> 6.6, 329 -> 1.1, 330 -> 2, 331 -> 1,
+    332 -> 1.3, 333 -> 0.9, 334 -> 0.7, 335 -> 0.4, 336 -> 0.9, 337 -> 0.7,
     338 -> 2.4, 339 -> 0.9, 340 -> 1.1, 341 -> 0.8, 342 -> 1.5, 343 -> 3,
-    344 -> 3.4, 345 -> 4.6, 346 -> 1.4, 347 -> 2, 348 -> 1.1)
+    344 -> 3.4, 345 -> 4.6, 346 -> 1.4, 347 -> 1.7, 348 -> 1, 349 -> 6.9,
+    350 -> 6.4, 351 -> 6.7, 352 -> 3.8, 353 -> 4.8, 354 -> 2.4, 355 -> 6.4,
+    356 -> 10.2, 357 -> 10.6)
 
 
 

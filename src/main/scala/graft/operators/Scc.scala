@@ -99,6 +99,105 @@ object Scc {
     labels
   }
 
+  /** Condensation edge list for a labeled graph: one arc per pair of
+    * DISTINCT components connected by an edge (the standing state
+    * [[incremental]] maintains alongside the labels). Corpus-sized
+    * once at batch build; delta-bounded to maintain. */
+  def condensationEdges(edges: DataFrame, labels: DataFrame,
+      srcCol: String, dstCol: String): DataFrame =
+    edges
+      .join(labels.select(col("id").as("__s"), col("scc").as("csrc")),
+        col(srcCol) === col("__s"))
+      .join(labels.select(col("id").as("__d"), col("scc").as("cdst")),
+        col(dstCol) === col("__d"))
+      .select(col("csrc"), col("cdst"))
+      .filter(col("csrc") =!= col("cdst")).distinct()
+
+  /** Incremental SCC maintenance under edge INSERTIONS — the q307
+    * (incremental CC) production shape on DIRECTED reachability.
+    * Unlike undirected components, yesterday's labels alone cannot
+    * absorb a delta: a new arc u→v merges every old SCC on a
+    * v⇝…⇝u path, and the paths run through the old graph — so the
+    * standing state is (labels, CONDENSATION edges). Contracting SCCs
+    * preserves reachability, so the SCCs of corpus ∪ delta are exactly
+    * the SCCs of condensation(corpus) ∪ quotient(delta) — a graph
+    * bounded by #components + delta, never corpus edges (on cyclic
+    * graphs the condensation is the small quotient; on a pure DAG it
+    * is the graph itself, the honest lower bound for this problem).
+    * Each merged group's new label = min over member labels = the
+    * global min member id, [[run]]'s invariant — so delta == batch is
+    * one hash (q349's oracle verbatim in the gate).
+    *
+    * Deletion is NOT supported (arc removal can split an SCC, which
+    * needs a rebuild of the affected component) — insert-only, the
+    * same contract as [[ConnectedComponents.incremental]].
+    *
+    * @return (labels', condensationEdges') — the maintained state pair
+    */
+  def incremental(standing: DataFrame, condEdges: DataFrame,
+      deltaEdges: DataFrame, srcCol: String, dstCol: String,
+      maxPeels: Int = 50, maxIterations: Int = 50)
+      : (DataFrame, DataFrame) = {
+    val de = Staging.stage(
+      deltaEdges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .filter(col("a") =!= col("b")).distinct(),
+      eager = true)
+    val ends = de.select(col("a").as("nid"))
+      .unionByName(de.select(col("b").as("nid"))).distinct()
+    // endpoint → standing component, one broadcast probe of the
+    // standing scan; unmatched endpoints are new singleton nodes
+    val found = Staging.stage(
+      standing.join(broadcast(ends), col("id") === col("nid"))
+        .select(col("nid"), col("scc")),
+      eager = true)
+    val newNodes = Staging.stage(
+      ends.join(found.select(col("nid").as("fid")),
+          col("nid") === col("fid"), "left_anti")
+        .select(col("nid"), col("nid").as("scc")),
+      eager = true)
+    val comp0 = found.unionByName(newNodes)
+    val dq = de
+      .join(broadcast(comp0.select(col("nid").as("a"),
+        col("scc").as("ca"))), "a")
+      .join(broadcast(comp0.select(col("nid").as("b"),
+        col("scc").as("cb"))), "b")
+      .select(col("ca").as("csrc"), col("cb").as("cdst"))
+      .filter(col("csrc") =!= col("cdst"))
+    val quotient = Staging.stage(
+      condEdges.select(col("csrc"), col("cdst")).unionByName(dq)
+        .distinct(),
+      eager = true)
+    // SCC over the component-id quotient graph; groups that merge get
+    // the min member label by construction
+    val merged = run(quotient, "csrc", "cdst", maxPeels, maxIterations)
+    val remap = Staging.stage(
+      merged.filter(col("id") =!= col("scc"))
+        .select(col("id").as("oldc"), col("scc").as("newc")),
+      eager = true)
+    // untouched labels pass through bit-identical (no remap row); new
+    // nodes take their quotient label
+    val labels = standing
+      .join(broadcast(remap), col("scc") === col("oldc"), "left_outer")
+      .select(col("id"), coalesce(col("newc"), col("scc")).as("scc"))
+      .unionByName(newNodes
+        .join(broadcast(remap), col("scc") === col("oldc"), "left_outer")
+        .select(col("nid").as("id"),
+          coalesce(col("newc"), col("scc")).as("scc")))
+    // maintained condensation: quotient arcs remapped, self-arcs drop
+    val cond = quotient
+      .join(broadcast(remap.withColumnRenamed("oldc", "__o1")
+        .withColumnRenamed("newc", "__n1")),
+        col("csrc") === col("__o1"), "left_outer")
+      .join(broadcast(remap.withColumnRenamed("oldc", "__o2")
+        .withColumnRenamed("newc", "__n2")),
+        col("cdst") === col("__o2"), "left_outer")
+      .select(coalesce(col("__n1"), col("csrc")).as("csrc"),
+        coalesce(col("__n2"), col("cdst")).as("cdst"))
+      .filter(col("csrc") =!= col("cdst")).distinct()
+    Staging.release(de); Staging.release(found)
+    (labels, cond)
+  }
+
   /** @param edges directed edges (src → dst), duplicates tolerated
     * @param maxPeels peel-round bound: ≤ #SCCs needed, condensation
     *                 depth in practice; O(n) on adversarial path DAGs

@@ -109,26 +109,46 @@ object Extras136 {
        |FROM asg JOIN sz USING (scc)""".stripMargin
   }
 
+  /** Directed trade-flow edges from an orders subset: c→s for every
+    * trading pair, s→c for pairs with a returned item. Shared with the
+    * incremental twin q357 (corpus/delta splits union to exactly the
+    * full graph, so both gate against [[SccOracle]] verbatim). */
+  private[queries] def tradeFlowEdges(
+      orders: org.apache.spark.sql.DataFrame,
+      lineitem: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import orders.sparkSession.implicits._
+    val b = orders
+      .join(lineitem, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey".cast(LongType).as("c"),
+        $"l_suppkey".cast(LongType).as("s"))
+      .agg(max(when($"l_returnflag" === "R", 1).otherwise(0)).as("ret"))
+    b.select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"))
+      .unionByName(b.filter($"ret" === 1)
+        .select(($"s" * 2 + 1).as("src"), ($"c" * 2).as("dst")))
+  }
+
+  /** Size tail shared with q357: groupBy + equi-join back, never a
+    * window partitioned by a possibly-corpus-sized component. */
+  private[queries] def sccOut(res: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import res.sparkSession.implicits._
+    val sz = res.groupBy($"scc".as("__scc"))
+      .agg(count(lit(1)).cast(LongType).as("csize"))
+    res.join(sz, $"scc" === $"__scc")
+      .select(($"id" % 2).as("kind"), expr("id DIV 2").as("key"),
+        ($"scc" % 2).as("scc_kind"), expr("scc DIV 2").as("scc_key"),
+        $"csize")
+  }
+
   val all: Seq[Qry] = Seq(
 
     Qry("q349_scc_trade", SccOracle) { (spark, dir) =>
       import spark.implicits._
       val tt = Tables(spark, dir)
-      val b = tt.orders
-        .join(tt.lineitem, $"o_orderkey" === $"l_orderkey")
-        .groupBy($"o_custkey".cast(LongType).as("c"),
-          $"l_suppkey".cast(LongType).as("s"))
-        .agg(max(when($"l_returnflag" === "R", 1).otherwise(0)).as("ret"))
-      val e = b.select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"))
-        .unionByName(b.filter($"ret" === 1)
-          .select(($"s" * 2 + 1).as("src"), ($"c" * 2).as("dst")))
+      val e = tradeFlowEdges(tt.orders, tt.lineitem)
       val res = Scc.run(e, "src", "dst")
-      val sz = res.groupBy($"scc".as("__scc"))
-        .agg(count(lit(1)).cast(LongType).as("csize"))
-      res.join(sz, $"scc" === $"__scc")
-        .select(($"id" % 2).as("kind"), expr("id DIV 2").as("key"),
-          ($"scc" % 2).as("scc_kind"), expr("scc DIV 2").as("scc_key"),
-          $"csize")
+      sccOut(res)
     }
   )
 }

@@ -48,11 +48,11 @@ object Extras137 {
 
   private val B = 64
   private val Eta = 64L
-  private val Rounds = 8
+  private[queries] val Rounds = 8
 
   /** Shared CTE prefix: feature table + nd + w0 + unrolled training
     * rounds, ending at w[Rounds]. */
-  private def trainCtes: String = {
+  private[queries] def trainCtes: String = {
     val rounds = (1 to Rounds).map { r =>
       s"""z$r AS MATERIALIZED (SELECT f.doc_id, f.y,
          |    SUM(w.w * f.x) // 1000000 AS z
@@ -86,17 +86,34 @@ object Extras137 {
        |$rounds""".stripMargin
   }
 
+  // Trained weights are a deterministic pure function of the fixture
+  // dir; four catalog queries (q350/q351/q355/q356) consume them, so
+  // the 8-round training loop is memoized per (dir) for the session —
+  // 64 (b, w) longs driver-side, the linkDirs caching convention. The
+  // feature leaf is NOT memoized (staged blocks are swept between
+  // queries); each query re-stages its own.
+  private val weightMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, java.math.BigDecimal)]]()
+
   /** Spark twin of [[trainCtes]] — the [[graft.operators.QualityLr]]
     * operator over the fixtures' documents. */
-  private def train(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def train(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val feat = QualityLr.features(Tables(spark, dir).documents)
-    (feat, QualityLr.train(feat))
+    val rows = weightMemo.computeIfAbsent(dir, { _ =>
+      QualityLr.train(feat).collect()
+        .map(r => (r.getLong(0), r.getDecimal(1)))
+    })
+    val w = rows.toSeq.toDF("b", "w")
+      .select($"b", $"w".cast(org.apache.spark.sql.types
+        .DecimalType(38, 0)).as("w"))
+    (feat, w)
   }
 
   /** Learned-score level table (sm, pos, neg): every document scored
     * with the trained weights, quantized to milli. */
-  private def learnedLevels(feat: DataFrame, w: DataFrame): DataFrame = {
+  private[queries] def learnedLevels(feat: DataFrame, w: DataFrame): DataFrame = {
     import feat.sparkSession.implicits._
     QualityLr.score(feat, w)
       .select($"y", expr("z DIV 1000").as("sm"))

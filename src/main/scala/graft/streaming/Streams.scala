@@ -172,9 +172,21 @@ object Streams {
     * that exposure is accepted and documented rather than worked around.)
     */
   def runToMemory(df: DataFrame, outputMode: String): DataFrame =
+    synchronized { runToMemoryImpl(df, outputMode)._1 }
+
+  /** [[runToMemory]] + the run's observability row: the total
+    * `numRowsDroppedByWatermark` across every state operator and
+    * micro-batch (summed from the query's progress reports — the
+    * engine-side analog of the reference consumers' printed progress
+    * counters, `/root/reference/src/tests/integration_test.rs:272-277`).
+    * Gate-facing: q354 materializes this number against an oracle that
+    * PREDICTS it from the synthesis parameters. */
+  def runToMemoryWithDrops(df: DataFrame, outputMode: String)
+      : (DataFrame, Long) =
     synchronized { runToMemoryImpl(df, outputMode) }
 
-  private def runToMemoryImpl(df: DataFrame, outputMode: String): DataFrame = {
+  private def runToMemoryImpl(df: DataFrame, outputMode: String)
+      : (DataFrame, Long) = {
     val spark = df.sparkSession
     val table = s"graft_stream_${nameCounter.incrementAndGet()}"
     // Fixture streams carry a few hundred thousand rows through a handful
@@ -188,9 +200,13 @@ object Streams {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       val q = df.writeStream.outputMode(outputMode)
         .format("memory").queryName(table).start()
-      try q.processAllAvailable() finally q.stop()
+      val dropped =
+        try { q.processAllAvailable()
+          q.recentProgress.flatMap(_.stateOperators)
+            .map(_.numRowsDroppedByWatermark).sum
+        } finally q.stop()
       val sink = spark.table(table)
-      spark.createDataFrame(sink.collectAsList(), sink.schema)
+      (spark.createDataFrame(sink.collectAsList(), sink.schema), dropped)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       // also on failure — orphaned sink tables pin rows in the driver

@@ -54,6 +54,44 @@ class SccSpec extends SparkTestBase {
       6L -> 6L, 7L -> 6L))
   }
 
+  private def incr(corpus: Seq[(Long, Long)], delta: Seq[(Long, Long)])
+      : Map[Long, Long] = {
+    val standing = Scc.run(corpus.toDF("src", "dst"), "src", "dst")
+    val condE = Scc.condensationEdges(corpus.toDF("src", "dst"),
+      standing, "src", "dst")
+    val (labels, _) = Scc.incremental(standing, condE,
+      delta.toDF("src", "dst"), "src", "dst")
+    labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("incremental: a delta back-arc merges SCCs along an OLD path") {
+    // corpus: 1->2->3 (pure DAG, three singletons); delta: 3->1 closes
+    // the cycle THROUGH corpus arcs the delta never mentions — the
+    // case standing labels alone cannot solve
+    val corpus = Seq(1L -> 2L, 2L -> 3L)
+    val out = incr(corpus, Seq(3L -> 1L))
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(out === sccs(corpus ++ Seq(3L -> 1L)))
+  }
+
+  test("incremental: untouched components pass through; new nodes " +
+      "enter as singletons or merge") {
+    // corpus: cycle {4,5} and singleton chain 8->9; delta: new node 20
+    // in a 2-cycle with 9, plus an arc into untouched {4,5}
+    val corpus = Seq(4L -> 5L, 5L -> 4L, 8L -> 9L)
+    val delta = Seq(9L -> 20L, 20L -> 9L, 20L -> 4L)
+    val out = incr(corpus, delta)
+    assert(out === sccs(corpus ++ delta))
+    assert(out(4L) === 4L && out(5L) === 4L) // untouched, bit-identical
+    assert(out(9L) === 9L && out(20L) === 9L) // new node merged
+  }
+
+  test("incremental: internal delta edge is a no-op") {
+    val corpus = Seq(6L -> 7L, 7L -> 6L)
+    val out = incr(corpus, Seq(6L -> 7L))
+    assert(out === Map(6L -> 6L, 7L -> 6L))
+  }
+
   test("maxPeels exceeded fails loudly, never truncates") {
     // path DAG 1->2->...->6 needs ~5 peels with min-id pivots
     val pairs = (1L to 5L).map(i => i -> (i + 1))
