@@ -5,8 +5,8 @@ object Bench {
   /** Prior per-query seconds (decimal query number -> s) — the
     * reference the spike-shaped "rem" re-measure below compares
     * against. Regenerated in round 13 from BENCH_r13_quiet.json
-    * (= the r12 artifact's twenty-eight runs plus the sv=elevated
-    * catalog-357 run folded normally — its q349-q357 entries are the
+    * (= the r12 artifact's twenty-eight runs plus the round-13 sv=elevated
+    * catalog-357 and near-quiet catalog-359 runs folded normally — their q349-q359 entries are the
     * only evidence for the round-13 waves, upper bounds until a
     * quieter run min-folds them; the artifact's rem_floor_qs field
     * tags entries whose floor came from a rem/z95 re-measure rather
@@ -104,16 +104,16 @@ object Bench {
     284 -> 2, 285 -> 2, 286 -> 3.9, 287 -> 3.1, 288 -> 6, 289 -> 5,
     290 -> 1.2, 291 -> 1.1, 292 -> 3.5, 293 -> 4.1, 294 -> 6.2, 295 -> 0.9,
     296 -> 0.8, 297 -> 2.6, 298 -> 1.2, 299 -> 1.6, 300 -> 0.5, 301 -> 2.5,
-    302 -> 0.8, 303 -> 0.8, 304 -> 2.6, 305 -> 5.8, 306 -> 0.6, 307 -> 4.7,
+    302 -> 0.8, 303 -> 0.8, 304 -> 2.6, 305 -> 5.5, 306 -> 0.5, 307 -> 4.4,
     308 -> 3.2, 309 -> 3.9, 310 -> 5.7, 311 -> 5.2, 312 -> 3.1, 313 -> 0.7,
     314 -> 0.9, 315 -> 1.9, 316 -> 3.7, 317 -> 2.1, 318 -> 0.8, 319 -> 2.7,
     320 -> 1.1, 321 -> 1.7, 322 -> 0.8, 323 -> 0.7, 324 -> 0.4, 325 -> 2.5,
     326 -> 0.9, 327 -> 0.5, 328 -> 6.6, 329 -> 1.1, 330 -> 2, 331 -> 1,
     332 -> 1.3, 333 -> 0.9, 334 -> 0.7, 335 -> 0.4, 336 -> 0.9, 337 -> 0.7,
-    338 -> 2.4, 339 -> 0.9, 340 -> 1.1, 341 -> 0.8, 342 -> 1.5, 343 -> 3,
-    344 -> 3.4, 345 -> 4.6, 346 -> 1.4, 347 -> 1.7, 348 -> 1, 349 -> 6.9,
-    350 -> 6.4, 351 -> 6.7, 352 -> 3.8, 353 -> 4.8, 354 -> 2.4, 355 -> 6.4,
-    356 -> 10.2, 357 -> 10.6)
+    338 -> 2.4, 339 -> 0.8, 340 -> 1.1, 341 -> 0.8, 342 -> 1.5, 343 -> 2.9,
+    344 -> 3.3, 345 -> 4.3, 346 -> 1.3, 347 -> 1.7, 348 -> 0.9, 349 -> 6.4,
+    350 -> 6.4, 351 -> 1.8, 352 -> 3.4, 353 -> 4.8, 354 -> 2.4, 355 -> 1.3,
+    356 -> 4.2, 357 -> 10.2, 358 -> 7.9, 359 -> 3.3)
 
 
 
