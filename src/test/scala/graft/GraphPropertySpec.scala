@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.operators.{Coreness, HopDistance}
+import graft.operators.{Coreness, DagLevels, HopDistance, Scc}
 
 /** Algorithm-equivalence properties for the round-12 graph operators:
   * the distributed formulations must agree with direct reference
@@ -86,6 +86,86 @@ class GraphPropertySpec extends SparkTestBase {
           (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
       got == bfsRef(es, seeds)
     })
+  }
+
+  /** Reference SCC labels (min member id) by brute-force transitive
+    * closure over directed edges. */
+  private def sccRef(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    var reach = nodes.map(n => n -> Set(n)).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((u, v) <- edges) {
+        val merged = reach(u) ++ reach(v)
+        if (merged.size != reach(u).size) { reach += u -> merged; changed = true }
+      }
+    }
+    nodes.map { n =>
+      val comp = reach(n).filter(m => reach(m).contains(n))
+      n -> comp.min
+    }.toMap
+  }
+
+  /** Reference longest-path levels on a DAG. */
+  private def levelsRef(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    var lvl = nodes.map(_ -> 0L).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((u, v) <- edges) {
+        if (lvl(u) + 1 > lvl(v)) { lvl += v -> (lvl(u) + 1); changed = true }
+      }
+    }
+    lvl
+  }
+
+  // directed: no symmetrization, self-loops filtered, both directions
+  // possible independently
+  private val directedGen: Gen[Set[(Long, Long)]] = for {
+    n <- Gen.choose(4, 12)
+    m <- Gen.choose(3, 22)
+    es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong),
+      Gen.choose(0L, n.toLong)))
+  } yield es.filter(e => e._1 != e._2).toSet
+
+  test("property: FW-BW peeling SCC == brute-force mutual reachability") {
+    check(Prop.forAll(directedGen.suchThat(_.nonEmpty)) { es =>
+      val got = Scc.run(es.toSeq.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == sccRef(es)
+    }, tests = 8)
+  }
+
+  test("property: incremental SCC == batch SCC on the union") {
+    val g = directedGen.suchThat(_.size >= 4).map { es =>
+      val sorted = es.toSeq.sortBy(identity)
+      val cut = math.max(1, sorted.size * 3 / 4)
+      (sorted.take(cut).toSet, sorted.drop(cut).toSet)
+    }
+    check(Prop.forAll(g.suchThat(_._2.nonEmpty)) {
+      case (corpus, delta) =>
+        val standing = Scc.run(corpus.toSeq.toDF("src", "dst"),
+          "src", "dst")
+        val condE = Scc.condensationEdges(
+          corpus.toSeq.toDF("src", "dst"), standing, "src", "dst")
+        val (labels, _) = Scc.incremental(standing, condE,
+          delta.toSeq.toDF("src", "dst"), "src", "dst")
+        val got = labels.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == sccRef(corpus ++ delta)
+    }, tests = 6)
+  }
+
+  test("property: DAG levels == reference longest path (cycle-free " +
+      "inputs via DAG-ification)") {
+    // orient every edge low -> high: guaranteed acyclic
+    check(Prop.forAll(edgesGen.suchThat(_.nonEmpty)) { es =>
+      val got = DagLevels.run(es.toSeq.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == levelsRef(es)
+    }, tests = 8)
   }
 
   test("property: incremental BFS == from-scratch BFS on the union") {
