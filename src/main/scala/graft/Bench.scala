@@ -78,29 +78,29 @@ object Bench {
     128 -> 0.3, 129 -> 0.4, 130 -> 1.1, 131 -> 0.4, 132 -> 0.4, 133 -> 1.8,
     134 -> 1.3, 135 -> 0.8, 136 -> 0.6, 137 -> 0.6, 138 -> 1.5, 139 -> 0.7,
     140 -> 1, 141 -> 0.6, 142 -> 0.6, 143 -> 2.6, 144 -> 0.9, 145 -> 0.6,
-    146 -> 2.3, 147 -> 1.4, 148 -> 0.7, 149 -> 1.7, 150 -> 0.4, 151 -> 0.2,
+    146 -> 2.3, 147 -> 1.4, 148 -> 0.7, 149 -> 1.7, 150 -> 0.3, 151 -> 0.2,
     152 -> 0.7, 153 -> 0.4, 154 -> 0.3, 155 -> 0.1, 156 -> 0.8, 157 -> 1,
     158 -> 1.5, 159 -> 1.8, 160 -> 0.2, 161 -> 1.9, 162 -> 0.6, 163 -> 0.8,
     164 -> 0.8, 165 -> 0.4, 166 -> 0.4, 167 -> 0.5, 168 -> 1.1, 169 -> 1.2,
     170 -> 0.8, 171 -> 0.5, 172 -> 0.6, 173 -> 1.5, 174 -> 2.4, 175 -> 0.8,
-    176 -> 0.5, 177 -> 0.2, 178 -> 2.1, 179 -> 2.5, 180 -> 1.3, 181 -> 0.2,
+    176 -> 0.5, 177 -> 0.2, 178 -> 2.1, 179 -> 2.5, 180 -> 1.2, 181 -> 0.2,
     182 -> 0.9, 183 -> 0.7, 184 -> 0.6, 185 -> 0.2, 186 -> 0.2, 187 -> 1.5,
     188 -> 0.4, 189 -> 0.2, 190 -> 0.1, 191 -> 0.2, 192 -> 0.4, 193 -> 0.8,
     194 -> 1.7, 195 -> 0.2, 196 -> 0.8, 197 -> 0.2, 198 -> 0.2, 199 -> 0.5,
     200 -> 0.2, 201 -> 0.2, 202 -> 0.2, 203 -> 0.2, 204 -> 0.3, 205 -> 0.6,
     206 -> 1, 207 -> 0.2, 208 -> 0.2, 209 -> 0.1, 210 -> 0.3, 211 -> 1.5,
     212 -> 0.4, 213 -> 0.4, 214 -> 0.1, 215 -> 0.3, 216 -> 0.6, 217 -> 0.2,
-    218 -> 2.6, 219 -> 4.1, 220 -> 1.4, 221 -> 2.5, 222 -> 3.5, 223 -> 0.6,
+    218 -> 2.6, 219 -> 4.1, 220 -> 1.4, 221 -> 2.5, 222 -> 3.4, 223 -> 0.6,
     224 -> 2.2, 225 -> 0.2, 226 -> 0.6, 227 -> 1.9, 228 -> 0.2, 229 -> 0.5,
     230 -> 0.4, 231 -> 0.2, 232 -> 0.3, 233 -> 0.3, 234 -> 1.3, 235 -> 0.2,
     236 -> 0.7, 237 -> 0.4, 238 -> 0.9, 239 -> 1, 240 -> 0.8, 241 -> 1.2,
     242 -> 1, 243 -> 0.2, 244 -> 1.3, 245 -> 0.6, 246 -> 0.7, 247 -> 2.2,
     248 -> 1.6, 249 -> 0.8, 250 -> 0.7, 251 -> 0.8, 252 -> 0.6, 253 -> 1.2,
     254 -> 2.2, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
-    260 -> 1, 261 -> 1, 262 -> 5.3, 263 -> 3.2, 264 -> 0.9, 265 -> 0.8,
+    260 -> 1, 261 -> 1, 262 -> 5.2, 263 -> 3.2, 264 -> 0.9, 265 -> 0.8,
     266 -> 1.6, 267 -> 1, 268 -> 0.6, 269 -> 2.3, 270 -> 1.3, 271 -> 0.7,
     272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 1.9, 277 -> 1.3,
-    278 -> 1.6, 279 -> 1.7, 280 -> 3.1, 281 -> 0.6, 282 -> 0.7, 283 -> 1.1,
+    278 -> 1.6, 279 -> 1.6, 280 -> 3.1, 281 -> 0.6, 282 -> 0.7, 283 -> 1.1,
     284 -> 2, 285 -> 2, 286 -> 3.9, 287 -> 3.1, 288 -> 6, 289 -> 5,
     290 -> 1.2, 291 -> 1.1, 292 -> 3.5, 293 -> 4.1, 294 -> 6.2, 295 -> 0.9,
     296 -> 0.8, 297 -> 2.6, 298 -> 1.2, 299 -> 1.6, 300 -> 0.5, 301 -> 2.5,
