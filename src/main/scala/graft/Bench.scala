@@ -62,7 +62,7 @@ object Bench {
     32 -> 0.3, 33 -> 0.4, 34 -> 0.3, 35 -> 0.3, 36 -> 2.1, 37 -> 0.9,
     38 -> 1.7, 39 -> 0.4, 40 -> 0.2, 41 -> 0.4, 42 -> 0.5, 43 -> 0.4,
     44 -> 1, 45 -> 1.7, 46 -> 0.8, 47 -> 1.1, 48 -> 0.1, 49 -> 0.1,
-    50 -> 1.1, 51 -> 0.7, 52 -> 1.3, 53 -> 0.7, 54 -> 0.2, 55 -> 1,
+    50 -> 1.1, 51 -> 0.7, 52 -> 1.3, 53 -> 0.6, 54 -> 0.2, 55 -> 1,
     56 -> 0.1, 57 -> 0.6, 58 -> 0.6, 59 -> 0.8, 60 -> 0.1, 61 -> 0.6,
     62 -> 1, 63 -> 0.7, 64 -> 1.3, 65 -> 0.6, 66 -> 2.2, 67 -> 0.4,
     68 -> 0.1, 69 -> 1.4, 70 -> 0.1, 71 -> 0.5, 72 -> 0.5, 73 -> 0.6,
@@ -71,16 +71,16 @@ object Bench {
     86 -> 0.6, 87 -> 1.1, 88 -> 2.1, 89 -> 0.6, 90 -> 0.4, 91 -> 1,
     92 -> 0.8, 93 -> 0.4, 94 -> 1.2, 95 -> 2.3, 96 -> 0.7, 97 -> 0.9,
     98 -> 0.7, 99 -> 1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.6, 103 -> 3.3,
-    104 -> 0.9, 105 -> 0.6, 106 -> 0.4, 107 -> 0.8, 108 -> 0.3, 109 -> 1.1,
+    104 -> 0.9, 105 -> 0.6, 106 -> 0.4, 107 -> 0.8, 108 -> 0.3, 109 -> 1,
     110 -> 0.7, 111 -> 1.2, 112 -> 0.6, 113 -> 0.6, 114 -> 1, 115 -> 0.6,
-    116 -> 0.3, 117 -> 1.2, 118 -> 0.6, 119 -> 1, 120 -> 0.7, 121 -> 0.6,
+    116 -> 0.3, 117 -> 1.1, 118 -> 0.6, 119 -> 1, 120 -> 0.7, 121 -> 0.6,
     122 -> 3, 123 -> 0.5, 124 -> 0.7, 125 -> 0.9, 126 -> 0.3, 127 -> 0.4,
     128 -> 0.3, 129 -> 0.4, 130 -> 1.1, 131 -> 0.4, 132 -> 0.4, 133 -> 1.8,
     134 -> 1.3, 135 -> 0.8, 136 -> 0.6, 137 -> 0.6, 138 -> 1.5, 139 -> 0.7,
     140 -> 1, 141 -> 0.6, 142 -> 0.6, 143 -> 2.6, 144 -> 0.9, 145 -> 0.6,
-    146 -> 2.3, 147 -> 1.4, 148 -> 0.7, 149 -> 1.7, 150 -> 0.3, 151 -> 0.2,
+    146 -> 2.3, 147 -> 1.4, 148 -> 0.6, 149 -> 1.6, 150 -> 0.3, 151 -> 0.2,
     152 -> 0.7, 153 -> 0.4, 154 -> 0.3, 155 -> 0.1, 156 -> 0.8, 157 -> 1,
-    158 -> 1.5, 159 -> 1.8, 160 -> 0.2, 161 -> 1.9, 162 -> 0.6, 163 -> 0.8,
+    158 -> 1.5, 159 -> 1.7, 160 -> 0.2, 161 -> 1.9, 162 -> 0.6, 163 -> 0.8,
     164 -> 0.8, 165 -> 0.4, 166 -> 0.4, 167 -> 0.5, 168 -> 1.1, 169 -> 1.2,
     170 -> 0.8, 171 -> 0.5, 172 -> 0.6, 173 -> 1.5, 174 -> 2.4, 175 -> 0.8,
     176 -> 0.5, 177 -> 0.2, 178 -> 2.1, 179 -> 2.5, 180 -> 1.2, 181 -> 0.2,
@@ -90,30 +90,30 @@ object Bench {
     200 -> 0.2, 201 -> 0.2, 202 -> 0.2, 203 -> 0.2, 204 -> 0.3, 205 -> 0.6,
     206 -> 1, 207 -> 0.2, 208 -> 0.2, 209 -> 0.1, 210 -> 0.3, 211 -> 1.5,
     212 -> 0.4, 213 -> 0.4, 214 -> 0.1, 215 -> 0.3, 216 -> 0.6, 217 -> 0.2,
-    218 -> 2.6, 219 -> 4.1, 220 -> 1.4, 221 -> 2.5, 222 -> 3.4, 223 -> 0.6,
+    218 -> 2.6, 219 -> 4.1, 220 -> 1.4, 221 -> 2.3, 222 -> 3.4, 223 -> 0.6,
     224 -> 2.2, 225 -> 0.2, 226 -> 0.6, 227 -> 1.9, 228 -> 0.2, 229 -> 0.5,
-    230 -> 0.4, 231 -> 0.2, 232 -> 0.3, 233 -> 0.3, 234 -> 1.3, 235 -> 0.2,
-    236 -> 0.7, 237 -> 0.4, 238 -> 0.9, 239 -> 1, 240 -> 0.8, 241 -> 1.2,
+    230 -> 0.4, 231 -> 0.1, 232 -> 0.3, 233 -> 0.3, 234 -> 1.3, 235 -> 0.2,
+    236 -> 0.7, 237 -> 0.4, 238 -> 0.8, 239 -> 1, 240 -> 0.8, 241 -> 1.2,
     242 -> 1, 243 -> 0.2, 244 -> 1.3, 245 -> 0.6, 246 -> 0.7, 247 -> 2.2,
     248 -> 1.6, 249 -> 0.8, 250 -> 0.7, 251 -> 0.8, 252 -> 0.6, 253 -> 1.2,
-    254 -> 2.2, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2.1, 259 -> 0.2,
+    254 -> 2.2, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2, 259 -> 0.2,
     260 -> 1, 261 -> 1, 262 -> 5.2, 263 -> 3.2, 264 -> 0.9, 265 -> 0.8,
     266 -> 1.6, 267 -> 1, 268 -> 0.6, 269 -> 2.3, 270 -> 1.3, 271 -> 0.7,
     272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 1.9, 277 -> 1.3,
     278 -> 1.6, 279 -> 1.6, 280 -> 3.1, 281 -> 0.6, 282 -> 0.7, 283 -> 1.1,
-    284 -> 2, 285 -> 2, 286 -> 3.9, 287 -> 3.1, 288 -> 6, 289 -> 5,
+    284 -> 2, 285 -> 2, 286 -> 3.9, 287 -> 2.9, 288 -> 5.7, 289 -> 5,
     290 -> 1.2, 291 -> 1.1, 292 -> 3.5, 293 -> 4.1, 294 -> 6.2, 295 -> 0.9,
     296 -> 0.8, 297 -> 2.6, 298 -> 1.2, 299 -> 1.6, 300 -> 0.5, 301 -> 2.5,
     302 -> 0.8, 303 -> 0.8, 304 -> 2.6, 305 -> 5.5, 306 -> 0.5, 307 -> 4.4,
-    308 -> 3.2, 309 -> 3.9, 310 -> 5.7, 311 -> 5.2, 312 -> 3.1, 313 -> 0.7,
+    308 -> 3.1, 309 -> 3.9, 310 -> 5.7, 311 -> 5.2, 312 -> 3.1, 313 -> 0.7,
     314 -> 0.9, 315 -> 1.9, 316 -> 3.7, 317 -> 2.1, 318 -> 0.8, 319 -> 2.7,
     320 -> 1.1, 321 -> 1.7, 322 -> 0.8, 323 -> 0.7, 324 -> 0.4, 325 -> 2.5,
     326 -> 0.9, 327 -> 0.5, 328 -> 6.6, 329 -> 1.1, 330 -> 2, 331 -> 1,
     332 -> 1.3, 333 -> 0.9, 334 -> 0.7, 335 -> 0.4, 336 -> 0.9, 337 -> 0.7,
     338 -> 2.4, 339 -> 0.8, 340 -> 1.1, 341 -> 0.8, 342 -> 1.5, 343 -> 2.9,
     344 -> 3.3, 345 -> 4.3, 346 -> 1.3, 347 -> 1.7, 348 -> 0.9, 349 -> 6.4,
-    350 -> 6.4, 351 -> 1.8, 352 -> 3.4, 353 -> 4.8, 354 -> 2.4, 355 -> 1.3,
-    356 -> 4.2, 357 -> 10.2, 358 -> 7.9, 359 -> 3.3)
+    350 -> 1, 351 -> 1.6, 352 -> 3.4, 353 -> 4.3, 354 -> 2.4, 355 -> 1.3,
+    356 -> 4.2, 357 -> 9.9, 358 -> 7.4, 359 -> 3.3)
 
 
 
