@@ -6,7 +6,7 @@ object Bench {
     * reference the spike-shaped "rem" re-measure below compares
     * against. Regenerated in round 13 from BENCH_r13_quiet.json
     * (= the r12 artifact's twenty-eight runs plus the round-13 sv=elevated
-    * catalog-357 and near-quiet catalog-359 runs folded normally — their q349-q359 entries are the
+    * catalog-357 run and three catalog-359 runs (two near-quiet at ~2 ticks/s) folded normally — their q349-q359 entries are the
     * only evidence for the round-13 waves, upper bounds until a
     * quieter run min-folds them; the artifact's rem_floor_qs field
     * tags entries whose floor came from a rem/z95 re-measure rather
