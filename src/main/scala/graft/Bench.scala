@@ -54,24 +54,24 @@ object Bench {
     * position in "stb" as an upper bound.
     */
   private[graft] val priorDriverSec: Map[Int, Double] = Map(
-    1 -> 1.1, 2 -> 0.2, 3 -> 1, 4 -> 1.3, 5 -> 0.4, 6 -> 0.3, 7 -> 0.5,
-    8 -> 0.6, 9 -> 0.4, 10 -> 0.6, 11 -> 0.5, 12 -> 0.8, 13 -> 0.4,
+    1 -> 1.1, 2 -> 0.2, 3 -> 1, 4 -> 1.3, 5 -> 0.4, 6 -> 0.3, 7 -> 0.4,
+    8 -> 0.6, 9 -> 0.4, 10 -> 0.5, 11 -> 0.5, 12 -> 0.8, 13 -> 0.4,
     14 -> 0.5, 15 -> 0.4, 16 -> 0.6, 17 -> 0.5, 18 -> 0.2, 19 -> 0.5,
     20 -> 1.6, 21 -> 0.5, 22 -> 0.3, 23 -> 0.7, 24 -> 0.3, 25 -> 0.6,
     26 -> 1.2, 27 -> 0.5, 28 -> 0.5, 29 -> 0.8, 30 -> 0.7, 31 -> 0.5,
     32 -> 0.3, 33 -> 0.4, 34 -> 0.3, 35 -> 0.3, 36 -> 2.1, 37 -> 0.9,
     38 -> 1.7, 39 -> 0.4, 40 -> 0.2, 41 -> 0.4, 42 -> 0.5, 43 -> 0.4,
-    44 -> 1, 45 -> 1.7, 46 -> 0.8, 47 -> 1.1, 48 -> 0.1, 49 -> 0.1,
+    44 -> 1, 45 -> 1.6, 46 -> 0.8, 47 -> 1.1, 48 -> 0.1, 49 -> 0.1,
     50 -> 1.1, 51 -> 0.7, 52 -> 1.3, 53 -> 0.6, 54 -> 0.2, 55 -> 1,
     56 -> 0.1, 57 -> 0.6, 58 -> 0.6, 59 -> 0.8, 60 -> 0.1, 61 -> 0.6,
     62 -> 1, 63 -> 0.7, 64 -> 1.3, 65 -> 0.6, 66 -> 2.2, 67 -> 0.4,
     68 -> 0.1, 69 -> 1.4, 70 -> 0.1, 71 -> 0.5, 72 -> 0.5, 73 -> 0.6,
     74 -> 2.8, 75 -> 0.1, 76 -> 0.2, 77 -> 1.1, 78 -> 0.3, 79 -> 2.2,
     80 -> 0.5, 81 -> 1, 82 -> 0.5, 83 -> 0.5, 84 -> 0.7, 85 -> 0.6,
-    86 -> 0.6, 87 -> 1.1, 88 -> 2.1, 89 -> 0.6, 90 -> 0.4, 91 -> 1,
-    92 -> 0.8, 93 -> 0.4, 94 -> 1.2, 95 -> 2.3, 96 -> 0.7, 97 -> 0.9,
+    86 -> 0.6, 87 -> 1.1, 88 -> 2, 89 -> 0.6, 90 -> 0.4, 91 -> 1,
+    92 -> 0.8, 93 -> 0.4, 94 -> 1.1, 95 -> 2.3, 96 -> 0.7, 97 -> 0.9,
     98 -> 0.7, 99 -> 1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.6, 103 -> 3.3,
-    104 -> 0.9, 105 -> 0.6, 106 -> 0.4, 107 -> 0.8, 108 -> 0.3, 109 -> 1,
+    104 -> 0.9, 105 -> 0.6, 106 -> 0.4, 107 -> 0.7, 108 -> 0.3, 109 -> 1,
     110 -> 0.7, 111 -> 1.2, 112 -> 0.6, 113 -> 0.6, 114 -> 1, 115 -> 0.6,
     116 -> 0.3, 117 -> 1.1, 118 -> 0.6, 119 -> 1, 120 -> 0.7, 121 -> 0.6,
     122 -> 3, 123 -> 0.5, 124 -> 0.7, 125 -> 0.9, 126 -> 0.3, 127 -> 0.4,
@@ -96,24 +96,24 @@ object Bench {
     236 -> 0.7, 237 -> 0.4, 238 -> 0.8, 239 -> 1, 240 -> 0.8, 241 -> 1.2,
     242 -> 1, 243 -> 0.2, 244 -> 1.3, 245 -> 0.6, 246 -> 0.7, 247 -> 2.2,
     248 -> 1.6, 249 -> 0.8, 250 -> 0.7, 251 -> 0.8, 252 -> 0.6, 253 -> 1.2,
-    254 -> 2.2, 255 -> 2.9, 256 -> 0.2, 257 -> 1.1, 258 -> 2, 259 -> 0.2,
-    260 -> 1, 261 -> 1, 262 -> 5.2, 263 -> 3.2, 264 -> 0.9, 265 -> 0.8,
-    266 -> 1.6, 267 -> 1, 268 -> 0.6, 269 -> 2.3, 270 -> 1.3, 271 -> 0.7,
+    254 -> 2.2, 255 -> 2.9, 256 -> 0.2, 257 -> 1, 258 -> 2, 259 -> 0.2,
+    260 -> 1, 261 -> 1, 262 -> 5.2, 263 -> 3.1, 264 -> 0.8, 265 -> 0.8,
+    266 -> 1.5, 267 -> 1, 268 -> 0.6, 269 -> 2.3, 270 -> 1.3, 271 -> 0.7,
     272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 1.9, 277 -> 1.3,
-    278 -> 1.6, 279 -> 1.6, 280 -> 3.1, 281 -> 0.6, 282 -> 0.7, 283 -> 1.1,
-    284 -> 2, 285 -> 2, 286 -> 3.9, 287 -> 2.9, 288 -> 5.7, 289 -> 5,
-    290 -> 1.2, 291 -> 1.1, 292 -> 3.5, 293 -> 4.1, 294 -> 6.2, 295 -> 0.9,
-    296 -> 0.8, 297 -> 2.6, 298 -> 1.2, 299 -> 1.6, 300 -> 0.5, 301 -> 2.5,
-    302 -> 0.8, 303 -> 0.8, 304 -> 2.6, 305 -> 5.5, 306 -> 0.5, 307 -> 4.4,
-    308 -> 3.1, 309 -> 3.9, 310 -> 5.7, 311 -> 5.2, 312 -> 3.1, 313 -> 0.7,
+    278 -> 1.6, 279 -> 1.6, 280 -> 3.1, 281 -> 0.5, 282 -> 0.7, 283 -> 1.1,
+    284 -> 2, 285 -> 2, 286 -> 3.9, 287 -> 2.9, 288 -> 5.7, 289 -> 4.9,
+    290 -> 1.2, 291 -> 1.1, 292 -> 3.4, 293 -> 4.1, 294 -> 6, 295 -> 0.9,
+    296 -> 0.8, 297 -> 2.5, 298 -> 1.1, 299 -> 1.6, 300 -> 0.4, 301 -> 2.4,
+    302 -> 0.8, 303 -> 0.8, 304 -> 2.5, 305 -> 5, 306 -> 0.5, 307 -> 4.1,
+    308 -> 2.8, 309 -> 3.5, 310 -> 5.7, 311 -> 5.2, 312 -> 3, 313 -> 0.7,
     314 -> 0.9, 315 -> 1.9, 316 -> 3.7, 317 -> 2.1, 318 -> 0.8, 319 -> 2.7,
     320 -> 1.1, 321 -> 1.7, 322 -> 0.8, 323 -> 0.7, 324 -> 0.4, 325 -> 2.5,
-    326 -> 0.9, 327 -> 0.5, 328 -> 6.6, 329 -> 1.1, 330 -> 2, 331 -> 1,
-    332 -> 1.3, 333 -> 0.9, 334 -> 0.7, 335 -> 0.4, 336 -> 0.9, 337 -> 0.7,
-    338 -> 2.4, 339 -> 0.8, 340 -> 1.1, 341 -> 0.8, 342 -> 1.5, 343 -> 2.9,
-    344 -> 3.3, 345 -> 4.3, 346 -> 1.3, 347 -> 1.7, 348 -> 0.9, 349 -> 6.4,
-    350 -> 1, 351 -> 1.6, 352 -> 3.4, 353 -> 4.3, 354 -> 2.4, 355 -> 1.3,
-    356 -> 4.2, 357 -> 9.9, 358 -> 7.4, 359 -> 3.3)
+    326 -> 0.9, 327 -> 0.5, 328 -> 6.6, 329 -> 1.1, 330 -> 1.9, 331 -> 0.9,
+    332 -> 1.2, 333 -> 0.8, 334 -> 0.7, 335 -> 0.4, 336 -> 0.9, 337 -> 0.6,
+    338 -> 2.2, 339 -> 0.7, 340 -> 1.1, 341 -> 0.8, 342 -> 1.5, 343 -> 2.7,
+    344 -> 3.1, 345 -> 4.1, 346 -> 1.3, 347 -> 1.5, 348 -> 0.9, 349 -> 5.7,
+    350 -> 1, 351 -> 1.6, 352 -> 3.2, 353 -> 4.3, 354 -> 2.3, 355 -> 1.3,
+    356 -> 3.9, 357 -> 9.9, 358 -> 7.4, 359 -> 3.2)
 
 
 
