@@ -247,6 +247,73 @@ object ConnectedComponents {
     updated.unionByName(newRows)
   }
 
+  /** Deletion-tolerant maintenance — the AFFECTED-COMPONENT REBUILD
+    * shape (r13 verdict #4; [[incremental]] is insert-only because a
+    * deletion can SPLIT a component, which no label-monotone delta
+    * loop can express): given the standing labels, the current edge
+    * leaf, and the deleted edge set, (1) find the components owning
+    * any deleted-edge endpoint, (2) re-run batch [[minLabel]] on the
+    * surviving edges INDUCED on those components only, (3) splice —
+    * untouched components' labels pass through bit-identical, touched
+    * nodes take their rebuilt label (own id when fully orphaned).
+    *
+    * Exactness: deletions never merge components, so every new
+    * component is a subset of one touched old component and its
+    * min-member label equals the global batch label over the
+    * surviving graph — rebuild-on-induced-subgraph is not an
+    * approximation. Scale shape: the corpus-sized work is ONE pass
+    * over the edge leaf (a semi-join probe on the touched-member set
+    * + an anti-join on the deleted set); the rebuild loop runs on the
+    * affected components' edges only. Honest cost contract: rebuild
+    * work is proportional to the affected components' total size — a
+    * deletion inside the giant component re-clusters that component
+    * (the production trade every affected-rebuild maintainer makes;
+    * splitting it would need fully dynamic connectivity). The touched
+    * component-id table is deletion-bounded and rides a broadcast;
+    * the member table is NOT hinted (Catalyst/AQE picks broadcast vs
+    * shuffle by its actual size). */
+  def decremental(standing: DataFrame, allEdges: DataFrame,
+      deletedEdges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 20): DataFrame = {
+    val del = Staging.stage(
+      deletedEdges.select(
+        least(col(srcCol), col(dstCol)).as("da"),
+        greatest(col(srcCol), col(dstCol)).as("db")).distinct(),
+      eager = true)
+    val ends = del.select(col("da").as("nid"))
+      .unionByName(del.select(col("db").as("nid"))).distinct()
+    val touched = Staging.stage(
+      standing.join(ends, col("id") === col("nid"))
+        .select(col("component").as("tc")).distinct(),
+      eager = true)
+    val members = Staging.stage(
+      standing.join(broadcast(touched), col("component") === col("tc"))
+        .select(col("id").as("mid")),
+      eager = true)
+    // surviving induced edges: both endpoints of an intra-component
+    // edge share a component, so probing one endpoint suffices
+    val e = allEdges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .join(members, col("a") === col("mid"), "left_semi")
+      .join(del, col("a") === col("da") && col("b") === col("db"),
+        "left_anti")
+    val rebuilt = minLabel(e, "a", "b", maxIterations)
+      .select(col("id").as("rid"), col("component").as("rc"))
+    val untouched = standing.join(broadcast(touched),
+      col("component") === col("tc"), "left_anti")
+    val touchedRows = standing
+      .join(broadcast(touched), col("component") === col("tc"),
+        "left_semi")
+      .join(rebuilt, col("id") === col("rid"), "left_outer")
+      .select(col("id"),
+        coalesce(col("rc"), col("id")).as("component"))
+    val out = untouched.select(col("id"), col("component"))
+      .unionByName(touchedRows)
+    Staging.release(del)
+    out
+  }
+
   def incremental(standing: DataFrame, deltaEdges: DataFrame,
       srcCol: String, dstCol: String, maxIterations: Int = 20)
       : DataFrame = {

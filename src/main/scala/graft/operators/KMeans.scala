@@ -45,6 +45,11 @@ object KMeans {
       v.filter(col("id") < k)
         .select(col("id").as("cid"), col("v").as("cv")),
       eager = true)
+    // loud-failure contract (r13 advisory): an id convention that
+    // seeds nothing must fail here, not surface as an empty result
+    // downstream (DagLevels/Scc's require discipline)
+    require(cents.limit(1).count() > 0,
+      s"KMeans: empty init — no vector has $idCol < k ($k)")
     for (_ <- 1 to rounds) {
       val a = assign(v, cents, idCol = "id", vCol = "v")
       val m = v.join(a.withColumnRenamed("id", "__aid"),
@@ -64,14 +69,96 @@ object KMeans {
     cents
   }
 
+  /** [[run]] with deterministic empty-cell RE-SEEDING and an explicit
+    * initial centroid frame (r13 verdict #7 — production hygiene for
+    * the Lloyd degeneracy [[run]] documents as "k shrinks"): when a
+    * round's refit drops cells, the missing cids are re-seeded in
+    * ascending-cid order with the FARTHEST POINTS — vectors ranked by
+    * (distance to their nearest refit centroid DESC, id ASC), the
+    * deterministic farthest-point heuristic. `init` supplies (cid,
+    * cv) explicitly (q364's gate plants an unreachable sentinel
+    * centroid to force an empty cell in round 1, so reseeding is
+    * exercised, not just plumbed).
+    *
+    * Determinism: distances are the same sequential-fold doubles as
+    * [[assign]]; reseed ranks tie-break by id — so an unrolled SQL
+    * oracle replays every round, reseeds included, bit-for-bit. The
+    * top-|missing| farthest rows ride a distributed top-k
+    * (orderBy+limit → TakeOrderedAndProject, never a single-partition
+    * corpus sort) and land driver-side as ≤ k rows (the
+    * centroid/model-constant read convention); per round that adds at
+    * most one extra corpus pass (the dmin probe), and none when no
+    * cell emptied. */
+  def runWithReseed(vecs: DataFrame, idCol: String, vCol: String,
+      k: Int, rounds: Int, init: DataFrame): DataFrame = {
+    val spark = vecs.sparkSession
+    val v = Staging.stage(
+      vecs.select(col(idCol).as("id"), col(vCol).as("v")), eager = true)
+    var cents = Staging.stage(
+      init.select(col("cid").cast("long").as("cid"), col("cv")),
+      eager = true)
+    require(cents.limit(1).count() > 0,
+      "KMeans.runWithReseed: empty init frame")
+    for (_ <- 1 to rounds) {
+      val a = assign(v, cents, idCol = "id", vCol = "v")
+      val m = v.join(a.withColumnRenamed("id", "__aid"),
+          col("id") === col("__aid"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i")).agg(davg(col("x")).as("c"))
+      val refit = Staging.stage(
+        m.groupBy(col("cid"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("i"), col("c")))),
+            s => s.getField("c")).as("cv")),
+        eager = true)
+      // surviving cids: a ≤ k-row model-constant read
+      val have = refit.select(col("cid")).collect()
+        .map(_.getLong(0)).toSet
+      val missing = (0L until k.toLong).filterNot(have).sorted
+      val next = if (missing.isEmpty) refit
+      else {
+        val dmin = v.crossJoin(broadcast(refit))
+          .select(col("id"), Vectors.distSq(col("v"), col("cv"))
+            .as("d2"))
+          .groupBy(col("id")).agg(min(col("d2")).as("dmin"))
+        val far = v.join(dmin, "id")
+          .orderBy(col("dmin").desc, col("id"))
+          .limit(missing.size)
+          .select(col("id"), col("v"), col("dmin"))
+          .collect()
+          .sortBy(r => (-r.getDouble(2), r.getLong(0)))
+        import spark.implicits._
+        val extra = missing.zip(far.toSeq).map { case (cid, r) =>
+          (cid, r.getSeq[Double](1))
+        }.toDF("cid", "cv")
+        val merged = Staging.stage(refit.unionByName(extra),
+          eager = true)
+        Staging.release(refit)
+        merged
+      }
+      Staging.release(cents)
+      cents = next
+    }
+    Staging.release(v)
+    cents
+  }
+
   /** Nearest-centroid assignment: (idCol, cid). Ties break by cid. */
   def assign(vecs: DataFrame, cents: DataFrame, idCol: String,
+      vCol: String): DataFrame =
+    assignDist(vecs, cents, idCol, vCol).drop("d2")
+
+  /** [[assign]] keeping the winning squared distance: (idCol, cid,
+    * d2). d2 is the same sequential-fold double on both engines
+    * ([[Vectors.distSq]] / q246's list_reduce), so downstream
+    * closest-to-centroid selections (q360) stay oracle-exact. */
+  def assignDist(vecs: DataFrame, cents: DataFrame, idCol: String,
       vCol: String): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cid"))
     vecs.crossJoin(broadcast(cents))
       .select(col(idCol), col("cid"),
         Vectors.distSq(col(vCol), col("cv")).as("d2"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("cid"))
+      .select(col(idCol), col("cid"), col("d2"))
   }
 }

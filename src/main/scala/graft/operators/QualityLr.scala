@@ -36,13 +36,22 @@ object QualityLr {
   /** Staged (doc_id, y, b, x) feature leaf from a documents-like frame
     * (doc_id, lang, text): y = 10⁶·[lang = positive], x = bucket token
     * fraction in ppm. Docs with zero tokens have no rows. Caller
-    * releases via Staging.sweep. */
-  def features(docs: DataFrame, positiveLang: String = "en"): DataFrame = {
+    * releases via Staging.sweep.
+    *
+    * `b` sizes the hashed bucket space; `bigrams` widens the feature
+    * stream to tokens ∪ word bigrams (q363's capacity rung — bigrams
+    * are space-joined, tokens never contain spaces, so the streams
+    * cannot collide pre-hash). Still ONE corpus-sized explode either
+    * way. */
+  def features(docs: DataFrame, positiveLang: String = "en",
+      b: Int = B, bigrams: Boolean = false): DataFrame = {
     import docs.sparkSession.implicits._
+    val tk = TextOps.tokens($"text")
+    val farr = if (bigrams) concat(tk, TextOps.shingles(tk, 2)) else tk
     val tf = docs
-      .select($"doc_id", $"lang", explode(TextOps.tokens($"text")).as("t"))
+      .select($"doc_id", $"lang", explode(farr).as("t"))
       .groupBy($"doc_id", $"lang",
-        (TextOps.md5Long($"t") % lit(TextOps.P) % B).as("b"))
+        (TextOps.md5Long($"t") % lit(TextOps.P) % b).as("b"))
       .agg(count(lit(1)).cast(LongType).as("c"))
     val nt = tf.groupBy($"doc_id".as("__d")).agg(sum($"c").as("__nt"))
     Staging.stage(
@@ -58,13 +67,13 @@ object QualityLr {
   /** Train on a staged feature leaf; returns the B-row (b, w) weight
     * frame (w in ppm, DECIMAL(38,0)), staged — caller releases. */
   def train(feat: DataFrame, eta: Long = Eta,
-      rounds: Int = Rounds): DataFrame = {
+      rounds: Int = Rounds, b: Int = B): DataFrame = {
     val spark = feat.sparkSession
     import spark.implicits._
     val nd = feat.agg(countDistinct($"doc_id")
       .cast(DecimalType(38, 0)).as("n"))
     var w = Staging.stage(
-      spark.range(B).select($"id".as("b"),
+      spark.range(b).select($"id".as("b"),
         lit(0).cast(DecimalType(38, 0)).as("w")),
       eager = true)
     for (_ <- 1 to rounds) {

@@ -88,15 +88,34 @@ object Extras129 {
           .withColumn("bkt", expr(s"doc_id DIV $bucketD")),
         eager = false)
       val wLoc = Window.partitionBy($"n_chars", $"bkt").orderBy($"doc_id")
-      // bucket-offset cumulation: unpartitioned, but over the
-      // 4096x-smaller bucket table (the q223-adjudicated shape)
-      val wBkt = Window.orderBy($"__c".desc, $"__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
+      // bucket-offset cumulation, TWO-LEVEL (r13 advisory): the bucket
+      // table is keyed by (n_chars, doc_id DIV 4096), so its size
+      // scales with distinct n_chars — near corpus-sized if lengths
+      // are near-unique, and a single unpartitioned window over it
+      // would quietly regress to a corpus sort. Bands of 4096 n_chars
+      // values are CONTIGUOUS in the (n_chars DESC, doc_id) total
+      // order, so rank = global band offset + within-band offset +
+      // local rank stays bit-identical while the only unpartitioned
+      // window runs over the band table — bounded by the n_chars
+      // DOMAIN / 4096 (data-independent), never by corpus cardinality.
+      // The within-band window is partitioned (parallel across bands;
+      // a single hot band degrades to the old shape, no worse).
       val buckets = s.groupBy($"n_chars".as("__c"), $"bkt".as("__b"))
         .agg(count(lit(1)).as("bc"), sum($"pos").as("bpos"))
+        .withColumn("__band", expr("__c DIV 4096"))
+      val wInB = Window.partitionBy($"__band")
+        .orderBy($"__c".desc, $"__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wBand = Window.orderBy($"__band".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bandOffs = buckets.groupBy($"__band")
+        .agg(sum($"bc").as("__bandc"))
+        .withColumn("boff", coalesce(sum($"__bandc").over(wBand), lit(0L)))
+        .select($"__band".as("__bb"), $"boff")
       val offs = buckets
-        .withColumn("off", coalesce(sum($"bc").over(wBkt), lit(0L)))
-        .select($"__c", $"__b", $"off")
+        .withColumn("offw", coalesce(sum($"bc").over(wInB), lit(0L)))
+        .join(broadcast(bandOffs), $"__band" === $"__bb")
+        .select($"__c", $"__b", ($"boff" + $"offw").as("off"))
       val tots = buckets.agg(sum($"bc").cast(LongType).as("n"),
         sum($"bpos").cast(LongType).as("tot_pos"))
       val r = s

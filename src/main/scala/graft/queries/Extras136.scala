@@ -84,13 +84,37 @@ object Extras136 {
          |  WHERE d.node IS NULL)""".stripMargin).mkString(",\n")
   }
 
-  private[queries] val SccOracle: String = {
+  /** CTE prefix of the SCC oracle (everything up to `sz`), exposed as
+    * an explicit composable unit so q358 extends it structurally
+    * instead of string surgery on the rendered SQL (r13 advisory).
+    *
+    * BOUND GUARDS (r13 advisory): the unroll depths (Peels × Inner)
+    * are fixture-calibrated, so a deeper SF could silently outrun
+    * them and make the ORACLE wrong while the adaptive Spark side is
+    * right. `asg` therefore unions in sentinel rows that fire ONLY
+    * when a bound was insufficient: one per (peel, direction) when
+    * the last inner round was NOT a fixpoint (min-label propagation
+    * is monotone, so a stationary round is a proof of convergence),
+    * and one when the active set survives the last peel. A violated
+    * bound surfaces as an impossible (-1|-2) node row — a loud rows
+    * mismatch that implicates the oracle's unroll depth, never the
+    * engine. */
+  private[queries] val SccOracleCtes: String = {
     val peels = (1 to Peels)
       .map(k => peelBlock(k, if (k == 1) "n0" else s"act${k - 1}"))
       .mkString(",\n")
-    val asg = (1 to Peels).map(k => s"SELECT node, scc FROM d$k")
-      .mkString(" UNION ALL ")
-    s"""WITH b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS s,
+    val guards = (1 to Peels).flatMap { k =>
+      Seq("f", "b").map { pfx =>
+        s"""SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+           |    WHERE EXISTS (SELECT 1 FROM ${pfx}${k}_$Inner a
+           |      JOIN ${pfx}${k}_${Inner - 1} p
+           |      ON p.node = a.node AND p.l <> a.l)""".stripMargin
+      }
+    } :+ s"""SELECT CAST(-2 AS BIGINT), CAST(-2 AS BIGINT)
+            |    WHERE EXISTS (SELECT 1 FROM act$Peels)""".stripMargin
+    val asg = ((1 to Peels).map(k => s"SELECT node, scc FROM d$k")
+      ++ guards).mkString("\n  UNION ALL ")
+    s"""b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS s,
        |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |  GROUP BY 1, 2),
@@ -103,11 +127,14 @@ object Extras136 {
        |$peels,
        |asg AS MATERIALIZED ($asg),
        |sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS csize
-       |       FROM asg GROUP BY 1)
+       |       FROM asg GROUP BY 1)""".stripMargin
+  }
+
+  private[queries] val SccOracle: String =
+    s"""WITH $SccOracleCtes
        |SELECT node % 2 AS kind, node // 2 AS key,
        |  scc % 2 AS scc_kind, scc // 2 AS scc_key, sz.csize
        |FROM asg JOIN sz USING (scc)""".stripMargin
-  }
 
   /** Directed trade-flow edges from an orders subset: c→s for every
     * trading pair, s→c for pairs with a returned item. Shared with the

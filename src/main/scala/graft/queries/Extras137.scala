@@ -52,7 +52,15 @@ object Extras137 {
 
   /** Shared CTE prefix: feature table + nd + w0 + unrolled training
     * rounds, ending at w[Rounds]. */
-  private[queries] def trainCtes: String = {
+  private[queries] def trainCtes: String =
+    trainCtesG(B, "SELECT doc_id, lang, unnest(tk) AS t FROM toks")
+
+  /** [[trainCtes]] generalized over bucket count and the exploded
+    * (doc_id, lang, t) feature stream — the q362 train-split
+    * restriction and the q363 bigram/B=1024 capacity rung rerender
+    * the SAME unrolled-round machinery with only these two knobs
+    * (the round CTEs are b-independent). */
+  private[queries] def trainCtesG(b: Int, tSrc: String): String = {
     val rounds = (1 to Rounds).map { r =>
       s"""z$r AS MATERIALIZED (SELECT f.doc_id, f.y,
          |    SUM(w.w * f.x) // 1000000 AS z
@@ -69,9 +77,9 @@ object Extras137 {
     }.mkString(",\n")
     s"""${TextOps.oracleToksCte},
        |tf AS (SELECT doc_id, lang,
-       |    ${TextOps.oracleHashSql("t")} % $B AS b,
+       |    ${TextOps.oracleHashSql("t")} % $b AS b,
        |    CAST(COUNT(*) AS HUGEINT) AS c
-       |  FROM (SELECT doc_id, lang, unnest(tk) AS t FROM toks)
+       |  FROM ($tSrc)
        |  GROUP BY 1, 2, 3),
        |ntk AS (SELECT doc_id, SUM(c) AS nt FROM tf GROUP BY 1),
        |feat AS MATERIALIZED (SELECT tf.doc_id,
@@ -82,7 +90,7 @@ object Extras137 {
        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS n
        |       FROM feat),
        |w0 AS (SELECT CAST(t.b AS BIGINT) AS b, CAST(0 AS HUGEINT) AS w
-       |       FROM range($B) t(b)),
+       |       FROM range($b) t(b)),
        |$rounds""".stripMargin
   }
 

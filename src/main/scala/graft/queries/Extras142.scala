@@ -39,6 +39,28 @@ import graft.sources.Tables
   */
 object Extras142 {
 
+  // q359's layout rewrite is a deterministic pure function of the
+  // fixture dir — memoize the written directory per dir for the
+  // session (bench warm + timed + 10x fold runs reuse one write, and
+  // deleteOnExit reclaims the copies; the Streams.partedDir
+  // convention — r13 advisory).
+  private val layoutDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def layoutDir(dir: String,
+      li: org.apache.spark.sql.DataFrame): String =
+    layoutDirs.computeIfAbsent(dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_q359_")
+      d.toFile.deleteOnExit()
+      li.sort(col("l_orderkey")).coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (64 * 1024).toString)
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .parquet(d.toString)
+      new java.io.File(d.toString).listFiles()
+        .foreach(_.deleteOnExit())
+      d.toString
+    })
+
   val all: Seq[Qry] = Seq(
 
     Qry(
@@ -52,8 +74,12 @@ object Extras142 {
              |    GROUP BY 1) m ON m.node = p.node)""".stripMargin
         val rounds = (1 to 6)
           .map(k => lvlRound(s"lv$k", s"lv${k - 1}")).mkString(",\n")
-        s"""WITH ${Extras136.SccOracle
-             .stripPrefix("WITH ").split("\nSELECT node % 2")(0)}
+        // composes Extras136.SccOracleCtes structurally (r13 advisory
+        // retired the stripPrefix/split string surgery); the lv6=lv5
+        // sentinel is the same bound-guard device — an insufficient
+        // relaxation unroll fires an impossible row, loudly blaming
+        // the oracle's depth rather than the engine
+        s"""WITH ${Extras136.SccOracleCtes}
            |SELECT node % 2 AS kind, node // 2 AS key, csize, lvl
            |FROM (
            |  WITH cond AS MATERIALIZED (
@@ -65,7 +91,11 @@ object Extras142 {
            |          FROM (SELECT DISTINCT scc FROM asg)),
            |  $rounds
            |  SELECT l.node, sz.csize, l.lvl
-           |  FROM lv6 l JOIN sz ON sz.scc = l.node)""".stripMargin
+           |  FROM lv6 l JOIN sz ON sz.scc = l.node
+           |  UNION ALL SELECT CAST(-2 AS BIGINT), CAST(-2 AS BIGINT),
+           |    CAST(-2 AS BIGINT)
+           |  WHERE EXISTS (SELECT 1 FROM lv6 a JOIN lv5 p
+           |    ON p.node = a.node AND p.lvl <> a.lvl))""".stripMargin
       }) { (spark, dir) =>
       import spark.implicits._
       val tt = Tables(spark, dir)
@@ -102,12 +132,7 @@ object Extras142 {
           $"l_extendedprice")
       // the ParquetSkippingSpec layout contract, written for real:
       // sorted on the lookup key, small row groups, bloom on partkey
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_q359_").toString
-      li.sort($"l_orderkey").coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", (64 * 1024).toString)
-        .option("parquet.bloom.filter.enabled#l_partkey", "true")
-        .parquet(out)
+      val out = layoutDir(dir, li)
       val mm = li.agg(min($"l_orderkey"), max($"l_orderkey")).head()
       val mid = (mm.getLong(0) + mm.getLong(1)) / 2
       val k = li.filter($"l_orderkey" <= mid)
