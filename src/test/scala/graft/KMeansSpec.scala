@@ -43,6 +43,68 @@ class KMeansSpec extends SparkTestBase {
     Staging.sweep(spark)
   }
 
+  test("runWithReseed: a forced-empty cell is reseeded with the " +
+      "deterministic farthest point") {
+    // seeds 0,1 real; sentinel cid 2 unreachable -> empties in round 1.
+    // Farthest point from the two refit centroids is id 9 at (100,100).
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (3L, Seq(0.2, 0.0)), (5L, Seq(0.0, 0.2)),
+      (1L, Seq(10.0, 10.0)), (4L, Seq(10.2, 10.0)),
+      (9L, Seq(100.0, 100.0))).toDF("id", "v")
+    val init = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)),
+      (2L, Seq(1.0e9, 1.0e9))).toDF("cid", "cv")
+    val cents = KMeans.runWithReseed(pts, "id", "v", k = 3, rounds = 1,
+        init = init)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.keySet === Set(0L, 1L, 2L))
+    // cid 2 reseeded with the farthest point (9 lands in cid 1's
+    // refit, leaving it the global dmin argmax at (100,100))
+    assert(cents(2L) === Seq(100.0, 100.0))
+    // cid0 refit = mean(0, 0.2, 0); cid1 = mean(10, 10.2, 100)
+    assert(math.abs(cents(0L).head - 0.066667) < 0.001)
+    assert(math.abs(cents(1L).head - 40.066667) < 0.001)
+    Staging.sweep(spark)
+  }
+
+  test("runWithReseed with no empty cell matches plain run") {
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (2L, Seq(0.2, 0.0)), (4L, Seq(0.0, 0.2)),
+      (1L, Seq(10.0, 10.0)), (3L, Seq(10.2, 10.0))).toDF("id", "v")
+    val init = pts.filter($"id" < 2)
+      .select($"id".as("cid"), $"v".as("cv"))
+    val a = KMeans.runWithReseed(pts, "id", "v", k = 2, rounds = 3,
+        init = init)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = KMeans.run(pts, "id", "v", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a === b)
+    Staging.sweep(spark)
+  }
+
+  test("empty init fails loudly instead of returning an empty frame") {
+    val pts = Seq((5L, Seq(0.0)), (6L, Seq(1.0))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      KMeans.run(pts, "id", "v", k = 2, rounds = 1)
+    }
+    assert(e.getMessage.contains("empty init"))
+    Staging.sweep(spark)
+  }
+
+  test("q360 rep set: the per-cell rank filter rides WindowGroupLimit " +
+      "(bounded map-side top-cap, never a full-cell rank sort)") {
+    import org.apache.spark.sql.expressions.Window
+    val va = Tables(spark, "/root/testdata/sf0.001").embeddings
+      .select($"vec_id".as("id"), ($"vec_id" % 8).as("cid"),
+        Vectors.toDouble($"embedding").as("v"))
+    val reps = va.withColumn("rn", row_number().over(
+        Window.partitionBy($"cid").orderBy($"id")))
+      .filter($"rn" <= 64)
+    val plan = reps.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rep-set rank filter did not fold into WindowGroupLimit:\n$plan")
+    Staging.sweep(spark)
+  }
+
   test("SemDeDup pair stage: an equi-join keyed on the cell id " +
       "(no cross-cell pair ever materializes)") {
     // the q353 builder stages/executes its loop, so the final plan
