@@ -49,7 +49,8 @@ object SparkEntry {
       Extras128.all ++ Extras129.all ++ Extras130.all ++ Extras131.all ++
       Extras132.all ++ Extras133.all ++ Extras134.all ++ Extras135.all ++
       Extras136.all ++ Extras137.all ++ Extras138.all ++ Extras139.all ++
-      Extras140.all ++ Extras141.all ++ Extras142.all ++ Extras143.all
+      Extras140.all ++ Extras141.all ++ Extras142.all ++ Extras143.all ++
+      Extras144.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

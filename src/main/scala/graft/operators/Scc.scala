@@ -198,6 +198,87 @@ object Scc {
     (labels, cond)
   }
 
+  /** Deletion-tolerant SCC maintenance — the decremental twin of
+    * [[incremental]], closing the insert-only contract documented
+    * there ([[ConnectedComponents.decremental]]'s shape on DIRECTED
+    * reachability): arc removal can SPLIT an SCC, and a split needs a
+    * rebuild — but only of the AFFECTED components.
+    *
+    * The key structural fact making "affected" small: every cycle is
+    * intra-component (a cycle's nodes are mutually reachable, hence
+    * one SCC), so a CROSS-component arc lies on no cycle and its
+    * removal can never change membership — only intra-component
+    * deletions can split. Deletion also never MERGES components
+    * (reachability only shrinks), so SCCs of the surviving graph
+    * refine the old partition and each touched component rebuilds
+    * independently on its own induced surviving edges.
+    *
+    * Shape: touched components = labels owning a deleted
+    * intra-component arc (one broadcast probe of the delta); the
+    * corpus edge leaf streams ONCE through the directed anti-join +
+    * two label probes + one broadcast touched-filter; [[run]] then
+    * executes on the induced subgraph only (touched-component-sized,
+    * never corpus-sized when deletions are local); untouched labels
+    * pass through an anti-probe bit-identical; touched members whose
+    * every intra-component edge vanished fall back to singletons via
+    * the left-outer coalesce. New labels are min-member ids by
+    * [[run]]'s invariant, so decremental == batch-over-survivors is
+    * one hash (q349's oracle over the surviving edge set).
+    *
+    * @param standing (id, scc) — [[run]]'s output on `corpusEdges`
+    * @return (id, scc) for every standing node
+    */
+  def decremental(standing: DataFrame, corpusEdges: DataFrame,
+      deletedEdges: DataFrame, srcCol: String, dstCol: String,
+      maxPeels: Int = 50, maxIterations: Int = 50): DataFrame = {
+    val del = Staging.stage(
+      deletedEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct(),
+      eager = true)
+    // only an INTRA-component arc can sit on a cycle → only those
+    // deletions can split; endpoints resolve through one broadcast
+    // probe of the standing scan
+    val touched = Staging.stage(
+      del
+        .join(standing.select(col("id").as("__s"), col("scc").as("cs")),
+          col("src") === col("__s"))
+        .join(standing.select(col("id").as("__d"), col("scc").as("cd")),
+          col("dst") === col("__d"))
+        .filter(col("cs") === col("cd"))
+        .select(col("cs").as("tc")).distinct(),
+      eager = true)
+    val kept = corpusEdges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .join(del.select(col("src").as("__ds"), col("dst").as("__dd")),
+        col("src") === col("__ds") && col("dst") === col("__dd"),
+        "left_anti")
+    // induced surviving subgraph: both endpoints in the SAME touched
+    // component (cross-component survivors cannot affect membership)
+    val induced = kept
+      .join(standing.select(col("id").as("__s2"), col("scc").as("c1")),
+        col("src") === col("__s2"))
+      .join(standing.select(col("id").as("__d2"), col("scc").as("c2")),
+        col("dst") === col("__d2"))
+      .filter(col("c1") === col("c2"))
+      .join(broadcast(touched), col("c1") === col("tc"))
+      .select(col("src"), col("dst"))
+    val rebuilt = run(induced, "src", "dst", maxPeels, maxIterations)
+    val untouched = standing
+      .join(broadcast(touched), col("scc") === col("tc"), "left_anti")
+      .select(col("id"), col("scc"))
+    val spliced = standing
+      .join(broadcast(touched), col("scc") === col("tc"))
+      .select(col("id"))
+      .join(rebuilt.select(col("id").as("__r"), col("scc").as("newscc")),
+        col("id") === col("__r"), "left_outer")
+      .select(col("id"), coalesce(col("newscc"), col("id")).as("scc"))
+    // del is fully absorbed by run()'s eager edge staging; touched is
+    // still referenced by the returned lazy plan — the caller's sweep
+    // owns it (CC.decremental's discipline)
+    Staging.release(del)
+    untouched.unionByName(spliced)
+  }
+
   /** @param edges directed edges (src → dst), duplicates tolerated
     * @param maxPeels peel-round bound: ≤ #SCCs needed, condensation
     *                 depth in practice; O(n) on adversarial path DAGs

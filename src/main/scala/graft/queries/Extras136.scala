@@ -62,10 +62,11 @@ object Extras136 {
 
   /** One peel round: restrict edges to the active set, run both
     * directed fixpoints, assign f = b, shrink the active set. */
-  private def peelBlock(k: Int, act: String): String = {
+  private def peelBlock(k: Int, act: String,
+      inner: Int = Inner): String = {
     val e = s"e$k"
     def chain(pfx: String, srcC: String, dstC: String): String =
-      (1 to Inner).map(j =>
+      (1 to inner).map(j =>
         reachRound(s"$pfx${k}_$j", s"$pfx${k}_${j - 1}", e, srcC, dstC))
         .mkString(",\n")
     Seq(
@@ -77,7 +78,7 @@ object Extras136 {
       s"b${k}_0 AS (SELECT node, node AS l FROM $act)",
       chain("b", "dst", "src"),
       s"""d$k AS MATERIALIZED (SELECT f.node, f.l AS scc
-         |  FROM f${k}_$Inner f JOIN b${k}_$Inner b
+         |  FROM f${k}_$inner f JOIN b${k}_$inner b
          |    ON b.node = f.node AND b.l = f.l)""".stripMargin,
       s"""act$k AS MATERIALIZED (SELECT x.node FROM $act x
          |  LEFT JOIN d$k d ON d.node = x.node
@@ -99,42 +100,63 @@ object Extras136 {
     * bound surfaces as an impossible (-1|-2) node row — a loud rows
     * mismatch that implicates the oracle's unroll depth, never the
     * engine. */
-  private[queries] val SccOracleCtes: String = {
-    val peels = (1 to Peels)
-      .map(k => peelBlock(k, if (k == 1) "n0" else s"act${k - 1}"))
+  /** [[SccOracleCtes]] generalized over the graph header (round 14):
+    * `header` must define CTEs `e0` (the directed edge set the peels
+    * run on) and `n0` (the node universe — may be WIDER than e0's
+    * endpoints: q365 seeds it with the pre-deletion node set, so nodes
+    * stripped of every edge still assign as singletons in peel 1).
+    * The unroll bounds stay guarded per (peel, direction) regardless
+    * of the parameterization. */
+  private[queries] def sccOracleCtesOver(header: String,
+      peels: Int = Peels, inner: Int = Inner): String = {
+    val peelsSql = (1 to peels)
+      .map(k => peelBlock(k, if (k == 1) "n0" else s"act${k - 1}", inner))
       .mkString(",\n")
-    val guards = (1 to Peels).flatMap { k =>
+    val guards = (1 to peels).flatMap { k =>
       Seq("f", "b").map { pfx =>
         s"""SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
-           |    WHERE EXISTS (SELECT 1 FROM ${pfx}${k}_$Inner a
-           |      JOIN ${pfx}${k}_${Inner - 1} p
+           |    WHERE EXISTS (SELECT 1 FROM ${pfx}${k}_$inner a
+           |      JOIN ${pfx}${k}_${inner - 1} p
            |      ON p.node = a.node AND p.l <> a.l)""".stripMargin
       }
     } :+ s"""SELECT CAST(-2 AS BIGINT), CAST(-2 AS BIGINT)
-            |    WHERE EXISTS (SELECT 1 FROM act$Peels)""".stripMargin
-    val asg = ((1 to Peels).map(k => s"SELECT node, scc FROM d$k")
+            |    WHERE EXISTS (SELECT 1 FROM act$peels)""".stripMargin
+    val asg = ((1 to peels).map(k => s"SELECT node, scc FROM d$k")
       ++ guards).mkString("\n  UNION ALL ")
-    s"""b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS s,
-       |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
-       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-       |  GROUP BY 1, 2),
-       |e0 AS MATERIALIZED (SELECT CAST(2 * c AS BIGINT) AS src,
-       |    CAST(2 * s + 1 AS BIGINT) AS dst FROM b
-       |  UNION ALL SELECT CAST(2 * s + 1 AS BIGINT),
-       |    CAST(2 * c AS BIGINT) FROM b WHERE ret = 1),
-       |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM (
-       |    SELECT src FROM e0 UNION ALL SELECT dst FROM e0)),
-       |$peels,
+    s"""$header,
+       |$peelsSql,
        |asg AS MATERIALIZED ($asg),
        |sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS csize
        |       FROM asg GROUP BY 1)""".stripMargin
   }
 
+  /** The directed trade-flow graph header (b → e0 → n0) shared by
+    * every SCC oracle over the full graph. */
+  private[queries] val TradeGraphCtes: String =
+    """b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS s,
+      |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |e0 AS MATERIALIZED (SELECT CAST(2 * c AS BIGINT) AS src,
+      |    CAST(2 * s + 1 AS BIGINT) AS dst FROM b
+      |  UNION ALL SELECT CAST(2 * s + 1 AS BIGINT),
+      |    CAST(2 * c AS BIGINT) FROM b WHERE ret = 1),
+      |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM (
+      |    SELECT src FROM e0 UNION ALL SELECT dst FROM e0))""".stripMargin
+
+  private[queries] val SccOracleCtes: String =
+    sccOracleCtesOver(TradeGraphCtes)
+
+  /** Final projection shared by every SCC-labels oracle (decodes the
+    * 2k/2k+1 node encoding and joins the size tail). */
+  private[queries] val SccFinalSelect: String =
+    """SELECT node % 2 AS kind, node // 2 AS key,
+      |  scc % 2 AS scc_kind, scc // 2 AS scc_key, sz.csize
+      |FROM asg JOIN sz USING (scc)""".stripMargin
+
   private[queries] val SccOracle: String =
     s"""WITH $SccOracleCtes
-       |SELECT node % 2 AS kind, node // 2 AS key,
-       |  scc % 2 AS scc_kind, scc // 2 AS scc_key, sz.csize
-       |FROM asg JOIN sz USING (scc)""".stripMargin
+       |$SccFinalSelect""".stripMargin
 
   /** Directed trade-flow edges from an orders subset: c→s for every
     * trading pair, s→c for pairs with a returned item. Shared with the

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.coalesce
+
+import graft.operators.{Scc, Staging}
+
+/** Semantics of Scc.decremental (the deletion-tolerant maintainer
+  * behind q365): affected-component rebuild must equal full batch SCC
+  * over (edges ∖ deletions) seeded with the original node set —
+  * component SPLITS, cross-component no-ops (a cross arc lies on no
+  * cycle), redundant intra-component deletions, and untouched
+  * components passing through bit-identical.
+  */
+class DecrementalSccSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*): DataFrame =
+    es.toSeq.toDF("src", "dst")
+
+  private def asMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** decremental == batch SCC over survivors, original nodes seeded
+    * (q365's oracle shape). */
+  private def check(corpus: DataFrame, deleted: DataFrame): Unit = {
+    val standing = Scc.run(corpus, "src", "dst")
+    val out = Scc.decremental(standing, corpus, deleted, "src", "dst")
+    val kept = corpus.join(
+      deleted.select($"src".as("__ds"), $"dst".as("__dd")),
+      $"src" === $"__ds" && $"dst" === $"__dd", "left_anti")
+    val batchLab = Scc.run(kept, "src", "dst")
+      .select($"id".as("bid"), $"scc".as("bscc"))
+    val nodes = corpus.select($"src".as("id"))
+      .unionByName(corpus.select($"dst".as("id"))).distinct()
+    val batch = nodes.join(batchLab, $"id" === $"bid", "left_outer")
+      .select($"id", coalesce($"bscc", $"id").as("scc"))
+    assert(asMap(out) == asMap(batch))
+    Staging.sweep(spark)
+  }
+
+  test("deleting one arc of a 2-cycle splits it into two singletons") {
+    val corpus = edges((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+    check(corpus, edges((2L, 1L)))
+    val standing = Scc.run(corpus, "src", "dst")
+    val out = Scc.decremental(standing, corpus, edges((2L, 1L)),
+      "src", "dst")
+    val m = asMap(out)
+    assert(m(1L) == 1L && m(2L) == 2L)
+    // the 10-component is untouched: labels pass through identically
+    assert(m(10L) == 10L && m(11L) == 10L)
+    Staging.sweep(spark)
+  }
+
+  test("deleting a chord of a cycle is a no-op (cycle survives)") {
+    // 1→2→3→1 plus chord 1→3: SCC {1,2,3} persists without the chord
+    val corpus = edges((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    check(corpus, edges((1L, 3L)))
+    val standing = Scc.run(corpus, "src", "dst")
+    val m = asMap(Scc.decremental(standing, corpus, edges((1L, 3L)),
+      "src", "dst"))
+    assert(Seq(1L, 2L, 3L).forall(m(_) == 1L))
+    Staging.sweep(spark)
+  }
+
+  test("deleting a cross-component arc never changes membership") {
+    // A = {1,2}, B = {3,4}, bridge 2→3 deleted: labels identical
+    val corpus = edges((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (2L, 3L))
+    check(corpus, edges((2L, 3L)))
+    val standing = Scc.run(corpus, "src", "dst")
+    val out = Scc.decremental(standing, corpus, edges((2L, 3L)),
+      "src", "dst")
+    assert(asMap(out) == asMap(standing))
+    Staging.sweep(spark)
+  }
+
+  test("deleting a cycle arc shatters the component into singletons") {
+    // 4-cycle 1→2→3→4→1: removing 3→4 leaves a path — all singletons
+    val corpus = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    check(corpus, edges((3L, 4L)))
+    val standing = Scc.run(corpus, "src", "dst")
+    val m = asMap(Scc.decremental(standing, corpus, edges((3L, 4L)),
+      "src", "dst"))
+    assert(Seq(1L, 2L, 3L, 4L).forall(n => m(n) == n))
+    Staging.sweep(spark)
+  }
+
+  test("partial split: a figure-eight loses one lobe") {
+    // two cycles sharing node 3: 1→2→3→1 and 3→4→5→3; deleting 4→5
+    // keeps {1,2,3} strongly connected, 4 and 5 fall out
+    val corpus = edges((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 3L))
+    check(corpus, edges((4L, 5L)))
+    val standing = Scc.run(corpus, "src", "dst")
+    val m = asMap(Scc.decremental(standing, corpus, edges((4L, 5L)),
+      "src", "dst"))
+    assert(Seq(1L, 2L, 3L).forall(m(_) == 1L))
+    assert(m(4L) == 4L && m(5L) == 5L)
+    Staging.sweep(spark)
+  }
+
+  test("empty deletion set: every label passes through bit-identical") {
+    val corpus = edges((1L, 2L), (2L, 1L), (5L, 6L))
+    val standing = Scc.run(corpus, "src", "dst")
+    val out = Scc.decremental(standing, corpus,
+      edges().limit(0), "src", "dst")
+    assert(asMap(out) == asMap(standing))
+    Staging.sweep(spark)
+  }
+}
