@@ -231,6 +231,22 @@ object Scc {
   def decremental(standing: DataFrame, corpusEdges: DataFrame,
       deletedEdges: DataFrame, srcCol: String, dstCol: String,
       maxPeels: Int = 50, maxIterations: Int = 50): DataFrame = {
+    val (del, _, _, labels) = decrementalParts(standing, corpusEdges,
+      deletedEdges, srcCol, dstCol, maxPeels, maxIterations)
+    // here del IS fully absorbed (run()'s eager edge staging) — the
+    // labels-only path never re-reads the anti-join
+    Staging.release(del)
+    labels
+  }
+
+  /** Shared internals of [[decremental]]/[[decrementalState]]:
+    * (deletions [staged — caller owns the release], touched
+    * components [staged], surviving edges [lazy — references the
+    * deletions], labels' [lazy]). */
+  private def decrementalParts(standing: DataFrame,
+      corpusEdges: DataFrame, deletedEdges: DataFrame, srcCol: String,
+      dstCol: String, maxPeels: Int, maxIterations: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val del = Staging.stage(
       deletedEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .filter(col("src") =!= col("dst")).distinct(),
@@ -272,11 +288,105 @@ object Scc {
       .join(rebuilt.select(col("id").as("__r"), col("scc").as("newscc")),
         col("id") === col("__r"), "left_outer")
       .select(col("id"), coalesce(col("newscc"), col("id")).as("scc"))
-    // del is fully absorbed by run()'s eager edge staging; touched is
-    // still referenced by the returned lazy plan — the caller's sweep
-    // owns it (CC.decremental's discipline)
-    Staging.release(del)
-    untouched.unionByName(spliced)
+    // touched stays live (the returned lazy plans reference it) — the
+    // caller's sweep owns it (CC.decremental's discipline); del's
+    // release is the caller's call: the labels-only path absorbs it,
+    // the state path's surviving-edge pass still reads it
+    (del, touched, kept, untouched.unionByName(spliced))
+  }
+
+  /** Support-counted condensation arcs — the standing state a
+    * DELETION-tolerant condensation needs where [[condensationEdges]]'
+    * distinct arcs suffice for insertions: (csrc, cdst, support) with
+    * support = number of distinct corpus arcs between the two
+    * components. A cross-component deletion then updates the state by
+    * decrementing support (dropping zeros) WITHOUT rescanning the
+    * corpus — only arcs incident to a split component ever need
+    * recomputation. */
+  def condensationSupport(edges: DataFrame, labels: DataFrame,
+      srcCol: String, dstCol: String): DataFrame =
+    edges
+      .join(labels.select(col("id").as("__s"), col("scc").as("csrc")),
+        col(srcCol) === col("__s"))
+      .join(labels.select(col("id").as("__d"), col("scc").as("cdst")),
+        col(dstCol) === col("__d"))
+      .filter(col("csrc") =!= col("cdst"))
+      .groupBy(col("csrc"), col("cdst"))
+      .agg(count(lit(1)).as("support"))
+
+  /** [[decremental]] maintaining the FULL standing state
+    * (labels, support-counted condensation arcs) — so the maintained
+    * pair keeps feeding [[incremental]] after deletions, closing the
+    * state lifecycle q357 opened.
+    *
+    * Arc maintenance is delta/affected-bounded, never corpus-bounded
+    * beyond the one surviving-edge pass [[decremental]] already makes:
+    *  - arcs between two UNTOUCHED components: old support minus the
+    *    quotient count of deleted arcs between them (cross-component
+    *    deletions change no membership, so the old arc keys stay
+    *    valid); zero-support arcs drop;
+    *  - arcs INCIDENT to a touched (possibly split) component: old
+    *    keys may be stale, so they are recomputed definitionally from
+    *    the surviving edges owning a touched endpoint, quotiented
+    *    under the NEW labels — touched-member-edge-bounded.
+    *
+    * @param condSup [[condensationSupport]] of (corpusEdges, standing)
+    * @return (labels' [staged — caller releases/sweeps], condSupport')
+    */
+  def decrementalState(standing: DataFrame, condSup: DataFrame,
+      corpusEdges: DataFrame, deletedEdges: DataFrame, srcCol: String,
+      dstCol: String, maxPeels: Int = 50, maxIterations: Int = 50)
+      : (DataFrame, DataFrame) = {
+    val (_, touched, kept, labels0) = decrementalParts(standing,
+      corpusEdges, deletedEdges, srcCol, dstCol, maxPeels,
+      maxIterations)
+    // probed twice below (src and dst sides) — stage once
+    val labels = Staging.stage(labels0, eager = true)
+    // quotient of the deletions under the OLD labels: the support
+    // decrement for arcs whose endpoints' membership did not change
+    val del = deletedEdges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val delQ = del
+      .join(standing.select(col("id").as("__qs"), col("scc").as("qa")),
+        col("src") === col("__qs"))
+      .join(standing.select(col("id").as("__qd"), col("scc").as("qb")),
+        col("dst") === col("__qd"))
+      .filter(col("qa") =!= col("qb"))
+      .groupBy(col("qa"), col("qb")).agg(count(lit(1)).as("qcnt"))
+    val untouchedArcs = condSup
+      .join(broadcast(touched.select(col("tc").as("__t1"))),
+        col("csrc") === col("__t1"), "left_anti")
+      .join(broadcast(touched.select(col("tc").as("__t2"))),
+        col("cdst") === col("__t2"), "left_anti")
+      .join(delQ, col("csrc") === col("qa") && col("cdst") === col("qb"),
+        "left_outer")
+      .select(col("csrc"), col("cdst"),
+        (col("support") - coalesce(col("qcnt"), lit(0L))).as("support"))
+      .filter(col("support") > 0)
+    // surviving edges owning a touched endpoint, re-quotiented under
+    // the new labels (two broadcast flag probes — never an OR-join)
+    val keptLab = kept
+      .join(standing.select(col("id").as("__os"), col("scc").as("ocs")),
+        col("src") === col("__os"))
+      .join(standing.select(col("id").as("__od"), col("scc").as("ocd")),
+        col("dst") === col("__od"))
+      .join(broadcast(touched.select(col("tc").as("__f1"))),
+        col("ocs") === col("__f1"), "left_outer")
+      .join(broadcast(touched.select(col("tc").as("__f2"))),
+        col("ocd") === col("__f2"), "left_outer")
+    val incident = keptLab
+      .filter(col("__f1").isNotNull || col("__f2").isNotNull)
+      .select(col("src"), col("dst"))
+    val recomputed = incident
+      .join(labels.select(col("id").as("__ns"), col("scc").as("ncs")),
+        col("src") === col("__ns"))
+      .join(labels.select(col("id").as("__nd"), col("scc").as("ncd")),
+        col("dst") === col("__nd"))
+      .filter(col("ncs") =!= col("ncd"))
+      .groupBy(col("ncs").as("csrc"), col("ncd").as("cdst"))
+      .agg(count(lit(1)).as("support"))
+    (labels, untouchedArcs.unionByName(recomputed))
   }
 
   /** @param edges directed edges (src → dst), duplicates tolerated

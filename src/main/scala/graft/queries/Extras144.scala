@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
-import graft.operators.{Scc, Staging, TextOps}
+import graft.operators.{ConnectedComponents, Dedup, Scc, Staging,
+  TextOps}
 import graft.sources.Tables
 
 /** Hundred-forty-fourth coverage wave: deletion-tolerant DIRECTED
@@ -34,13 +36,41 @@ import graft.sources.Tables
   *    proof shape on directed reachability. The unroll-bound sentinel
   *    guards stay active per (peel, direction).
   *
+  *  - q366: the CC MAINTENANCE EPOCH — one standing near-dup cluster
+  *    table absorbs deletions AND insertions in a single maintenance
+  *    step (the daily-crawl reality: provenance revocations arrive
+  *    together with the new crawl): [[ConnectedComponents.decremental]]
+  *    applies the delete band, then [[ConnectedComponents.incremental]]
+  *    absorbs the arriving band on the spliced labels — composition is
+  *    exact because the decremental output IS a valid standing state
+  *    for the incremental contract. One epoch hash splits the edge set
+  *    into disjoint delete/arrive/standing bands, so the oracle is
+  *    batch CC over (all ∖ delete-band) seeded with every node — the
+  *    q361 proof shape for the full epoch.
+  *
+  *  - q367: SCC STANDING-STATE maintenance under deletion —
+  *    [[graft.operators.Scc.decrementalState]] maintains the
+  *    (labels, SUPPORT-COUNTED condensation arcs) pair q357's
+  *    incremental consumes, closing the state lifecycle: arcs between
+  *    untouched components adjust by the deletion quotient's counts
+  *    (cross-component deletions never change membership, so the old
+  *    keys stay valid — no corpus rescan); arcs incident to a split
+  *    component are recomputed from the touched members' surviving
+  *    edges under the new labels. Oracle is DEFINITIONAL: surviving
+  *    arcs quotiented under the unrolled-peeling labels, with the
+  *    unroll sentinels surfaced explicitly (they would not survive
+  *    the arc join).
+  *
   * Scale shape: touched components resolve through one broadcast
   * probe of the delta; the corpus edge leaf streams ONCE through the
   * directed anti-join + label probes; the rebuild runs on the induced
   * subgraph only (delta-component-bounded in production; the gate's
   * giant-SCC touch is gate construction, the q357 adjudication); the
   * splice is an anti-probe passthrough plus a left-outer singleton
-  * fallback — never a second corpus shuffle.
+  * fallback — never a second corpus shuffle. q367's arc maintenance
+  * adds one pass over the SURVIVING edge leaf (the flag probes are
+  * broadcasts) and a delta-sized quotient — the support counts are
+  * what make the untouched-arc path corpus-free.
   */
 object Extras144 {
 
@@ -49,6 +79,13 @@ object Extras144 {
     * convention keyed by supplier rather than edge so the deletion
     * actually splits the giant SCC instead of thinning it). */
   private val DelFrac = 4L
+
+  /** q366's epoch hash denominator: the delete band is
+    * [0, P/(2·EpochFrac)) and the insert band
+    * [P/(2·EpochFrac), P/EpochFrac) — disjoint by construction from
+    * ONE hash evaluation, so the net edge set is exactly
+    * all ∖ delete-band. */
+  private val EpochFrac = 8L
 
   private val DelPredSql =
     s"""src % 2 = 1 AND ${TextOps.oracleHashSql(
@@ -95,6 +132,117 @@ object Extras144 {
       val out = Extras136.sccOut(labels)
       Staging.release(eAll)
       out
+    },
+
+    Qry(
+      "q366_cc_epoch",
+      s"""WITH RECURSIVE ${TextOps.oracleToksCte},
+         |${TextOps.oracleSh3Cte},
+         |${TextOps.oracleShCappedCte(Dedup.DefaultDfCap)},
+         |szn AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY doc_id) AS n,
+         |        h FROM shc),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    COUNT(*) AS shared, MAX(a.n) AS na, MAX(b.n) AS nb
+         |  FROM szn a JOIN szn b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |edges0 AS (SELECT da, db FROM pairs
+         |           WHERE CAST(shared AS DOUBLE)/(na+nb-shared) >= 0.5e0),
+         |ekeep AS MATERIALIZED (SELECT da, db FROM edges0
+         |  WHERE NOT (${TextOps.oracleHashSql(
+             "'ccepoch:' || CAST(da AS VARCHAR) || ':' || CAST(db AS VARCHAR)")}
+         |    < ${TextOps.P / (EpochFrac * 2)})),
+         |edges AS (SELECT da AS a, db AS b FROM ekeep
+         |          UNION SELECT db, da FROM ekeep),
+         |nodes0 AS (SELECT DISTINCT a AS id FROM (
+         |    SELECT da AS a FROM edges0 UNION ALL SELECT db FROM edges0)),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM nodes0
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS member, MIN(dst) AS component
+         |FROM reach GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val cs = Staging.stage(
+        Dedup.countedShingles(
+          Dedup.shingleHashes(docs, "doc_id", "text"), "doc_id"),
+        eager = true)
+      val allEdges = Staging.stage(
+        Dedup.jaccardPairsFromCounted(cs, "doc_id")
+          .filter($"jaccard" >= 0.5)
+          .select($"id_a", $"id_b"),
+        eager = true)
+      // one epoch hash splits the edge set into three DISJOINT bands:
+      // [0, P/8) deleted this epoch, [P/8, P/4) arriving this epoch
+      // (withheld from the standing corpus), the rest standing
+      val h = TextOps.hashMod(concat(lit("ccepoch:"),
+        $"id_a".cast("string"), lit(":"), $"id_b".cast("string")))
+      val isIns = h >= lit(TextOps.P / (EpochFrac * 2)) &&
+        h < lit(TextOps.P / EpochFrac)
+      val corpus0 = allEdges.filter(!isIns)
+      val ins = allEdges.filter(isIns)
+      val del = corpus0.filter(h < lit(TextOps.P / (EpochFrac * 2)))
+      val standing = ConnectedComponents.minLabel(corpus0,
+        "id_a", "id_b")
+      val lab1 = Staging.stage(
+        ConnectedComponents.decremental(standing, corpus0, del,
+          "id_a", "id_b"),
+        eager = true)
+      val labels = ConnectedComponents.incremental(lab1, ins,
+        "id_a", "id_b")
+      labels.select($"id".as("member"), $"component")
+    },
+
+    Qry(
+      "q367_scc_cond_maintenance", {
+        val header =
+          s"""b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS s,
+             |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  GROUP BY 1, 2),
+             |ea AS MATERIALIZED (SELECT CAST(2 * c AS BIGINT) AS src,
+             |    CAST(2 * s + 1 AS BIGINT) AS dst FROM b
+             |  UNION ALL SELECT CAST(2 * s + 1 AS BIGINT),
+             |    CAST(2 * c AS BIGINT) FROM b WHERE ret = 1),
+             |e0 AS MATERIALIZED (SELECT src, dst FROM ea
+             |  WHERE NOT ($DelPredSql)),
+             |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM (
+             |    SELECT src FROM ea UNION ALL SELECT dst FROM ea))""".stripMargin
+        // definitional: surviving arcs quotiented under the NEW labels
+        // (the same 4x18 unroll as q365); the sentinel rows would not
+        // survive the e0 join, so they are surfaced explicitly
+        s"""WITH ${Extras136.sccOracleCtesOver(header,
+              peels = 4, inner = 18)}
+           |SELECT la.scc % 2 AS a_kind, la.scc // 2 AS a_key,
+           |  lb.scc % 2 AS b_kind, lb.scc // 2 AS b_key,
+           |  CAST(COUNT(*) AS BIGINT) AS support
+           |FROM e0 t JOIN asg la ON la.node = t.src
+           |JOIN asg lb ON lb.node = t.dst
+           |WHERE la.scc <> lb.scc
+           |GROUP BY 1, 2, 3, 4
+           |UNION ALL
+           |SELECT node % 2, node // 2, node % 2, node // 2,
+           |  CAST(node AS BIGINT)
+           |FROM asg WHERE node < 0""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val tt = Tables(spark, dir)
+      val eAll = Staging.stage(
+        Extras136.tradeFlowEdges(tt.orders, tt.lineitem), eager = true)
+      val standing = Scc.run(eAll, "src", "dst")
+      val condSup = Staging.stage(
+        Scc.condensationSupport(eAll, standing, "src", "dst"),
+        eager = true)
+      val deleted = eAll.filter($"src" % 2 === 1 &&
+        TextOps.hashMod(concat(lit("sccdel:"),
+          expr("src DIV 2").cast("string")))
+          < lit(TextOps.P / DelFrac))
+      val (_, cond) = Scc.decrementalState(standing, condSup, eAll,
+        deleted, "src", "dst")
+      cond.select(($"csrc" % 2).as("a_kind"),
+        expr("csrc DIV 2").as("a_key"),
+        ($"cdst" % 2).as("b_kind"), expr("cdst DIV 2").as("b_key"),
+        $"support".cast(LongType).as("support"))
     }
   )
 }

@@ -99,6 +99,83 @@ class DecrementalSccSpec extends SparkTestBase {
     Staging.sweep(spark)
   }
 
+  private def asArcs(df: DataFrame): Map[(Long, Long), Long] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  /** decrementalState == (batch labels, condensationSupport over the
+    * survivors under those labels) — q367's oracle shape. */
+  private def checkState(corpus: DataFrame, deleted: DataFrame): Unit = {
+    val standing = Scc.run(corpus, "src", "dst")
+    val condSup = Scc.condensationSupport(corpus, standing,
+      "src", "dst")
+    val (lab, cond) = Scc.decrementalState(standing, condSup, corpus,
+      deleted, "src", "dst")
+    val kept = corpus.join(
+      deleted.select($"src".as("__ds"), $"dst".as("__dd")),
+      $"src" === $"__ds" && $"dst" === $"__dd", "left_anti")
+    val batch = Scc.decremental(standing, corpus, deleted, "src", "dst")
+    assert(asMap(lab) == asMap(batch))
+    val expect = Scc.condensationSupport(kept,
+      lab.select($"id", $"scc"), "src", "dst")
+    assert(asArcs(cond) == asArcs(expect))
+    Staging.sweep(spark)
+  }
+
+  test("state: a split exposes new condensation arcs with supports") {
+    // figure-eight: cycles 1→2→3→1 and 3→4→5→3 share node 3 (one
+    // SCC); deleting 4→5 leaves {1,2,3} + singletons 4, 5 with arcs
+    // 3→4 and 5→3 each carrying support 1
+    val corpus = edges((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 3L))
+    checkState(corpus, edges((4L, 5L)))
+    val standing = Scc.run(corpus, "src", "dst")
+    val condSup = Scc.condensationSupport(corpus, standing,
+      "src", "dst")
+    val (_, cond) = Scc.decrementalState(standing, condSup, corpus,
+      edges((4L, 5L)), "src", "dst")
+    assert(asArcs(cond) == Map((1L, 4L) -> 1L, (5L, 1L) -> 1L))
+    Staging.sweep(spark)
+  }
+
+  test("state: cross-component deletion decrements support in place") {
+    // A = {1,2}, B = {3,4}; two A→B arcs (2→3, 1→4) → support 2;
+    // deleting 2→3 leaves support 1 with no membership change
+    val corpus = edges((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L),
+      (2L, 3L), (1L, 4L))
+    checkState(corpus, edges((2L, 3L)))
+    val standing = Scc.run(corpus, "src", "dst")
+    val condSup = Scc.condensationSupport(corpus, standing,
+      "src", "dst")
+    val (_, cond) = Scc.decrementalState(standing, condSup, corpus,
+      edges((2L, 3L)), "src", "dst")
+    assert(asArcs(cond) == Map((1L, 3L) -> 1L))
+    Staging.sweep(spark)
+  }
+
+  test("state: support reaching zero drops the arc entirely") {
+    val corpus = edges((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L),
+      (2L, 3L), (1L, 4L))
+    checkState(corpus, edges((2L, 3L), (1L, 4L)))
+    val standing = Scc.run(corpus, "src", "dst")
+    val condSup = Scc.condensationSupport(corpus, standing,
+      "src", "dst")
+    val (_, cond) = Scc.decrementalState(standing, condSup, corpus,
+      edges((2L, 3L), (1L, 4L)), "src", "dst")
+    assert(asArcs(cond).isEmpty)
+    Staging.sweep(spark)
+  }
+
+  test("state: split with an incident cross arc recomputes both sides") {
+    // A = 4-cycle {1,2,3,4} with arc 2→10 into singleton-cycle
+    // B = {10,11}; deleting 3→4 shatters A; the surviving cross arc
+    // 2→10 must re-key to the new singleton component 2
+    val corpus = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (10L, 11L), (11L, 10L), (2L, 10L))
+    checkState(corpus, edges((3L, 4L)))
+    Staging.sweep(spark)
+  }
+
   test("empty deletion set: every label passes through bit-identical") {
     val corpus = edges((1L, 2L), (2L, 1L), (5L, 6L))
     val standing = Scc.run(corpus, "src", "dst")
