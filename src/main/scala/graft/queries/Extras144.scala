@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.LongType
 import graft.operators.{ConnectedComponents, Dedup, Scc, Staging,
   TextOps}
 import graft.sources.Tables
+import graft.streaming.Streams
 
 /** Hundred-forty-fourth coverage wave: deletion-tolerant DIRECTED
   * graph maintenance — the decremental half of the SCC lifecycle,
@@ -61,6 +62,18 @@ import graft.sources.Tables
   *    unroll sentinels surfaced explicitly (they would not survive
   *    the arc join).
   *
+  *  - q368: the CDC STREAMING twin of q366 — delete and arrival
+  *    records interleave across two hash-split micro-batches, and
+  *    each foreachBatch epoch applies decremental-then-incremental to
+  *    the carried (corpus, labels) standing pair. The second batch's
+  *    deletions run against a corpus the first batch already
+  *    extended, so the state genuinely spans batch boundaries; the
+  *    net edge set is band-disjoint, so the stream shares q366's
+  *    batch oracle VERBATIM (the q314/q347 twin convention). This is
+  *    the op the union-find registry (q310) cannot be: deletion is
+  *    non-monotone, so the streaming shape is per-batch maintenance
+  *    of distributed state, not a monotone in-operator register.
+  *
   * Scale shape: touched components resolve through one broadcast
   * probe of the delta; the corpus edge leaf streams ONCE through the
   * directed anti-join + label probes; the rebuild runs on the induced
@@ -70,7 +83,10 @@ import graft.sources.Tables
   * fallback — never a second corpus shuffle. q367's arc maintenance
   * adds one pass over the SURVIVING edge leaf (the flag probes are
   * broadcasts) and a delta-sized quotient — the support counts are
-  * what make the untouched-arc path corpus-free.
+  * what make the untouched-arc path corpus-free. q368's per-epoch
+  * cost is exactly one decremental + one incremental on delta-sized
+  * bands — the standing pair is re-staged (lineage-truncated) per
+  * epoch so no epoch ever re-executes its predecessors.
   */
 object Extras144 {
 
@@ -135,7 +151,128 @@ object Extras144 {
     },
 
     Qry(
-      "q366_cc_epoch",
+      "q366_cc_epoch", EpochOracle) { (spark, dir) =>
+      import spark.implicits._
+      val (allEdges, corpus0, ins, del) = epochParts(spark, dir)
+      val standing = ConnectedComponents.minLabel(corpus0,
+        "id_a", "id_b")
+      val lab1 = Staging.stage(
+        ConnectedComponents.decremental(standing, corpus0, del,
+          "id_a", "id_b"),
+        eager = true)
+      val labels = ConnectedComponents.incremental(lab1, ins,
+        "id_a", "id_b")
+      Staging.release(allEdges)
+      labels.select($"id".as("member"), $"component")
+    },
+
+    Qry(
+      "q368_stream_cc_cdc", EpochOracle) { (spark, dir) =>
+      import spark.implicits._
+      val (_, corpus0, ins, del) = epochParts(spark, dir)
+      var corpus = Staging.stage(
+        corpus0.select($"id_a", $"id_b"), eager = true)
+      var labels = Staging.stage(
+        ConnectedComponents.minLabel(corpus0, "id_a", "id_b"),
+        eager = true)
+      // CDC rows: deletes and arrivals INTERLEAVED across two
+      // hash-split micro-batches, so the second epoch's deletions run
+      // against a corpus the first epoch already extended — the state
+      // carried between batches is the (corpus, labels) pair itself
+      val cdc = del
+        .select(lit("d").as("op"), $"id_a", $"id_b")
+        .unionByName(ins
+          .select(lit("i").as("op"), $"id_a", $"id_b"))
+      def part(p: Int) = cdc.filter(
+        pmod(hash($"id_a", $"id_b"), lit(2)) === p)
+      val srcDir = Streams.partedDir(s"$dir#q368",
+        Seq(part(0), part(1)))
+      val src = spark.readStream
+        .schema(part(0).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val dels = batch.filter(col("op") === "d")
+              .select(col("id_a"), col("id_b"))
+            val insB = batch.filter(col("op") === "i")
+              .select(col("id_a"), col("id_b"))
+            // within an epoch: revocations first, then arrivals (the
+            // bands are disjoint, so the net set is order-free)
+            val lab1 = Staging.stage(
+              ConnectedComponents.decremental(labels, corpus, dels,
+                "id_a", "id_b"),
+              eager = true)
+            val corpus1 = Staging.stage(
+              corpus.join(dels
+                  .select(col("id_a").as("__xa"), col("id_b").as("__xb")),
+                col("id_a") === col("__xa") &&
+                  col("id_b") === col("__xb"), "left_anti")
+                .unionByName(insB),
+              eager = true)
+            val lab2 = Staging.stage(
+              ConnectedComponents.incremental(lab1, insB,
+                "id_a", "id_b"),
+              eager = true)
+            Staging.release(labels); Staging.release(corpus)
+            Staging.release(lab1)
+            labels = lab2
+            corpus = corpus1
+        }.start()
+      try { q.processAllAvailable() } finally q.stop()
+      labels.select($"id".as("member"), $"component")
+    },
+    Qry(
+      "q367_scc_cond_maintenance", CondOracle) { (spark, dir) =>
+      import spark.implicits._
+      val tt = Tables(spark, dir)
+      val eAll = Staging.stage(
+        Extras136.tradeFlowEdges(tt.orders, tt.lineitem), eager = true)
+      val standing = Scc.run(eAll, "src", "dst")
+      val condSup = Staging.stage(
+        Scc.condensationSupport(eAll, standing, "src", "dst"),
+        eager = true)
+      val deleted = eAll.filter($"src" % 2 === 1 &&
+        TextOps.hashMod(concat(lit("sccdel:"),
+          expr("src DIV 2").cast("string")))
+          < lit(TextOps.P / DelFrac))
+      val (_, cond) = Scc.decrementalState(standing, condSup, eAll,
+        deleted, "src", "dst")
+      cond.select(($"csrc" % 2).as("a_kind"),
+        expr("csrc DIV 2").as("a_key"),
+        ($"cdst" % 2).as("b_kind"), expr("cdst DIV 2").as("b_key"),
+        $"support".cast(LongType).as("support"))
+    }
+  )
+
+  /** Shared q366/q368 fixture derivation: (allEdges [staged], standing
+    * corpus band, arriving band, delete band). */
+  private def epochParts(spark: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val cs = Staging.stage(
+      Dedup.countedShingles(
+        Dedup.shingleHashes(docs, "doc_id", "text"), "doc_id"),
+      eager = true)
+    val allEdges = Staging.stage(
+      Dedup.jaccardPairsFromCounted(cs, "doc_id")
+        .filter($"jaccard" >= 0.5)
+        .select($"id_a", $"id_b"),
+      eager = true)
+    Staging.release(cs)
+    val h = TextOps.hashMod(concat(lit("ccepoch:"),
+      $"id_a".cast("string"), lit(":"), $"id_b".cast("string")))
+    val isIns = h >= lit(TextOps.P / (EpochFrac * 2)) &&
+      h < lit(TextOps.P / EpochFrac)
+    val corpus0 = allEdges.filter(!isIns)
+    val ins = allEdges.filter(isIns)
+    val del = corpus0.filter(h < lit(TextOps.P / (EpochFrac * 2)))
+    (allEdges, corpus0, ins, del)
+  }
+
+  private lazy val EpochOracle: String =
       s"""WITH RECURSIVE ${TextOps.oracleToksCte},
          |${TextOps.oracleSh3Cte},
          |${TextOps.oracleShCappedCte(Dedup.DefaultDfCap)},
@@ -160,41 +297,9 @@ object Extras144 {
          |  UNION
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT src AS member, MIN(dst) AS component
-         |FROM reach GROUP BY 1""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      val docs = Tables(spark, dir).documents
-      val cs = Staging.stage(
-        Dedup.countedShingles(
-          Dedup.shingleHashes(docs, "doc_id", "text"), "doc_id"),
-        eager = true)
-      val allEdges = Staging.stage(
-        Dedup.jaccardPairsFromCounted(cs, "doc_id")
-          .filter($"jaccard" >= 0.5)
-          .select($"id_a", $"id_b"),
-        eager = true)
-      // one epoch hash splits the edge set into three DISJOINT bands:
-      // [0, P/8) deleted this epoch, [P/8, P/4) arriving this epoch
-      // (withheld from the standing corpus), the rest standing
-      val h = TextOps.hashMod(concat(lit("ccepoch:"),
-        $"id_a".cast("string"), lit(":"), $"id_b".cast("string")))
-      val isIns = h >= lit(TextOps.P / (EpochFrac * 2)) &&
-        h < lit(TextOps.P / EpochFrac)
-      val corpus0 = allEdges.filter(!isIns)
-      val ins = allEdges.filter(isIns)
-      val del = corpus0.filter(h < lit(TextOps.P / (EpochFrac * 2)))
-      val standing = ConnectedComponents.minLabel(corpus0,
-        "id_a", "id_b")
-      val lab1 = Staging.stage(
-        ConnectedComponents.decremental(standing, corpus0, del,
-          "id_a", "id_b"),
-        eager = true)
-      val labels = ConnectedComponents.incremental(lab1, ins,
-        "id_a", "id_b")
-      labels.select($"id".as("member"), $"component")
-    },
+         |FROM reach GROUP BY 1""".stripMargin
 
-    Qry(
-      "q367_scc_cond_maintenance", {
+  private lazy val CondOracle: String = {
         val header =
           s"""b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS s,
              |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
@@ -224,25 +329,5 @@ object Extras144 {
            |SELECT node % 2, node // 2, node % 2, node // 2,
            |  CAST(node AS BIGINT)
            |FROM asg WHERE node < 0""".stripMargin
-      }) { (spark, dir) =>
-      import spark.implicits._
-      val tt = Tables(spark, dir)
-      val eAll = Staging.stage(
-        Extras136.tradeFlowEdges(tt.orders, tt.lineitem), eager = true)
-      val standing = Scc.run(eAll, "src", "dst")
-      val condSup = Staging.stage(
-        Scc.condensationSupport(eAll, standing, "src", "dst"),
-        eager = true)
-      val deleted = eAll.filter($"src" % 2 === 1 &&
-        TextOps.hashMod(concat(lit("sccdel:"),
-          expr("src DIV 2").cast("string")))
-          < lit(TextOps.P / DelFrac))
-      val (_, cond) = Scc.decrementalState(standing, condSup, eAll,
-        deleted, "src", "dst")
-      cond.select(($"csrc" % 2).as("a_kind"),
-        expr("csrc DIV 2").as("a_key"),
-        ($"cdst" % 2).as("b_kind"), expr("cdst DIV 2").as("b_key"),
-        $"support".cast(LongType).as("support"))
-    }
-  )
+  }
 }
