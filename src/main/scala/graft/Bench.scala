@@ -4,11 +4,13 @@ object Bench {
 
   /** Prior per-query seconds (decimal query number -> s) — the
     * reference the spike-shaped "rem" re-measure below compares
-    * against. Regenerated in round 13 from BENCH_r13_quiet.json
-    * (= the r12 artifact's twenty-eight runs plus the round-13 sv=elevated
-    * catalog-357 run and three catalog-359 runs (two near-quiet at ~2 ticks/s) folded normally — their q349-q359 entries are the
-    * only evidence for the round-13 waves, upper bounds until a
-    * quieter run min-folds them; the artifact's rem_floor_qs field
+    * against. Regenerated in round 14 from BENCH_r14_quiet.json
+    * (= the r13 artifact's thirty-three runs — incl. the round-13
+    * DRIVER run, the first sv=quiet window since round 10 — plus the
+    * round-14 sv=elevated catalog-368 run folded normally; its
+    * q360-q368 entries are the only evidence for the round-14 wave,
+    * upper bounds until a quieter run min-folds them; the artifact's
+    * rem_floor_qs field
     * tags entries whose floor came from a rem/z95 re-measure rather
     * than a full-run cell).
     * The round-11 additions q287-q305 are evidenced by those six
@@ -54,7 +56,7 @@ object Bench {
     * position in "stb" as an upper bound.
     */
   private[graft] val priorDriverSec: Map[Int, Double] = Map(
-    1 -> 1.1, 2 -> 0.2, 3 -> 1, 4 -> 1.3, 5 -> 0.4, 6 -> 0.3, 7 -> 0.4,
+    1 -> 1, 2 -> 0.2, 3 -> 1, 4 -> 1.3, 5 -> 0.4, 6 -> 0.3, 7 -> 0.4,
     8 -> 0.6, 9 -> 0.4, 10 -> 0.5, 11 -> 0.5, 12 -> 0.8, 13 -> 0.4,
     14 -> 0.5, 15 -> 0.4, 16 -> 0.6, 17 -> 0.5, 18 -> 0.2, 19 -> 0.5,
     20 -> 1.6, 21 -> 0.5, 22 -> 0.3, 23 -> 0.7, 24 -> 0.3, 25 -> 0.6,
@@ -72,8 +74,8 @@ object Bench {
     92 -> 0.8, 93 -> 0.4, 94 -> 1.1, 95 -> 2.3, 96 -> 0.7, 97 -> 0.9,
     98 -> 0.7, 99 -> 1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.6, 103 -> 3.3,
     104 -> 0.9, 105 -> 0.6, 106 -> 0.4, 107 -> 0.7, 108 -> 0.3, 109 -> 1,
-    110 -> 0.7, 111 -> 1.2, 112 -> 0.6, 113 -> 0.6, 114 -> 1, 115 -> 0.6,
-    116 -> 0.3, 117 -> 1.1, 118 -> 0.6, 119 -> 1, 120 -> 0.7, 121 -> 0.6,
+    110 -> 0.6, 111 -> 1.2, 112 -> 0.6, 113 -> 0.6, 114 -> 1, 115 -> 0.6,
+    116 -> 0.3, 117 -> 1.1, 118 -> 0.6, 119 -> 1, 120 -> 0.6, 121 -> 0.6,
     122 -> 3, 123 -> 0.5, 124 -> 0.7, 125 -> 0.9, 126 -> 0.3, 127 -> 0.4,
     128 -> 0.3, 129 -> 0.4, 130 -> 1.1, 131 -> 0.4, 132 -> 0.4, 133 -> 1.8,
     134 -> 1.3, 135 -> 0.8, 136 -> 0.6, 137 -> 0.6, 138 -> 1.5, 139 -> 0.7,
@@ -87,7 +89,7 @@ object Bench {
     182 -> 0.9, 183 -> 0.7, 184 -> 0.6, 185 -> 0.2, 186 -> 0.2, 187 -> 1.5,
     188 -> 0.4, 189 -> 0.2, 190 -> 0.1, 191 -> 0.2, 192 -> 0.4, 193 -> 0.8,
     194 -> 1.7, 195 -> 0.2, 196 -> 0.8, 197 -> 0.2, 198 -> 0.2, 199 -> 0.5,
-    200 -> 0.2, 201 -> 0.2, 202 -> 0.2, 203 -> 0.2, 204 -> 0.3, 205 -> 0.6,
+    200 -> 0.2, 201 -> 0.2, 202 -> 0.2, 203 -> 0.2, 204 -> 0.3, 205 -> 0.5,
     206 -> 1, 207 -> 0.2, 208 -> 0.2, 209 -> 0.1, 210 -> 0.3, 211 -> 1.5,
     212 -> 0.4, 213 -> 0.4, 214 -> 0.1, 215 -> 0.3, 216 -> 0.6, 217 -> 0.2,
     218 -> 2.6, 219 -> 4.1, 220 -> 1.4, 221 -> 2.3, 222 -> 3.4, 223 -> 0.6,
@@ -97,23 +99,25 @@ object Bench {
     242 -> 1, 243 -> 0.2, 244 -> 1.3, 245 -> 0.6, 246 -> 0.7, 247 -> 2.2,
     248 -> 1.6, 249 -> 0.8, 250 -> 0.7, 251 -> 0.8, 252 -> 0.6, 253 -> 1.2,
     254 -> 2.2, 255 -> 2.9, 256 -> 0.2, 257 -> 1, 258 -> 2, 259 -> 0.2,
-    260 -> 1, 261 -> 1, 262 -> 5.2, 263 -> 3.1, 264 -> 0.8, 265 -> 0.8,
+    260 -> 0.9, 261 -> 1, 262 -> 5.2, 263 -> 3.1, 264 -> 0.8, 265 -> 0.8,
     266 -> 1.5, 267 -> 1, 268 -> 0.6, 269 -> 2.3, 270 -> 1.3, 271 -> 0.7,
     272 -> 1.4, 273 -> 0.2, 274 -> 0.9, 275 -> 2.2, 276 -> 1.9, 277 -> 1.3,
     278 -> 1.6, 279 -> 1.6, 280 -> 3.1, 281 -> 0.5, 282 -> 0.7, 283 -> 1.1,
-    284 -> 2, 285 -> 2, 286 -> 3.9, 287 -> 2.9, 288 -> 5.7, 289 -> 4.9,
-    290 -> 1.2, 291 -> 1.1, 292 -> 3.4, 293 -> 4.1, 294 -> 6, 295 -> 0.9,
-    296 -> 0.8, 297 -> 2.5, 298 -> 1.1, 299 -> 1.6, 300 -> 0.4, 301 -> 2.4,
-    302 -> 0.8, 303 -> 0.8, 304 -> 2.5, 305 -> 5, 306 -> 0.5, 307 -> 4.1,
-    308 -> 2.8, 309 -> 3.5, 310 -> 5.7, 311 -> 5.2, 312 -> 3, 313 -> 0.7,
-    314 -> 0.9, 315 -> 1.9, 316 -> 3.7, 317 -> 2.1, 318 -> 0.8, 319 -> 2.7,
-    320 -> 1.1, 321 -> 1.7, 322 -> 0.8, 323 -> 0.7, 324 -> 0.4, 325 -> 2.5,
-    326 -> 0.9, 327 -> 0.5, 328 -> 6.6, 329 -> 1.1, 330 -> 1.9, 331 -> 0.9,
-    332 -> 1.2, 333 -> 0.8, 334 -> 0.7, 335 -> 0.4, 336 -> 0.9, 337 -> 0.6,
-    338 -> 2.2, 339 -> 0.7, 340 -> 1.1, 341 -> 0.8, 342 -> 1.5, 343 -> 2.7,
-    344 -> 3.1, 345 -> 4.1, 346 -> 1.3, 347 -> 1.5, 348 -> 0.9, 349 -> 5.7,
-    350 -> 1, 351 -> 1.6, 352 -> 3.2, 353 -> 4.3, 354 -> 2.3, 355 -> 1.3,
-    356 -> 3.9, 357 -> 9.9, 358 -> 7.4, 359 -> 3.2)
+    284 -> 2, 285 -> 2, 286 -> 3.9, 287 -> 2.6, 288 -> 5.3, 289 -> 4.8,
+    290 -> 1.1, 291 -> 1.1, 292 -> 3.4, 293 -> 4.1, 294 -> 6, 295 -> 0.9,
+    296 -> 0.8, 297 -> 2.5, 298 -> 1.1, 299 -> 1.6, 300 -> 0.4, 301 -> 2.3,
+    302 -> 0.6, 303 -> 0.8, 304 -> 2.5, 305 -> 5, 306 -> 0.5, 307 -> 4.1,
+    308 -> 2.8, 309 -> 3.5, 310 -> 5.5, 311 -> 5.2, 312 -> 3, 313 -> 0.7,
+    314 -> 0.8, 315 -> 1.9, 316 -> 3.7, 317 -> 2.1, 318 -> 0.8, 319 -> 2.6,
+    320 -> 1.1, 321 -> 1.7, 322 -> 0.8, 323 -> 0.6, 324 -> 0.4, 325 -> 2.5,
+    326 -> 0.9, 327 -> 0.5, 328 -> 6.2, 329 -> 1.1, 330 -> 1.9, 331 -> 0.9,
+    332 -> 1.1, 333 -> 0.8, 334 -> 0.7, 335 -> 0.4, 336 -> 0.9, 337 -> 0.6,
+    338 -> 2.1, 339 -> 0.7, 340 -> 1.1, 341 -> 0.8, 342 -> 1.5, 343 -> 2.7,
+    344 -> 3.1, 345 -> 4, 346 -> 1.2, 347 -> 1.5, 348 -> 0.9, 349 -> 5.7,
+    350 -> 1, 351 -> 1.6, 352 -> 3.2, 353 -> 3.9, 354 -> 2.1, 355 -> 1.3,
+    356 -> 3.9, 357 -> 9.9, 358 -> 7.4, 359 -> 3.2, 360 -> 7.1, 361 -> 4.9,
+    362 -> 9.4, 363 -> 18.8, 364 -> 4.9, 365 -> 13.5, 366 -> 9.2,
+    367 -> 14.6, 368 -> 11.2)
 
 
 

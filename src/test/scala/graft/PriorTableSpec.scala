@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins `Bench.priorDriverSec` to the checked-in artifact it claims to
-  * be derived from (BENCH_r13_quiet.json — the accumulated r9–r13-era
+  * be derived from (BENCH_r14_quiet.json — the accumulated r9–r14-era
   * full sf0.1 runs, folded per the steal policy at the table's doc
   * comment; the round number in the filename tracks the current
   * round's artifact, seeded from the previous round's). The r6->r7
@@ -25,8 +25,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class PriorTableSpec extends AnyFunSuite {
 
   test("priorDriverSec matches the checked-in quiet bench artifact") {
-    val f = new java.io.File("BENCH_r13_quiet.json")
-    assume(f.isFile, "BENCH_r13_quiet.json not present in working directory")
+    val f = new java.io.File("BENCH_r14_quiet.json")
+    assume(f.isFile, "BENCH_r14_quiet.json not present in working directory")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
     val root = mapper.readTree(f)
     def qnum(n: String) = n.takeWhile(_ != '_').stripPrefix("q").toInt
