@@ -6,11 +6,12 @@ object Bench {
     * reference the spike-shaped "rem" re-measure below compares
     * against. Regenerated in round 14 from BENCH_r14_quiet.json
     * (= the r13 artifact's thirty-three runs — incl. the round-13
-    * DRIVER run, the first sv=quiet window since round 10 — plus the
-    * round-14 sv=elevated catalog-368 run folded normally; its
-    * q360-q368 entries are the only evidence for the round-14 wave,
-    * upper bounds until a quieter run min-folds them; the artifact's
-    * rem_floor_qs field
+    * DRIVER run, the first sv=quiet window since round 10 — plus two
+    * round-14 catalog-368 full runs folded normally: one sv=elevated,
+    * one sv=QUIET at 0.6 ticks/s that min-folded the round-14 wave's
+    * entries (q363's 2.1 floor is its memo-hit steady state from the
+    * quiet run's rem re-measure; the 18.8 at-position cell was its
+    * one-time target-SF training); the artifact's rem_floor_qs field
     * tags entries whose floor came from a rem/z95 re-measure rather
     * than a full-run cell).
     * The round-11 additions q287-q305 are evidenced by those six
@@ -75,7 +76,7 @@ object Bench {
     98 -> 0.7, 99 -> 1, 100 -> 0.3, 101 -> 0.6, 102 -> 0.6, 103 -> 3.3,
     104 -> 0.9, 105 -> 0.6, 106 -> 0.4, 107 -> 0.7, 108 -> 0.3, 109 -> 1,
     110 -> 0.6, 111 -> 1.2, 112 -> 0.6, 113 -> 0.6, 114 -> 1, 115 -> 0.6,
-    116 -> 0.3, 117 -> 1.1, 118 -> 0.6, 119 -> 1, 120 -> 0.6, 121 -> 0.6,
+    116 -> 0.3, 117 -> 1.1, 118 -> 0.6, 119 -> 0.9, 120 -> 0.6, 121 -> 0.6,
     122 -> 3, 123 -> 0.5, 124 -> 0.7, 125 -> 0.9, 126 -> 0.3, 127 -> 0.4,
     128 -> 0.3, 129 -> 0.4, 130 -> 1.1, 131 -> 0.4, 132 -> 0.4, 133 -> 1.8,
     134 -> 1.3, 135 -> 0.8, 136 -> 0.6, 137 -> 0.6, 138 -> 1.5, 139 -> 0.7,
@@ -115,9 +116,9 @@ object Bench {
     338 -> 2.1, 339 -> 0.7, 340 -> 1.1, 341 -> 0.8, 342 -> 1.5, 343 -> 2.7,
     344 -> 3.1, 345 -> 4, 346 -> 1.2, 347 -> 1.5, 348 -> 0.9, 349 -> 5.7,
     350 -> 1, 351 -> 1.6, 352 -> 3.2, 353 -> 3.9, 354 -> 2.1, 355 -> 1.3,
-    356 -> 3.9, 357 -> 9.9, 358 -> 7.4, 359 -> 3.2, 360 -> 7.1, 361 -> 4.9,
-    362 -> 9.4, 363 -> 18.8, 364 -> 4.9, 365 -> 13.5, 366 -> 9.2,
-    367 -> 14.6, 368 -> 11.2)
+    356 -> 3.9, 357 -> 9.9, 358 -> 7.4, 359 -> 3.2, 360 -> 5.6, 361 -> 4.3,
+    362 -> 7.4, 363 -> 2.1, 364 -> 3.5, 365 -> 13.4, 366 -> 5.7,
+    367 -> 13.9, 368 -> 8.3)
 
 
 
