@@ -74,6 +74,17 @@ import graft.streaming.Streams
   *    non-monotone, so the streaming shape is per-batch maintenance
   *    of distributed state, not a monotone in-operator register.
   *
+  *  - q369: the DIRECTED maintenance epoch — the end-to-end handoff
+  *    proof that q367's maintained state is actually CONSUMABLE:
+  *    revocations run through [[graft.operators.Scc.decrementalState]]
+  *    and the resulting (labels, condensation-arc) pair feeds
+  *    [[graft.operators.Scc.incremental]] DIRECTLY for the arriving
+  *    arcs. The arriving band excludes revoked arcs, so the epoch's
+  *    net edge set equals q365's survivors and the two queries share
+  *    one oracle text while exercising disjoint code paths (direct
+  *    decremental over the full graph vs the carried-state
+  *    composition).
+  *
   * Scale shape: touched components resolve through one broadcast
   * probe of the delta; the corpus edge leaf streams ONCE through the
   * directed anti-join + label probes; the rebuild runs on the induced
@@ -111,29 +122,7 @@ object Extras144 {
   val all: Seq[Qry] = Seq(
 
     Qry(
-      "q365_decremental_scc", {
-        val header =
-          s"""b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS s,
-             |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
-             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-             |  GROUP BY 1, 2),
-             |ea AS MATERIALIZED (SELECT CAST(2 * c AS BIGINT) AS src,
-             |    CAST(2 * s + 1 AS BIGINT) AS dst FROM b
-             |  UNION ALL SELECT CAST(2 * s + 1 AS BIGINT),
-             |    CAST(2 * c AS BIGINT) FROM b WHERE ret = 1),
-             |e0 AS MATERIALIZED (SELECT src, dst FROM ea
-             |  WHERE NOT ($DelPredSql)),
-             |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM (
-             |    SELECT src FROM ea UNION ALL SELECT dst FROM ea))""".stripMargin
-        // deletion thins the back-edge side, so plain min-label
-        // propagation runs deeper than the full graph's 10-round
-        // unroll (the sentinel guard caught exactly this at sf0.01)
-        // and the condensation grows a level — 4 peels x 18 rounds,
-        // still guard-protected at every (peel, direction)
-        s"""WITH ${Extras136.sccOracleCtesOver(header,
-              peels = 4, inner = 18)}
-           |${Extras136.SccFinalSelect}""".stripMargin
-      }) { (spark, dir) =>
+      "q365_decremental_scc", DecOracle) { (spark, dir) =>
       import spark.implicits._
       val tt = Tables(spark, dir)
       val eAll = Staging.stage(
@@ -243,6 +232,40 @@ object Extras144 {
         expr("csrc DIV 2").as("a_key"),
         ($"cdst" % 2).as("b_kind"), expr("cdst DIV 2").as("b_key"),
         $"support".cast(LongType).as("support"))
+    },
+
+    Qry(
+      "q369_scc_epoch", DecOracle) { (spark, dir) =>
+      import spark.implicits._
+      val tt = Tables(spark, dir)
+      val eAll = Staging.stage(
+        Extras136.tradeFlowEdges(tt.orders, tt.lineitem), eager = true)
+      val delPred = ($"src" % 2 === 1) &&
+        (TextOps.hashMod(concat(lit("sccdel:"),
+          expr("src DIV 2").cast("string")))
+          < lit(TextOps.P / DelFrac))
+      // the arriving band excludes revoked arcs, so the epoch's net
+      // edge set is exactly eAll ∖ delete-band — q365's oracle
+      // VERBATIM while this side exercises the handoff path
+      val insPred = (TextOps.hashMod(concat(lit("sccins:"),
+        $"src".cast("string"), lit(":"), $"dst".cast("string")))
+        < lit(TextOps.P / 6L)) && !delPred
+      val corpus0 = eAll.filter(!insPred)
+      val ins = eAll.filter(insPred)
+      val standing = Scc.run(corpus0, "src", "dst")
+      val condSup0 = Staging.stage(
+        Scc.condensationSupport(corpus0, standing, "src", "dst"),
+        eager = true)
+      val del = corpus0.filter(delPred)
+      // epoch step 1: deletions, with the arc state maintained —
+      val (lab1, cond1) = Scc.decrementalState(standing, condSup0,
+        corpus0, del, "src", "dst")
+      val cond1s = Staging.stage(cond1, eager = true)
+      // — step 2: the MAINTAINED pair feeds the insert-side
+      // incremental directly (the handoff q367's state exists for)
+      val (labels, _) = Scc.incremental(lab1,
+        cond1s.select($"csrc", $"cdst"), ins, "src", "dst")
+      Extras136.sccOut(labels)
     }
   )
 
@@ -298,6 +321,30 @@ object Extras144 {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
          |SELECT src AS member, MIN(dst) AS component
          |FROM reach GROUP BY 1""".stripMargin
+
+  private lazy val DecOracle: String = {
+        val header =
+          s"""b AS MATERIALIZED (SELECT o_custkey AS c, l_suppkey AS s,
+             |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |  GROUP BY 1, 2),
+             |ea AS MATERIALIZED (SELECT CAST(2 * c AS BIGINT) AS src,
+             |    CAST(2 * s + 1 AS BIGINT) AS dst FROM b
+             |  UNION ALL SELECT CAST(2 * s + 1 AS BIGINT),
+             |    CAST(2 * c AS BIGINT) FROM b WHERE ret = 1),
+             |e0 AS MATERIALIZED (SELECT src, dst FROM ea
+             |  WHERE NOT ($DelPredSql)),
+             |n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM (
+             |    SELECT src FROM ea UNION ALL SELECT dst FROM ea))""".stripMargin
+        // deletion thins the back-edge side, so plain min-label
+        // propagation runs deeper than the full graph's 10-round
+        // unroll (the sentinel guard caught exactly this at sf0.01)
+        // and the condensation grows a level — 4 peels x 18 rounds,
+        // still guard-protected at every (peel, direction)
+        s"""WITH ${Extras136.sccOracleCtesOver(header,
+              peels = 4, inner = 18)}
+           |${Extras136.SccFinalSelect}""".stripMargin
+      }
 
   private lazy val CondOracle: String = {
         val header =

@@ -176,6 +176,38 @@ class DecrementalSccSpec extends SparkTestBase {
     Staging.sweep(spark)
   }
 
+  test("epoch handoff: decrementalState's pair feeds incremental and " +
+      "the composition equals batch over the net edge set") {
+    // corpus: 4-cycle {1,2,3,4} + 2-cycle {10,11}; epoch deletes 3→4
+    // (shatters the 4-cycle) and inserts 4→1-closing arc 2→1 plus a
+    // bridge-and-back 11→1, 1→11 (merges {10,11} with {1,2})
+    val corpus = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (10L, 11L), (11L, 10L))
+    val del = edges((3L, 4L))
+    val ins = edges((2L, 1L), (11L, 1L), (1L, 11L))
+    val standing = Scc.run(corpus, "src", "dst")
+    val condSup = Scc.condensationSupport(corpus, standing,
+      "src", "dst")
+    val (lab1, cond1) = Scc.decrementalState(standing, condSup, corpus,
+      del, "src", "dst")
+    val lab1s = Staging.stage(lab1, eager = true)
+    val cond1s = Staging.stage(cond1, eager = true)
+    val (labels, _) = Scc.incremental(lab1s,
+      cond1s.select($"csrc", $"cdst"), ins, "src", "dst")
+    val net = corpus.join(del.select($"src".as("__ds"),
+        $"dst".as("__dd")),
+      $"src" === $"__ds" && $"dst" === $"__dd", "left_anti")
+      .unionByName(ins)
+    val batch = Scc.run(net, "src", "dst")
+    assert(asMap(labels) == asMap(batch))
+    // {1,2} close via 2→1; {10,11} merges in via 11→1/1→11; 3, 4
+    // stay singletons (3's only cycle died with the deletion)
+    val m = asMap(labels)
+    assert(m(1L) == 1L && m(2L) == 1L && m(10L) == 1L && m(11L) == 1L)
+    assert(m(3L) == 3L && m(4L) == 4L)
+    Staging.sweep(spark)
+  }
+
   test("empty deletion set: every label passes through bit-identical") {
     val corpus = edges((1L, 2L), (2L, 1L), (5L, 6L))
     val standing = Scc.run(corpus, "src", "dst")
