@@ -8,7 +8,7 @@ object Bench {
     * (= the r13 artifact's thirty-three runs — incl. the round-13
     * DRIVER run, the first sv=quiet window since round 10 — plus two
     * round-14 catalog-368 full runs folded normally: one sv=elevated,
-    * one sv=QUIET at 0.6 ticks/s that min-folded the round-14 wave's
+    * two sv=QUIET (0.6 and 0.8 ticks/s, the catalog-369 run adding q369) that min-folded the round-14 wave's
     * entries (q363's 2.1 floor is its memo-hit steady state from the
     * quiet run's rem re-measure; the 18.8 at-position cell was its
     * one-time target-SF training); the artifact's rem_floor_qs field
@@ -79,7 +79,7 @@ object Bench {
     116 -> 0.3, 117 -> 1.1, 118 -> 0.6, 119 -> 0.9, 120 -> 0.6, 121 -> 0.6,
     122 -> 3, 123 -> 0.5, 124 -> 0.7, 125 -> 0.9, 126 -> 0.3, 127 -> 0.4,
     128 -> 0.3, 129 -> 0.4, 130 -> 1.1, 131 -> 0.4, 132 -> 0.4, 133 -> 1.8,
-    134 -> 1.3, 135 -> 0.8, 136 -> 0.6, 137 -> 0.6, 138 -> 1.5, 139 -> 0.7,
+    134 -> 1.3, 135 -> 0.7, 136 -> 0.6, 137 -> 0.6, 138 -> 1.5, 139 -> 0.7,
     140 -> 1, 141 -> 0.6, 142 -> 0.6, 143 -> 2.6, 144 -> 0.9, 145 -> 0.6,
     146 -> 2.3, 147 -> 1.4, 148 -> 0.6, 149 -> 1.6, 150 -> 0.3, 151 -> 0.2,
     152 -> 0.7, 153 -> 0.4, 154 -> 0.3, 155 -> 0.1, 156 -> 0.8, 157 -> 1,
@@ -115,10 +115,10 @@ object Bench {
     332 -> 1.1, 333 -> 0.8, 334 -> 0.7, 335 -> 0.4, 336 -> 0.9, 337 -> 0.6,
     338 -> 2.1, 339 -> 0.7, 340 -> 1.1, 341 -> 0.8, 342 -> 1.5, 343 -> 2.7,
     344 -> 3.1, 345 -> 4, 346 -> 1.2, 347 -> 1.5, 348 -> 0.9, 349 -> 5.7,
-    350 -> 1, 351 -> 1.6, 352 -> 3.2, 353 -> 3.9, 354 -> 2.1, 355 -> 1.3,
-    356 -> 3.9, 357 -> 9.9, 358 -> 7.4, 359 -> 3.2, 360 -> 5.6, 361 -> 4.3,
-    362 -> 7.4, 363 -> 2.1, 364 -> 3.5, 365 -> 13.4, 366 -> 5.7,
-    367 -> 13.9, 368 -> 8.3)
+    350 -> 1, 351 -> 1.6, 352 -> 3.1, 353 -> 3.7, 354 -> 2.1, 355 -> 1.2,
+    356 -> 3.9, 357 -> 9.9, 358 -> 7.4, 359 -> 3.2, 360 -> 5.6, 361 -> 3.8,
+    362 -> 6.3, 363 -> 2.1, 364 -> 3.5, 365 -> 12, 366 -> 4.8, 367 -> 13.2,
+    368 -> 7.5, 369 -> 19.5)
 
 
 
