@@ -101,8 +101,17 @@ object ConnectedComponents {
         sym.select(col("a").as("id")).distinct()
           .withColumn("component", col("id")),
         eager = false)
-      var prevSum = labels.agg(sumCol).head().getDecimal(0)
-      log.info(s"cc: label init ${secs(tInit)}s")
+      // same job also counts the node sliver: the count feeds
+      // stageWithStats below so every round's edge-side join sees a
+      // real size estimate (a bare staged LogicalRDD defaults to an
+      // unbounded one and the per-round neighbor join degrades to a
+      // sort-merge plan that re-exchanges the edge leaf every round)
+      val initRow = labels.agg(sumCol, count(lit(1))).head()
+      var prevSum = initRow.getDecimal(0)
+      val nodeN = initRow.getLong(1)
+      labels = org.apache.spark.sql.GraftSqlBridge
+        .withKnownStats(labels, nodeN)
+      log.info(s"cc: label init ${secs(tInit)}s (n=$nodeN)")
       var converged = false
       var i = 0
       while (!converged && i < maxIterations) {
@@ -136,10 +145,10 @@ object ConnectedComponents {
                 col("component").as("__lcomp")),
                 col("__k") === col("__k2"))
               .select(col("id"), col("__lcomp").as("component")))
-        val next = Staging.stage(
+        val next = Staging.stageWithStats(
           candidates.groupBy(col("id"))
             .agg(min(col("component")).as("component")),
-          eager = false)
+          nodeN, eager = false)
         // one action per round: computes the round's joins, persists the
         // staged blocks as a side effect of that same computation, and
         // returns the convergence sum

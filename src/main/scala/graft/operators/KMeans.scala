@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Exact.davg
@@ -151,14 +150,20 @@ object KMeans {
   /** [[assign]] keeping the winning squared distance: (idCol, cid,
     * d2). d2 is the same sequential-fold double on both engines
     * ([[Vectors.distSq]] / q246's list_reduce), so downstream
-    * closest-to-centroid selections (q360) stay oracle-exact. */
+    * closest-to-centroid selections (q360) stay oracle-exact.
+    *
+    * The argmin folds through `min(struct(d2, cid))` — struct ordering
+    * is lexicographic, so the minimum IS (smallest d2, ties by cid),
+    * bit-identical to the previous per-id `row_number` window — but
+    * the aggregate form collapses the k candidate rows MAP-SIDE
+    * (partial aggregation), so the exchange carries one row per
+    * vector instead of k, and nothing sorts. */
   def assignDist(vecs: DataFrame, cents: DataFrame, idCol: String,
-      vCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("d2"), col("cid"))
+      vCol: String): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .select(col(idCol), col("cid"),
         Vectors.distSq(col(vCol), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("cid"), col("d2"))
-  }
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d2"), col("cid"))).as("__m"))
+      .select(col(idCol), col("__m.cid").as("cid"), col("__m.d2").as("d2"))
 }

@@ -91,18 +91,25 @@ object PageRank {
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       val base = (100L - dampingPct) * Ppm / 100L
+      // the dangling flag rides the rank table so each round's single
+      // convergence action can ALSO return the next round's dangling
+      // mass — the separate per-round dangling aggregate (a second
+      // Spark job per round) folds away; round 0's mass is dangCount
+      // × Ppm by construction (every rank starts at Ppm)
+      val dangN = dangling.count()
       var ranks = Staging.stage(
-        nodes.withColumn("r", lit(Ppm)), eager = false)
+        nodes.join(dangling.select(col("id").as("__dg")),
+            col("id") === col("__dg"), "left_outer")
+          .select(col("id"), lit(Ppm).as("r"),
+            col("__dg").isNotNull.as("isd")),
+        eager = false)
       // materialize round-0 blocks (the delta aggregate needs a prior)
       ranks.count()
+      var dangSum = dangN * Ppm
       var converged = false
       var i = 0
       while (!converged && i < maxIterations) {
         val tRound = now()
-        // scalar input to the round: total dangling mass, one tiny
-        // aggregate over the staged rank blocks
-        val dangSum = ranks.join(dangling, "id")
-          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
         val dangShare = dangSum / math.max(n, 1L)
         // exact floor(r*w/tw) without forming r*w (overflow headroom).
         // The rank table is one (id, r) row per node — when the node
@@ -123,19 +130,23 @@ object PageRank {
             expr("(r DIV tw) * w + ((r % tw) * w) DIV tw").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
         val next = Staging.stage(
-          ranks.select(col("id"), col("r").as("r_prev"))
+          ranks.select(col("id"), col("isd"), col("r").as("r_prev"))
             .join(contrib, col("id") === col("dst"), "left_outer")
-            .select(col("id"), col("r_prev"),
+            .select(col("id"), col("isd"), col("r_prev"),
               coalesce(col("inflow"), lit(0L)).as("inf0"))
-            .select(col("id"), col("r_prev"),
+            .select(col("id"), col("isd"), col("r_prev"),
               (lit(base) +
                 expr(s"($dampingPct * (inf0 + $dangShare)) DIV 100"))
                 .as("r")),
           eager = false)
-        // ONE action: materializes the round AND returns the max delta
-        val maxDelta = next
-          .agg(coalesce(max(abs(col("r") - col("r_prev"))), lit(0L)))
-          .head().getLong(0)
+        // ONE action: materializes the round, returns the max delta
+        // AND the next round's dangling mass
+        val row = next
+          .agg(coalesce(max(abs(col("r") - col("r_prev"))), lit(0L)),
+            coalesce(sum(when(col("isd"), col("r"))), lit(0L)))
+          .head()
+        val maxDelta = row.getLong(0)
+        dangSum = row.getLong(1)
         Staging.release(ranks)
         ranks = next
         converged = tolPpm >= 0 && maxDelta <= tolPpm
@@ -208,16 +219,23 @@ object PageRank {
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       val teleport = (100L - dampingPct) * n * Ppm / (100L * sCnt)
+      // dangling flag rides the rank table (run()'s device): the
+      // per-round materializing count doubles as the dangling-mass
+      // aggregate, folding the second per-round job away. Round 0's
+      // mass: dangling seeds hold n·Ppm DIV s each, others 0.
+      val dangSeedN = dangling.filter(col("isSeed") === 1L).count()
       var ranks = Staging.stage(
-        nodes.withColumn("r",
-          when(col("isSeed") === 1L, lit(n * Ppm / sCnt))
-            .otherwise(lit(0L))),
+        nodes.join(dangling.select(col("id").as("__dg")),
+            col("id") === col("__dg"), "left_outer")
+          .select(col("id"), col("isSeed"),
+            when(col("isSeed") === 1L, lit(n * Ppm / sCnt))
+              .otherwise(lit(0L)).as("r"),
+            col("__dg").isNotNull.as("isd")),
         eager = false)
       ranks.count()
+      var dangSum = dangSeedN * (n * Ppm / sCnt)
       var i = 0
       while (i < rounds) {
-        val dangSum = ranks.join(dangling.select(col("id")), "id")
-          .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
         val dangSeedShare = dangSum / sCnt
         val rankSide =
           if (n <= BroadcastNodeLimit) broadcast(ranks) else ranks
@@ -226,15 +244,19 @@ object PageRank {
             expr("(r DIV tw) * w + ((r % tw) * w) DIV tw").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
         val next = Staging.stage(
-          ranks.select(col("id"), col("isSeed"))
+          ranks.select(col("id"), col("isSeed"), col("isd"))
             .join(contrib, col("id") === col("dst"), "left_outer")
-            .select(col("id"), col("isSeed"),
+            .select(col("id"), col("isSeed"), col("isd"),
               (when(col("isSeed") === 1L, lit(teleport)).otherwise(0L) +
                 expr(s"($dampingPct * (coalesce(inflow, 0L) + " +
                   s"if(isSeed = 1, ${dangSeedShare}L, 0L))) DIV 100")
               ).as("r")),
           eager = false)
-        next.count()
+        // one action: materializes the round and returns the next
+        // round's dangling mass
+        dangSum = next
+          .agg(coalesce(sum(when(col("isd"), col("r"))), lit(0L)))
+          .head().getLong(0)
         Staging.release(ranks)
         ranks = next
         i += 1

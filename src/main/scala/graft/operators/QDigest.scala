@@ -82,8 +82,17 @@ object QDigest {
     * `levels` passes. Input rows may sit at any mix of levels (leaf
     * histograms, or a digest unioned with new leaves for a merge) as
     * long as node ids are distinct per group — sum duplicates first. */
-  def compress(d: DataFrame, gCols: Seq[String], levels: Int): DataFrame =
-    (levels to 1 by -1).foldLeft(d)((acc, l) => pass(acc, gCols, l))
+  def compress(d: DataFrame, gCols: Seq[String], levels: Int): DataFrame = {
+    // one hash(gCols) exchange up front: every per-level window below
+    // partitions by (gCols, grp_level), and hash(gCols) satisfies that
+    // clustering (subset rule) — without it EnsureRequirements inserts
+    // a fresh exchange per level because grp changes with the level,
+    // so a `levels`-deep compress paid `levels` shuffles of the digest
+    // instead of one. Per-group digest size is O(K·levels), so the
+    // coarser keying never concentrates more than a digest per task.
+    val d0 = if (gCols.nonEmpty) d.repartition(gCols.map(col): _*) else d
+    (levels to 1 by -1).foldLeft(d0)((acc, l) => pass(acc, gCols, l))
+  }
 
   /** The same compression as [[compress]], over an in-memory entry list
     * — the streaming state path (a per-key digest is O(K·levels)

@@ -70,8 +70,13 @@ object QualityLr {
       rounds: Int = Rounds, b: Int = B): DataFrame = {
     val spark = feat.sparkSession
     import spark.implicits._
-    val nd = feat.agg(countDistinct($"doc_id")
-      .cast(DecimalType(38, 0)).as("n"))
+    // the doc count is a training CONSTANT: collect it once instead of
+    // re-deriving it inside every round's weight update (the old
+    // crossJoin(broadcast(nd)) re-executed the countDistinct corpus
+    // pass on each of the 8 rounds' eager stagings). Embedded back as
+    // a DECIMAL(38,0) literal so the update expression tree — and the
+    // unrolled oracle's replay of it — is unchanged.
+    val nDocs = feat.agg(countDistinct($"doc_id")).head().getLong(0)
     var w = Staging.stage(
       spark.range(b).select($"id".as("b"),
         lit(0).cast(DecimalType(38, 0)).as("w")),
@@ -87,9 +92,10 @@ object QualityLr {
       val g = feat.join(resid, "doc_id")
         .groupBy($"b").agg(sum($"r" * $"x").as("g"))
       val wNext = Staging.stage(
-        w.join(g, Seq("b"), "left_outer").crossJoin(broadcast(nd))
+        w.join(g, Seq("b"), "left_outer")
           .select($"b",
-            expr(s"CAST(w - ($eta * (COALESCE(g, 0) DIV n)) " +
+            expr(s"CAST(w - ($eta * (COALESCE(g, 0) DIV " +
+              s"CAST($nDocs AS DECIMAL(38,0)))) " +
               "DIV 1000000 AS DECIMAL(38,0))").as("w")),
         eager = true)
       Staging.release(w)

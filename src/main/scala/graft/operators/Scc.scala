@@ -51,38 +51,59 @@ object Scc {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Directed min-reachable-label fixpoint over the given node set:
-    * for each (id) in `nodes`, the minimum node id reachable from it
-    * along `er` edges (including itself). `er` must already be
-    * restricted to the node set. Returns (id, l), staged lazily —
+  /** BOTH directed min-label fixpoints — forward (f(v) = min id
+    * reachable FROM v) and backward (b(v) = min id that REACHES v) —
+    * in ONE loop over a single (id, f, b) label table. The two
+    * columns' candidate streams (own label; neighbor labels along the
+    * edge direction / against it; label-of-label path doubling from
+    * round 3) union into one min-aggregate with NULLs on the
+    * non-contributing side (min skips NULLs; the own stream feeds
+    * both columns, so no result is NULL), so a round costs ONE Spark
+    * job instead of two and the loop runs max(depth_f, depth_b)
+    * rounds instead of their sum — rounds past one side's fixpoint
+    * are provably no-ops for that side (labels are stationary there),
+    * exactly the property the unrolled oracle already relies on.
+    * Convergence is the joint monotone sum: f and b only ever
+    * decrease, so sum(f) + sum(b) (DECIMAL(38,0)) is strictly
+    * decreasing until BOTH sides are fixed. `er` must already be
+    * restricted to the node set. Returns (id, f, b), staged lazily —
     * caller releases. */
-  private def minReach(er: DataFrame, nodes: DataFrame, nodeCount: Long,
-      maxIterations: Int): DataFrame = {
-    val sumCol = coalesce(sum(col("l").cast(DecimalType(38, 0))),
-      lit(0).cast(DecimalType(38, 0)))
+  private def minReachBoth(er: DataFrame, nodes: DataFrame,
+      nodeCount: Long, maxIterations: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val sumCol = coalesce(
+      sum(col("f").cast(dec)) + sum(col("b").cast(dec)),
+      lit(0).cast(dec))
+    val idType = nodes.schema("id").dataType
+    def nullId = lit(null).cast(idType)
     var labels = Staging.stageWithStats(
-      nodes.select(col("id"), col("id").as("l")),
+      nodes.select(col("id"), col("id").as("f"), col("id").as("b")),
       nodeCount, eager = false)
     var prevSum = labels.agg(sumCol).head().getDecimal(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // candidate streams folded by one min-aggregate (the CC union
-      // formulation): own label; out-neighbor labels (v→w: anything w
-      // reaches, v reaches); label-of-label (transitive shortcut,
-      // from round 3 — plain propagation finishes shallow graphs
-      // without the extra join, deep chains get path doubling)
-      val neighbor = er.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("l"))
+      // forward: v→w means v reaches everything w reaches
+      val fwd = er.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("f"), nullId.as("b"))
+      // backward: u→v means everything reaching u reaches v
+      val bwd = er.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), nullId.as("f"), col("b"))
+      val base = labels.unionByName(fwd).unionByName(bwd)
       val candidates =
-        if (i < 2) labels.unionByName(neighbor)
-        else labels.unionByName(neighbor).unionByName(
-          labels.select(col("l").as("__k"), col("id"))
-            .join(labels.select(col("id").as("__k2"), col("l").as("__ll")),
+        if (i < 2) base
+        else base
+          .unionByName(labels.select(col("f").as("__k"), col("id"))
+            .join(labels.select(col("id").as("__k2"), col("f").as("__ff")),
               col("__k") === col("__k2"))
-            .select(col("id"), col("__ll").as("l")))
+            .select(col("id"), col("__ff").as("f"), nullId.as("b")))
+          .unionByName(labels.select(col("b").as("__k"), col("id"))
+            .join(labels.select(col("id").as("__k2"), col("b").as("__bb")),
+              col("__k") === col("__k2"))
+            .select(col("id"), nullId.as("f"), col("__bb").as("b")))
       val next = Staging.stageWithStats(
-        candidates.groupBy(col("id")).agg(min(col("l")).as("l")),
+        candidates.groupBy(col("id"))
+          .agg(min(col("f")).as("f"), min(col("b")).as("b")),
         nodeCount, eager = false)
       val s = next.agg(sumCol).head().getDecimal(0)
       Staging.release(labels)
@@ -340,8 +361,12 @@ object Scc {
     val (_, touched, kept, labels0) = decrementalParts(standing,
       corpusEdges, deletedEdges, srcCol, dstCol, maxPeels,
       maxIterations)
-    // probed twice below (src and dst sides) — stage once
-    val labels = Staging.stage(labels0, eager = true)
+    // probed twice below (src and dst sides) — stage once, count the
+    // already-materialized blocks (cheap) and carry the stats so the
+    // corpus-sized kept pass probes it as a broadcast, not a shuffle
+    val labelsStaged = Staging.stage(labels0, eager = true)
+    val labels = org.apache.spark.sql.GraftSqlBridge.withKnownStats(
+      labelsStaged, labelsStaged.count())
     // quotient of the deletions under the OLD labels: the support
     // decrement for arcs whose endpoints' membership did not change
     val del = deletedEdges
@@ -365,24 +390,25 @@ object Scc {
         (col("support") - coalesce(col("qcnt"), lit(0L))).as("support"))
       .filter(col("support") > 0)
     // surviving edges owning a touched endpoint, re-quotiented under
-    // the new labels (two broadcast flag probes — never an OR-join)
-    val keptLab = kept
-      .join(standing.select(col("id").as("__os"), col("scc").as("ocs")),
-        col("src") === col("__os"))
-      .join(standing.select(col("id").as("__od"), col("scc").as("ocd")),
-        col("dst") === col("__od"))
-      .join(broadcast(touched.select(col("tc").as("__f1"))),
-        col("ocs") === col("__f1"), "left_outer")
-      .join(broadcast(touched.select(col("tc").as("__f2"))),
-        col("ocd") === col("__f2"), "left_outer")
-    val incident = keptLab
-      .filter(col("__f1").isNotNull || col("__f2").isNotNull)
-      .select(col("src"), col("dst"))
-    val recomputed = incident
-      .join(labels.select(col("id").as("__ns"), col("scc").as("ncs")),
-        col("src") === col("__ns"))
-      .join(labels.select(col("id").as("__nd"), col("scc").as("ncd")),
-        col("dst") === col("__nd"))
+    // the new labels — ONE pass over the kept leaf: a combined
+    // (node → old scc, new scc, touched?) mapping attaches per
+    // endpoint, so the old four label joins (two old-label probes on
+    // kept, two new-label probes on the incident subset) collapse to
+    // two probes of one node-sized broadcast mapping
+    val m = standing
+      .join(labels.select(col("id").as("__ni"), col("scc").as("nscc")),
+        col("id") === col("__ni"))
+      .join(broadcast(touched), col("scc") === col("tc"), "left_outer")
+      .select(col("id"), col("nscc"), col("tc").isNotNull.as("tflag"))
+    val mStaged = Staging.stage(m, eager = true)
+    val mStats = org.apache.spark.sql.GraftSqlBridge.withKnownStats(
+      mStaged, mStaged.count())
+    val recomputed = kept
+      .join(mStats.select(col("id").as("__ms"), col("nscc").as("ncs"),
+        col("tflag").as("__f1")), col("src") === col("__ms"))
+      .join(mStats.select(col("id").as("__md"), col("nscc").as("ncd"),
+        col("tflag").as("__f2")), col("dst") === col("__md"))
+      .filter(col("__f1") || col("__f2"))
       .filter(col("ncs") =!= col("ncd"))
       .groupBy(col("ncs").as("csrc"), col("ncd").as("cdst"))
       .agg(count(lit(1)).as("support"))
@@ -421,37 +447,37 @@ object Scc {
       var assigned = Staging.stage(
         active.filter(lit(false)).select(col("id"), col("id").as("scc")),
         eager = true)
+      val totalN = activeN
       var peel = 0
       while (activeN > 0 && peel < maxPeels) {
         val tPeel = now()
-        // the induced subgraph on active nodes: corpus-sized on peel 1,
-        // residue-sized after (the peeled giant SCC takes its edges
-        // with it)
-        val er = Staging.stage(
-          e.join(active.select(col("id").as("__s")),
-              col("src") === col("__s"))
-            .join(active.select(col("id").as("__d")),
-              col("dst") === col("__d"))
-            .select(col("src"), col("dst")),
-          eager = true)
-        val f = minReach(er, active, activeN, maxIterations)
-        val rev = er.select(col("dst").as("src"), col("src").as("dst"))
-        val b = minReach(rev, active, activeN, maxIterations)
-        val done = Staging.stage(
-          f.join(b.select(col("id").as("__i"), col("l").as("__bl")),
-              col("id") === col("__i") && col("l") === col("__bl"))
-            .select(col("id"), col("l").as("scc")),
-          eager = true)
+        // the induced subgraph on active nodes. On peel 1 active IS
+        // every endpoint of e by construction, so the restriction is
+        // the identity — skip the two joins and the corpus-sized
+        // restage outright (the released-at-end flag keeps e alive)
+        val er =
+          if (peel == 0) e
+          else Staging.stage(
+            e.join(active.select(col("id").as("__s")),
+                col("src") === col("__s"))
+              .join(active.select(col("id").as("__d")),
+                col("dst") === col("__d"))
+              .select(col("src"), col("dst")),
+            eager = true)
+        // both fixpoints in one loop; a node with f = b = m is in
+        // SCC(m) — a filter on the fused label table, no join
+        val fb = minReachBoth(er, active, activeN, maxIterations)
+        val done = fb.filter(col("f") === col("b"))
+          .select(col("id"), col("f").as("scc"))
         val nextAssigned = Staging.stage(
           assigned.unionByName(done), eager = true)
         val nextActive = Staging.stage(
-          active.join(done.select(col("id").as("__a")),
-            col("id") === col("__a"), "left_anti"),
+          fb.filter(col("f") =!= col("b")).select(col("id")),
           eager = true)
         val nextN = nextActive.count()
-        Staging.release(er); Staging.release(f); Staging.release(b)
-        Staging.release(done); Staging.release(assigned)
-        Staging.release(active)
+        if (!(er eq e)) Staging.release(er)
+        Staging.release(fb)
+        Staging.release(assigned); Staging.release(active)
         assigned = nextAssigned
         active = nextActive
         log.info(s"scc: peel ${peel + 1} ${secs(tPeel)}s " +
@@ -465,7 +491,11 @@ object Scc {
           s"SCC did not finish within $maxPeels peel rounds " +
             s"($activeN nodes unassigned); raise maxPeels " +
             "(condensation depth exceeds it)")
-      assigned
+      // carry the KNOWN row count (one label per node) so downstream
+      // joins against the standing table get a real size estimate —
+      // a bare staged LogicalRDD defaults to an unbounded one and
+      // forces sort-merge plans on every consumer
+      org.apache.spark.sql.GraftSqlBridge.withKnownStats(assigned, totalN)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

@@ -84,10 +84,16 @@ object Extras118 {
 
   /** Core/border/noise + cluster assignment over a (cx, cy, n) cell
     * table — shared verbatim by q316 and the streaming twin q325. */
-  private[graft] def densityTail(cells: org.apache.spark.sql.DataFrame)
+  private[graft] def densityTail(cells0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import cells.sparkSession.implicits._
+    import cells0.sparkSession.implicits._
     {
+      // staged ONCE: the cell table is referenced four times below
+      // (both sides of the core adjacency self-join, the cluster
+      // re-attach, the non-core side) and each unstaged reference
+      // re-ran the corpus-sized point→cell aggregate; the staged frame
+      // is grid-bounded, never corpus-sized
+      val cells = graft.operators.Staging.stage(cells0, eager = true)
       val core = cells.filter($"n" >= MinPts)
         .withColumn("id", $"cx" * 1000000L + $"cy")
       // 8-neighborhood as a 9-offset explode + equi-join (never a

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.operators.{ConnectedComponents, Dedup, TextOps}
+import graft.operators.{ConnectedComponents, Dedup, Staging, TextOps}
 import graft.sources.Tables
 
 /** Hundred-thirty-third coverage wave: dedup-aware split leakage — the
@@ -76,9 +76,15 @@ object Extras133 {
       val d = Tables(spark, dir).documents
       val shc = Dedup.dfCapped(
         Dedup.shingleHashes(d, "doc_id", "text"), Dedup.DefaultDfCap)
-      val truth = Dedup.jaccardPairs(shc, "doc_id", dfCap = 0)
-        .filter($"jaccard" >= 0.5)
-        .select($"id_a".as("da"), $"id_b".as("db"))
+      // staged ONCE: referenced both by the CC loop (which stages its
+      // own symmetrized copy from it) and by the final leak join —
+      // unstaged, the second reference re-ran the whole
+      // tokenize→shingle→jaccard pipeline
+      val truth = Staging.stage(
+        Dedup.jaccardPairs(shc, "doc_id", dfCap = 0)
+          .filter($"jaccard" >= 0.5)
+          .select($"id_a".as("da"), $"id_b".as("db")),
+        eager = true)
       val comp = ConnectedComponents.minLabel(truth, "da", "db")
         .select($"id", $"component".as("c"))
       def foldOf(c: org.apache.spark.sql.Column) =

@@ -107,16 +107,38 @@ object Extras137 {
     * operator over the fixtures' documents. */
   private[queries] def train(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    import spark.implicits._
     val feat = QualityLr.features(Tables(spark, dir).documents)
     val rows = weightMemo.computeIfAbsent(dir, { _ =>
       QualityLr.train(feat).collect()
         .map(r => (r.getLong(0), r.getDecimal(1)))
     })
-    val w = rows.toSeq.toDF("b", "w")
+    (feat, wFrame(spark, rows))
+  }
+
+  /** Weights ONLY — for consumers that never read the batch feature
+    * leaf (q356 scores a STREAM with the standing weights): on a memo
+    * hit this touches no corpus table at all, where [[train]] would
+    * eagerly stage the full tokenize→explode feature leaf just to
+    * throw it away. Training on a memo miss builds the leaf, trains,
+    * and releases it. */
+  private[queries] def trainedW(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val rows = weightMemo.computeIfAbsent(dir, { _ =>
+      val feat = QualityLr.features(Tables(spark, dir).documents)
+      val out = QualityLr.train(feat).collect()
+        .map(r => (r.getLong(0), r.getDecimal(1)))
+      graft.operators.Staging.release(feat)
+      out
+    })
+    wFrame(spark, rows)
+  }
+
+  private def wFrame(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(Long, java.math.BigDecimal)]): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("b", "w")
       .select($"b", $"w".cast(org.apache.spark.sql.types
         .DecimalType(38, 0)).as("w"))
-    (feat, w)
   }
 
   /** Learned-score level table (sm, pos, neg): every document scored
@@ -138,7 +160,8 @@ object Extras137 {
          |SELECT b, CAST(w AS BIGINT) AS w_ppm FROM w$Rounds"""
         .stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val (_, w) = train(spark, dir)
+      // weights only — the feature leaf is training-internal here
+      val w = trainedW(spark, dir)
       w.select($"b", $"w".cast(LongType).as("w_ppm"))
     },
 

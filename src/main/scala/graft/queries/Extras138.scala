@@ -113,6 +113,15 @@ object Extras138 {
 
   /** Spark twin: staged (id, v) leaf, trained centroids, final
     * assignment. */
+  // Trained centroids are a deterministic pure function of the
+  // fixture dir; three catalog queries (q352/q353/q360) consume them,
+  // so the 4-round Lloyd loop is memoized per dir for the session —
+  // K×Dim doubles driver-side, the Extras137 weight-memo convention
+  // (model constants, not data). The embedding leaf is NOT memoized;
+  // each query re-stages its own.
+  private val centMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Seq[Double])]]()
+
   private[queries] def trained(spark: org.apache.spark.sql.SparkSession,
       dir: String) = {
     import spark.implicits._
@@ -120,7 +129,11 @@ object Extras138 {
       Tables(spark, dir).embeddings
         .select($"vec_id".as("id"), Vectors.toDouble($"embedding").as("v")),
       eager = true)
-    val cents = KMeans.run(e, "id", "v", K, Rounds)
+    val rows = centMemo.computeIfAbsent(dir, { _ =>
+      KMeans.run(e, "id", "v", K, Rounds).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    })
+    val cents = rows.toSeq.toDF("cid", "cv")
     (e, cents, KMeans.assign(e, cents, "id", "v"))
   }
 

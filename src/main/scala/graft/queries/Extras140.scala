@@ -92,8 +92,9 @@ object Extras140 {
          |    // (2 * SUM(pos) * SUM(neg)) AS BIGINT) AS auc_ppm
          |FROM cl""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      // standing model: batch-trained weights (the static side)
-      val (_, w) = Extras137.train(spark, dir)
+      // standing model: batch-trained weights (the static side) —
+      // weights only; the batch feature leaf is never read here
+      val w = Extras137.trainedW(spark, dir)
       // incoming stream: per-(doc, bucket) token counts are the one
       // stateful aggregation; everything after runs post-sink
       val counts = Streams.fileStream(spark, dir, "documents")

@@ -320,11 +320,16 @@ object Extras143 {
            |FROM w${Extras137.Rounds}""".stripMargin
       }) { (spark, dir) =>
       import spark.implicits._
-      val feat = QualityLr.features(Tables(spark, dir).documents,
-        b = 1024, bigrams = true)
+      // the feature leaf is training-internal: build it only on a
+      // memo miss (a hit was eagerly staging the full bigram explode
+      // just to discard it)
       val rows = bgMemo.computeIfAbsent(dir, { _ =>
-        QualityLr.train(feat, b = 1024).collect()
+        val feat = QualityLr.features(Tables(spark, dir).documents,
+          b = 1024, bigrams = true)
+        val out = QualityLr.train(feat, b = 1024).collect()
           .map(r => (r.getLong(0), r.getDecimal(1)))
+        Staging.release(feat)
+        out
       })
       rowsToW(spark, rows)
         .select($"b", $"w".cast(LongType).as("w_ppm"))
