@@ -66,10 +66,18 @@ object PageRank {
     def secs(t0: Long) = f"${(now() - t0) / 1e9}%.2f"
 
     val tEdges = now()
+    // the raw edge projection is staged FIRST: `edges` may be an
+    // arbitrarily expensive upstream pipeline (q262's is a corpus
+    // join+groupBy), and it used to be referenced three times — both
+    // sides of the out-strength self-join plus the node derivation —
+    // re-executing the pipeline each time. One eager staging, then
+    // every derivation reads the staged blocks.
+    val e = Staging.stage(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w")),
+      eager = true)
     // (src, dst, w, tw): weights plus per-src out-strength, staged once
     // at full session width — this is the data-heavy frame of the loop
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("long").as("w"))
     val ew = Staging.stage(
       e.join(e.groupBy(col("src")).agg(sum(col("w")).as("tw")), "src"),
       eager = true)
@@ -77,6 +85,7 @@ object PageRank {
       e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct(),
       eager = true)
+    Staging.release(e)
     val n = nodes.count()
     // dangling = nodes with no out-edges; their mass redistributes
     // uniformly each round (dropping it instead would leak total mass
@@ -193,8 +202,12 @@ object PageRank {
     require(dampingPct > 0 && dampingPct < 100,
       s"dampingPct ($dampingPct) must be in (0, 100)")
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("long").as("w"))
+    // staged once — the upstream pipeline was re-executed by the
+    // strength self-join and the node derivation (see run())
+    val e = Staging.stage(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w")),
+      eager = true)
     val ew = Staging.stage(
       e.join(e.groupBy(col("src")).agg(sum(col("w")).as("tw")), "src"),
       eager = true)
@@ -207,6 +220,7 @@ object PageRank {
         .select(col("id"),
           when(col("sid").isNotNull, 1L).otherwise(0L).as("isSeed")),
       eager = true)
+    Staging.release(e)
     val n = nodes.count()
     val sCnt = nodes.filter(col("isSeed") === 1L).count()
     require(sCnt > 0, "personalized pagerank needs >= 1 seed IN the graph")

@@ -189,8 +189,10 @@ object Scc {
         .distinct(),
       eager = true)
     // SCC over the component-id quotient graph; groups that merge get
-    // the min member label by construction
-    val merged = run(quotient, "csrc", "cdst", maxPeels, maxIterations)
+    // the min member label by construction. The quotient is distinct
+    // and self-arc-free by construction above — skip renormalizing.
+    val merged = run(quotient, "csrc", "cdst", maxPeels, maxIterations,
+      edgesClean = true)
     val remap = Staging.stage(
       merged.filter(col("id") =!= col("scc"))
         .select(col("id").as("oldc"), col("scc").as("newc")),
@@ -251,9 +253,10 @@ object Scc {
     */
   def decremental(standing: DataFrame, corpusEdges: DataFrame,
       deletedEdges: DataFrame, srcCol: String, dstCol: String,
-      maxPeels: Int = 50, maxIterations: Int = 50): DataFrame = {
+      maxPeels: Int = 50, maxIterations: Int = 50,
+      edgesClean: Boolean = false): DataFrame = {
     val (del, _, _, labels) = decrementalParts(standing, corpusEdges,
-      deletedEdges, srcCol, dstCol, maxPeels, maxIterations)
+      deletedEdges, srcCol, dstCol, maxPeels, maxIterations, edgesClean)
     // here del IS fully absorbed (run()'s eager edge staging) — the
     // labels-only path never re-reads the anti-join
     Staging.release(del)
@@ -266,7 +269,8 @@ object Scc {
     * deletions], labels' [lazy]). */
   private def decrementalParts(standing: DataFrame,
       corpusEdges: DataFrame, deletedEdges: DataFrame, srcCol: String,
-      dstCol: String, maxPeels: Int, maxIterations: Int)
+      dstCol: String, maxPeels: Int, maxIterations: Int,
+      edgesClean: Boolean)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val del = Staging.stage(
       deletedEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -299,7 +303,10 @@ object Scc {
       .filter(col("c1") === col("c2"))
       .join(broadcast(touched), col("c1") === col("tc"))
       .select(col("src"), col("dst"))
-    val rebuilt = run(induced, "src", "dst", maxPeels, maxIterations)
+    // induced inherits the corpus leaf's cleanliness: the anti-join
+    // and the one-row-per-node mapping probes cannot mint duplicates
+    val rebuilt = run(induced, "src", "dst", maxPeels, maxIterations,
+      edgesClean)
     val untouched = standing
       .join(broadcast(touched), col("scc") === col("tc"), "left_anti")
       .select(col("id"), col("scc"))
@@ -356,11 +363,12 @@ object Scc {
     */
   def decrementalState(standing: DataFrame, condSup: DataFrame,
       corpusEdges: DataFrame, deletedEdges: DataFrame, srcCol: String,
-      dstCol: String, maxPeels: Int = 50, maxIterations: Int = 50)
+      dstCol: String, maxPeels: Int = 50, maxIterations: Int = 50,
+      edgesClean: Boolean = false)
       : (DataFrame, DataFrame) = {
     val (_, touched, kept, labels0) = decrementalParts(standing,
       corpusEdges, deletedEdges, srcCol, dstCol, maxPeels,
-      maxIterations)
+      maxIterations, edgesClean)
     // probed twice below (src and dst sides) — stage once, count the
     // already-materialized blocks (cheap) and carry the stats so the
     // corpus-sized kept pass probes it as a broadcast, not a shuffle
@@ -418,19 +426,28 @@ object Scc {
   /** @param edges directed edges (src → dst), duplicates tolerated
     * @param maxPeels peel-round bound: ≤ #SCCs needed, condensation
     *                 depth in practice; O(n) on adversarial path DAGs
+    * @param edgesClean caller GUARANTEES `edges` is already distinct
+    *                   with no self-loops — skips the normalization
+    *                   shuffle before staging (the trade-graph callers
+    *                   derive edges from a groupBy with structurally
+    *                   disjoint src/dst encodings, so the distinct was
+    *                   a pure extra corpus exchange)
     * @return (id, scc) for every node appearing as src or dst; scc =
     *         the minimum node id of the component
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      maxPeels: Int = 50, maxIterations: Int = 50): DataFrame = {
+      maxPeels: Int = 50, maxIterations: Int = 50,
+      edgesClean: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     def now() = System.nanoTime()
     def secs(t0: Long) = f"${(now() - t0) / 1e9}%.2f"
 
     val tEdges = now()
+    val renamed = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = Staging.stage(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct(),
+      if (edgesClean) renamed
+      else renamed.filter(col("src") =!= col("dst")).distinct(),
       eager = true)
     var active = Staging.stage(
       e.select(col("src").as("id"))

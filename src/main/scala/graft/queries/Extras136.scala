@@ -196,7 +196,10 @@ object Extras136 {
       import spark.implicits._
       val tt = Tables(spark, dir)
       val e = tradeFlowEdges(tt.orders, tt.lineitem)
-      val res = Scc.run(e, "src", "dst")
+      // trade edges are distinct with no self-loops by construction
+      // (groupBy-derived pairs; src/dst parity differs within each
+      // branch and across branches) — skip run()'s renormalization
+      val res = Scc.run(e, "src", "dst", edgesClean = true)
       sccOut(res)
     }
   )

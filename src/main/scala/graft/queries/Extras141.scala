@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
-import graft.operators.Scc
+import graft.operators.{Scc, Staging}
 import graft.sources.Tables
 
 /** Hundred-forty-first coverage wave: incremental SCC maintenance —
@@ -39,11 +40,29 @@ object Extras141 {
     Qry("q357_incremental_scc", Extras136.SccOracle) { (spark, dir) =>
       import spark.implicits._
       val tt = Tables(spark, dir)
-      val corpus = Extras136.tradeFlowEdges(
-        tt.orders.filter($"o_orderkey" % 10 =!= 0), tt.lineitem)
-      val delta = Extras136.tradeFlowEdges(
-        tt.orders.filter($"o_orderkey" % 10 === 0), tt.lineitem)
-      val standing = Scc.run(corpus, "src", "dst")
+      // ONE orders⋈lineitem pass builds both slices: grouping by
+      // (c, s, isDelta) then slicing on the flag produces exactly the
+      // per-slice (c, s, max-ret) pairs the two separate
+      // tradeFlowEdges calls produced — which, with the condensation
+      // pass below also re-reading `corpus`, re-executed the corpus
+      // join+groupBy pipeline three times. Staged once; every
+      // consumer reads the staged pair table.
+      val b = Staging.stage(
+        tt.orders
+          .join(tt.lineitem, $"o_orderkey" === $"l_orderkey")
+          .groupBy($"o_custkey".cast(LongType).as("c"),
+            $"l_suppkey".cast(LongType).as("s"),
+            ($"o_orderkey" % 10 === 0).as("isDelta"))
+          .agg(max(when($"l_returnflag" === "R", 1).otherwise(0))
+            .as("ret")),
+        eager = true)
+      def edgesOf(slice: org.apache.spark.sql.DataFrame) =
+        slice.select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"))
+          .unionByName(slice.filter($"ret" === 1)
+            .select(($"s" * 2 + 1).as("src"), ($"c" * 2).as("dst")))
+      val corpus = edgesOf(b.filter(!$"isDelta"))
+      val delta = edgesOf(b.filter($"isDelta"))
+      val standing = Scc.run(corpus, "src", "dst", edgesClean = true)
       val condE = Scc.condensationEdges(corpus, standing, "src", "dst")
       val (labels, _) =
         Scc.incremental(standing, condE, delta, "src", "dst")

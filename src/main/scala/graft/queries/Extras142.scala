@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Exact.{dsum, dsumSql}
-import graft.operators.{DagLevels, Scc}
+import graft.operators.{DagLevels, Scc, Staging}
 import graft.sources.Tables
 
 /** Hundred-forty-second coverage wave: the condensation's causal
@@ -99,8 +99,11 @@ object Extras142 {
       }) { (spark, dir) =>
       import spark.implicits._
       val tt = Tables(spark, dir)
-      val e = Extras136.tradeFlowEdges(tt.orders, tt.lineitem)
-      val labels = Scc.run(e, "src", "dst")
+      // staged once: the SCC run and the condensation pass both read
+      // the edge leaf — unstaged, the corpus join+groupBy ran twice
+      val e = Staging.stage(
+        Extras136.tradeFlowEdges(tt.orders, tt.lineitem), eager = true)
+      val labels = Scc.run(e, "src", "dst", edgesClean = true)
       val cond = Scc.condensationEdges(e, labels, "src", "dst")
       val sz = labels.groupBy($"scc")
         .agg(count(lit(1)).cast(LongType).as("csize"))

@@ -127,13 +127,13 @@ object Extras144 {
       val tt = Tables(spark, dir)
       val eAll = Staging.stage(
         Extras136.tradeFlowEdges(tt.orders, tt.lineitem), eager = true)
-      val standing = Scc.run(eAll, "src", "dst")
+      val standing = Scc.run(eAll, "src", "dst", edgesClean = true)
       val deleted = eAll.filter($"src" % 2 === 1 &&
         TextOps.hashMod(concat(lit("sccdel:"),
           expr("src DIV 2").cast("string")))
           < lit(TextOps.P / DelFrac))
       val labels = Scc.decremental(standing, eAll, deleted,
-        "src", "dst")
+        "src", "dst", edgesClean = true)
       val out = Extras136.sccOut(labels)
       Staging.release(eAll)
       out
@@ -218,7 +218,7 @@ object Extras144 {
       val tt = Tables(spark, dir)
       val eAll = Staging.stage(
         Extras136.tradeFlowEdges(tt.orders, tt.lineitem), eager = true)
-      val standing = Scc.run(eAll, "src", "dst")
+      val standing = Scc.run(eAll, "src", "dst", edgesClean = true)
       val condSup = Staging.stage(
         Scc.condensationSupport(eAll, standing, "src", "dst"),
         eager = true)
@@ -227,7 +227,7 @@ object Extras144 {
           expr("src DIV 2").cast("string")))
           < lit(TextOps.P / DelFrac))
       val (_, cond) = Scc.decrementalState(standing, condSup, eAll,
-        deleted, "src", "dst")
+        deleted, "src", "dst", edgesClean = true)
       cond.select(($"csrc" % 2).as("a_kind"),
         expr("csrc DIV 2").as("a_key"),
         ($"cdst" % 2).as("b_kind"), expr("cdst DIV 2").as("b_key"),
@@ -252,14 +252,14 @@ object Extras144 {
         < lit(TextOps.P / 6L)) && !delPred
       val corpus0 = eAll.filter(!insPred)
       val ins = eAll.filter(insPred)
-      val standing = Scc.run(corpus0, "src", "dst")
+      val standing = Scc.run(corpus0, "src", "dst", edgesClean = true)
       val condSup0 = Staging.stage(
         Scc.condensationSupport(corpus0, standing, "src", "dst"),
         eager = true)
       val del = corpus0.filter(delPred)
       // epoch step 1: deletions, with the arc state maintained —
       val (lab1, cond1) = Scc.decrementalState(standing, condSup0,
-        corpus0, del, "src", "dst")
+        corpus0, del, "src", "dst", edgesClean = true)
       val cond1s = Staging.stage(cond1, eager = true)
       // — step 2: the MAINTAINED pair feeds the insert-side
       // incremental directly (the handoff q367's state exists for)
