@@ -18,11 +18,16 @@ object Explain {
     try spark.read.parquet(s"$sfDir/region.parquet")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // SPARK_GRAFT_PLAN_ONLY=1 skips the timed runs — plan dumps for a
+    // dozen heavy queries would otherwise execute each 3x (two timed
+    // runs + the rows= count)
+    val planOnly = sys.env.getOrElse("SPARK_GRAFT_PLAN_ONLY", "0") == "1"
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       println(s"==== $name ====")
       fn(spark, sfDir).explain("formatted")
-      (1 to 2).foreach { i =>
+      graft.operators.Staging.sweep(spark)
+      (1 to (if (planOnly) 0 else 2)).foreach { i =>
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         // noop sink like Bench: count() would let Catalyst prune the

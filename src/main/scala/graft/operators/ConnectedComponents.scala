@@ -26,9 +26,12 @@ import org.apache.spark.sql.types.DecimalType
   * the convergence aggregate's action materializes its blocks while
   * computing the sum (eager staging ran two jobs per round, and on small
   * graphs per-round job cost dominates the data cost). The label loop
-  * also narrows `spark.sql.shuffle.partitions` to 8 (restored on exit):
-  * labels are one row per node — a sliver next to the edge pipeline —
-  * and wide shuffles pay pure task-scheduling overhead per round. The
+  * also narrows `spark.sql.shuffle.partitions` to a width derived from
+  * the staged edge leaf's measured bytes ([[Staging.loopShufflePartitions]],
+  * restored on exit): labels are one row per node — a sliver next to
+  * the edge pipeline — and wide shuffles pay pure task-scheduling
+  * overhead per round at fixture scale, while a fixed narrow width
+  * would cap the per-round edge aggregate's reducers at 100 TB. The
   * driver holds only a per-round label-sum (convergence metric), never
   * data.
   *
@@ -78,15 +81,20 @@ object ConnectedComponents {
     // pipeline: one row per document, a few MB even when the corpus is
     // TBs). At the session's 32 shuffle partitions every round pays
     // 32-task scheduling per exchange for slivers of data — measured as
-    // the dominant q74 cost on the driver (round-4 VERDICT #2). 8 keeps
-    // the loop parallel while quartering per-round fixed cost; AQE may
-    // coalesce further. Scoped to the loop and restored — the caller's
-    // downstream plan keeps the session default. On a real cluster the
-    // label table is still dwarfed by executor count × a few partitions,
-    // and the conf would be sized to state volume.
+    // the dominant q74 cost on the driver (round-4 VERDICT #2). The
+    // width is derived from the staged edge leaf's measured size
+    // (floor 8 at fixture scale — the r4-measured sweet spot; grows
+    // linearly with the data at 100x), scoped to the loop and restored
+    // — the caller's downstream plan keeps the session default. AQE may
+    // coalesce further below the chosen width.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // width derived from the staged edge leaf's measured bytes, not a
+      // constant: the per-round neighbor join/aggregate is edge-sized,
+      // and 8 reducers at 100 TB would be the one local-mode assumption
+      // left in the loop (r14 verdict #1; guide §2.1/§2.2)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Staging.loopShufflePartitions(spark, sym).toString)
       // coalesce: sum over an EMPTY label set (no edges) is NULL, and the
       // convergence compare must still terminate
       val sumCol = coalesce(sum(col("component").cast(DecimalType(38, 0))),

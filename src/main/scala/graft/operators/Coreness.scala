@@ -84,7 +84,9 @@ object Coreness {
 
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // data-proportional loop width (see Staging.loopShufflePartitions)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Staging.loopShufflePartitions(spark, e).toString)
       val sumCol = coalesce(sum(col("v").cast(DecimalType(38, 0))),
         lit(0).cast(DecimalType(38, 0)))
       // v0 = degree (every node in a symmetrized edge list appears as
@@ -98,15 +100,26 @@ object Coreness {
       var i = 0
       while (!converged && i < maxIterations) {
         val tRound = now()
-        // H-index of the neighbor multiset: rank neighbor values
-        // descending; h = max(min(rank, value)). Ties in value are
-        // rank-order-insensitive (equal values give equal min terms).
+        // H-index of the neighbor multiset, over the per-node VALUE
+        // HISTOGRAM instead of the raw neighbor list: for ranks
+        // a..cum of a distinct value v (descending order), max over
+        // the group of min(rank, v) is min(cum, v) — so
+        // h = max over distinct values of min(cumcount, v),
+        // bit-identical to ranking every neighbor row. The first
+        // aggregate partial-aggregates map-side, so the window's
+        // exchange and sort carry one row per (node, DISTINCT value)
+        // — values contract toward small cores as rounds proceed —
+        // instead of one row per neighbor (guide §2.3). Values are
+        // distinct per node after the groupBy, so the ordered
+        // window's RANGE frame equals ROWS.
         val next = Staging.stageWithStats(
           e.join(vals, col("dst") === col("id"))
             .select(col("src").as("node"), col("v").as("nv"))
-            .withColumn("rn", row_number().over(wDesc))
+            .groupBy(col("node"), col("nv"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("cum", sum(col("cnt")).over(wDesc))
             .groupBy(col("node").as("id"))
-            .agg(max(least(col("rn"), col("nv"))).as("v")),
+            .agg(max(least(col("cum"), col("nv"))).as("v")),
           n, eager = false)
         val s = next.agg(sumCol).head().getDecimal(0)
         Staging.release(vals)

@@ -44,7 +44,9 @@ object DagLevels {
     val n = nodes.count()
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // data-proportional loop width (see Staging.loopShufflePartitions)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Staging.loopShufflePartitions(spark, e).toString)
       val sumCol = coalesce(sum(col("lvl").cast(DecimalType(38, 0))),
         lit(0).cast(DecimalType(38, 0)))
       var d = Staging.stageWithStats(

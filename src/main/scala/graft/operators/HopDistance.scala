@@ -65,7 +65,9 @@ object HopDistance {
 
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // data-proportional loop width (see Staging.loopShufflePartitions)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Staging.loopShufflePartitions(spark, e).toString)
       // settle metric: sum of coalesce(dist, n+1) — monotone decreasing
       // to the fixed point; n+1 exceeds any reachable distance
       val sumCol = coalesce(
@@ -170,7 +172,9 @@ object HopDistance {
       .select(col("id"), lit(null).cast("long").as("dist"))
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // data-proportional loop width (see Staging.loopShufflePartitions)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Staging.loopShufflePartitions(spark, e, de).toString)
       // one staged frame per round: (id, dist, imp) — imp marks the
       // frontier (rows improved last round); a single count() action
       // materializes the round AND sizes the frontier. Seeds (when

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous weighted label propagation (LPA) for a FIXED number of
@@ -87,12 +86,12 @@ object LabelProp {
 
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // data-proportional loop width (see Staging.loopShufflePartitions)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Staging.loopShufflePartitions(spark, e).toString)
       var labels = Staging.stageWithStats(
         nodes.withColumn("label", col("id")), n, eager = false)
       labels.count()
-      val wBest = Window.partitionBy(col("dst"))
-        .orderBy(col("f").desc, col("label"))
       var i = 0
       while (i < rounds) {
         val tRound = now()
@@ -105,11 +104,19 @@ object LabelProp {
             .join(labels, col("sid") === col("id"))
             .select(col("sid").as("dst"), col("label"),
               col("mw").as("w")))
+        // winner = (max total vote, ties smallest label): the
+        // lexicographic struct-min over (-f, label) IS that ordering —
+        // bit-identical to the previous per-dst row_number window, but
+        // both aggregation levels partial-aggregate map-side and
+        // nothing sorts (guide §2.3; the KMeans.assignDist device).
+        // Vote sums are positive longs, so the negation cannot
+        // overflow.
         val best = votes.groupBy(col("dst"), col("label"))
           .agg(sum(col("w")).as("f"))
-          .withColumn("rn", row_number().over(wBest))
-          .filter(col("rn") === 1)
-          .select(col("dst"), col("label").as("nl"))
+          .groupBy(col("dst"))
+          .agg(min(struct((-col("f")).as("nf"), col("label").as("l")))
+            .as("__m"))
+          .select(col("dst"), col("__m.l").as("nl"))
         val next = Staging.stageWithStats(
           labels.join(best, col("id") === col("dst"), "left_outer")
             .select(col("id"),

@@ -98,7 +98,12 @@ object PageRank {
 
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // width from the staged edge+strength frame's measured bytes: the
+      // per-round contribution aggregate's map side is edge-sized, and
+      // its reducer count must scale with the graph, not sit at a
+      // local-mode constant (r14 verdict #1; guide §2.1/§2.2)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Staging.loopShufflePartitions(spark, ew).toString)
       val base = (100L - dampingPct) * Ppm / 100L
       // the dangling flag rides the rank table so each round's single
       // convergence action can ALSO return the next round's dangling
@@ -231,7 +236,9 @@ object PageRank {
       eager = true)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // data-proportional loop width (see Staging.loopShufflePartitions)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Staging.loopShufflePartitions(spark, ew).toString)
       val teleport = (100L - dampingPct) * n * Ppm / (100L * sCnt)
       // dangling flag rides the rank table (run()'s device): the
       // per-round materializing count doubles as the dangling-mass

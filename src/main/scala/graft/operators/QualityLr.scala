@@ -65,32 +65,65 @@ object QualityLr {
   }
 
   /** Train on a staged feature leaf; returns the B-row (b, w) weight
-    * frame (w in ppm, DECIMAL(38,0)), staged — caller releases. */
+    * frame (w in ppm, DECIMAL(38,0)), staged — caller releases.
+    *
+    * The loop runs over a PER-DOC feature-array table built once from
+    * the exploded leaf (one (doc_id, y, [(b, x)…]) row per document):
+    * the old shape re-joined the exploded leaf TWICE per round (score
+    * aggregate by doc — a doc-grain exchange — then residual join +
+    * gradient aggregate by bucket), 16 corpus passes across 8 rounds;
+    * now each round is ONE pass over the compact array table — the
+    * per-doc score folds in-row over the array against the broadcast
+    * weight vector (no join, no doc-grain exchange), and only the
+    * gradient's (b, r·x) contributions explode into a partial-
+    * aggregated B-row exchange (guide §2.3/§2.4). The doc count falls
+    * out of the same staging (row count of the array table) instead of
+    * a separate countDistinct corpus pass.
+    *
+    * Bit-exactness (the unrolled q350/q362/q363 oracles replay every
+    * round): z = Σ_b w·x, r and g are the SAME integer quantities —
+    * the fold computes them in LONG, which cannot overflow
+    * (|x| ≤ 10⁶, Σ_b x ≤ 10⁶ per doc, |w| ≤ eta·rounds·10⁶ ⇒
+    * |Σ w·x| ≤ ~5·10¹⁴; |r| ≤ 10⁶ ⇒ |r·x| ≤ 10¹²) — and the
+    * cross-doc gradient sum goes back through DECIMAL(38,0) (doc
+    * counts are unbounded at 100 TB). Integer sums are
+    * order-insensitive, truncating DIV matches on long and decimal,
+    * so the trained weights are bit-identical to the two-pass form. */
   def train(feat: DataFrame, eta: Long = Eta,
       rounds: Int = Rounds, b: Int = B): DataFrame = {
     val spark = feat.sparkSession
     import spark.implicits._
-    // the doc count is a training CONSTANT: collect it once instead of
-    // re-deriving it inside every round's weight update (the old
-    // crossJoin(broadcast(nd)) re-executed the countDistinct corpus
-    // pass on each of the 8 rounds' eager stagings). Embedded back as
-    // a DECIMAL(38,0) literal so the update expression tree — and the
-    // unrolled oracle's replay of it — is unchanged.
-    val nDocs = feat.agg(countDistinct($"doc_id")).head().getLong(0)
+    val docFeat = Staging.stage(
+      feat.groupBy($"doc_id", $"y".cast("long").as("y"))
+        .agg(collect_list(struct($"b".cast("long").as("b"),
+          $"x".cast("long").as("x"))).as("fs")),
+      eager = true)
+    val nDocs = docFeat.count()
     var w = Staging.stage(
       spark.range(b).select($"id".as("b"),
         lit(0).cast(DecimalType(38, 0)).as("w")),
       eager = true)
     for (_ <- 1 to rounds) {
-      val z = feat.join(broadcast(w), "b")
-        .groupBy($"doc_id", $"y")
-        .agg(expr("CAST(SUM(w * x) DIV 1000000 AS DECIMAL(38,0))")
-          .as("z"))
-      val resid = z.select($"doc_id",
-        (least(greatest(lit(500000).cast(DecimalType(38, 0)) +
-          expr("z DIV 4"), lit(0)), lit(1000000)) - $"y").as("r"))
-      val g = feat.join(resid, "doc_id")
-        .groupBy($"b").agg(sum($"r" * $"x").as("g"))
+      // the weight vector as ONE array row (b ascending — every b in
+      // 0..B-1 is present by construction), broadcast under the doc
+      // rows; |w| always fits a long (bound above)
+      val warr = w.agg(transform(
+        sort_array(collect_list(struct($"b", $"w".cast("long").as("w")))),
+        s => s.getField("w")).as("warr"))
+      // one in-row fold per doc: z = Σ w·x DIV 1e6, then the hard-
+      // sigmoid residual — same integer values as the old per-round
+      // score join + doc-grain aggregate
+      val resid = docFeat.crossJoin(broadcast(warr))
+        .select($"fs",
+          expr("least(greatest(500000L + " +
+            "(aggregate(fs, 0L, (acc, f) -> " +
+            "acc + element_at(warr, CAST(f.b AS INT) + 1) * f.x) " +
+            "DIV 1000000L) DIV 4L, 0L), 1000000L) - y").as("r"))
+      val g = resid
+        .select($"r", explode($"fs").as("f"))
+        .select($"f.b".as("b"),
+          ($"r" * $"f.x").cast(DecimalType(38, 0)).as("rx"))
+        .groupBy($"b").agg(sum($"rx").as("g"))
       val wNext = Staging.stage(
         w.join(g, Seq("b"), "left_outer")
           .select($"b",
@@ -101,6 +134,7 @@ object QualityLr {
       Staging.release(w)
       w = wNext
     }
+    Staging.release(docFeat)
     w
   }
 

@@ -66,20 +66,25 @@ object Scc {
     * Convergence is the joint monotone sum: f and b only ever
     * decrease, so sum(f) + sum(b) (DECIMAL(38,0)) is strictly
     * decreasing until BOTH sides are fixed. `er` must already be
-    * restricted to the node set. Returns (id, f, b), staged lazily —
-    * caller releases. */
+    * restricted to the node set. Returns ((id, f, b) staged lazily —
+    * caller releases — and the number of ASSIGNED nodes (f = b) in the
+    * converged table, which rides the SAME per-round convergence
+    * action so the peel loop needs no separate count job). */
   private def minReachBoth(er: DataFrame, nodes: DataFrame,
-      nodeCount: Long, maxIterations: Int): DataFrame = {
+      nodeCount: Long, maxIterations: Int): (DataFrame, Long) = {
     val dec = DecimalType(38, 0)
     val sumCol = coalesce(
       sum(col("f").cast(dec)) + sum(col("b").cast(dec)),
       lit(0).cast(dec))
+    val doneCol = coalesce(
+      sum(when(col("f") === col("b"), 1L).otherwise(0L)), lit(0L))
     val idType = nodes.schema("id").dataType
     def nullId = lit(null).cast(idType)
     var labels = Staging.stageWithStats(
       nodes.select(col("id"), col("id").as("f"), col("id").as("b")),
       nodeCount, eager = false)
     var prevSum = labels.agg(sumCol).head().getDecimal(0)
+    var doneCnt = 0L
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -105,7 +110,11 @@ object Scc {
         candidates.groupBy(col("id"))
           .agg(min(col("f")).as("f"), min(col("b")).as("b")),
         nodeCount, eager = false)
-      val s = next.agg(sumCol).head().getDecimal(0)
+      // ONE action: materializes the round, returns the convergence
+      // sum AND the assigned count (free — same aggregate job)
+      val row = next.agg(sumCol, doneCol).head()
+      val s = row.getDecimal(0)
+      doneCnt = row.getLong(1)
       Staging.release(labels)
       labels = next
       converged = s.compareTo(prevSum) == 0
@@ -117,7 +126,7 @@ object Scc {
       throw new IllegalStateException(
         s"directed min-label did not converge within $maxIterations " +
           "rounds; raise maxIterations (reachability depth exceeds it)")
-    labels
+    (labels, doneCnt)
   }
 
   /** Condensation edge list for a labeled graph: one arc per pair of
@@ -255,44 +264,71 @@ object Scc {
       deletedEdges: DataFrame, srcCol: String, dstCol: String,
       maxPeels: Int = 50, maxIterations: Int = 50,
       edgesClean: Boolean = false): DataFrame = {
-    val (del, _, _, labels) = decrementalParts(standing, corpusEdges,
-      deletedEdges, srcCol, dstCol, maxPeels, maxIterations, edgesClean)
+    val (del, _, _, _, labelsT) = decrementalParts(standing,
+      corpusEdges, deletedEdges, srcCol, dstCol, maxPeels,
+      maxIterations, edgesClean, forState = false)
     // here del IS fully absorbed (run()'s eager edge staging) — the
     // labels-only path never re-reads the anti-join
     Staging.release(del)
-    labels
+    labelsT.select(col("id"), col("scc"))
   }
 
   /** Shared internals of [[decremental]]/[[decrementalState]]:
-    * (deletions [staged — caller owns the release], touched
-    * components [staged], surviving edges [lazy — references the
-    * deletions], labels' [lazy]). */
+    * (deletions [staged — caller owns the release], deletion quotient
+    * under the OLD labels [state path only, else null — the same
+    * staged (src, dst, cs, cd) probe that resolves `touched`, so the
+    * state path's support decrement re-probes nothing], touched
+    * components [staged], surviving edges [staged on the state path —
+    * it is read twice there; lazy otherwise], labels' WITH a
+    * touched-flag column [lazy: (id, scc, tflag) — tflag marks rows of
+    * rebuilt components, exactly the mapping the state path's
+    * re-quotient pass needs, so it no longer re-probes standing]).
+    * Staged frames referenced by the returned lazy plans stay pinned
+    * until the caller's Staging.sweep (the Staging object doc's
+    * ownership convention). */
   private def decrementalParts(standing: DataFrame,
       corpusEdges: DataFrame, deletedEdges: DataFrame, srcCol: String,
       dstCol: String, maxPeels: Int, maxIterations: Int,
-      edgesClean: Boolean)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      edgesClean: Boolean, forState: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val del = Staging.stage(
       deletedEdges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
         .filter(col("src") =!= col("dst")).distinct(),
       eager = true)
     // only an INTRA-component arc can sit on a cycle → only those
     // deletions can split; endpoints resolve through one broadcast
-    // probe of the standing scan
+    // probe of the standing scan. The state path stages the labeled
+    // deltas ONCE: touched (intra-component) and the support-decrement
+    // quotient (cross-component) are two filters of the same probe —
+    // previously two separate double-probes of standing.
+    val delLabPlan = del
+      .join(standing.select(col("id").as("__s"), col("scc").as("cs")),
+        col("src") === col("__s"))
+      .join(standing.select(col("id").as("__d"), col("scc").as("cd")),
+        col("dst") === col("__d"))
+      .select(col("src"), col("dst"), col("cs"), col("cd"))
+    val delLab =
+      if (forState) Staging.stage(delLabPlan, eager = true)
+      else delLabPlan
+    val delQ =
+      if (forState)
+        delLab.filter(col("cs") =!= col("cd"))
+          .groupBy(col("cs").as("qa"), col("cd").as("qb"))
+          .agg(count(lit(1)).as("qcnt"))
+      else null
     val touched = Staging.stage(
-      del
-        .join(standing.select(col("id").as("__s"), col("scc").as("cs")),
-          col("src") === col("__s"))
-        .join(standing.select(col("id").as("__d"), col("scc").as("cd")),
-          col("dst") === col("__d"))
-        .filter(col("cs") === col("cd"))
+      delLab.filter(col("cs") === col("cd"))
         .select(col("cs").as("tc")).distinct(),
       eager = true)
-    val kept = corpusEdges
+    val kept0 = corpusEdges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .join(del.select(col("src").as("__ds"), col("dst").as("__dd")),
         col("src") === col("__ds") && col("dst") === col("__dd"),
         "left_anti")
+    // the state path reads the surviving leaf TWICE (induced subgraph
+    // + the incident-arc re-quotient) — stage it once there; the
+    // labels-only path reads it once and skips the copy
+    val kept = if (forState) Staging.stage(kept0, eager = true) else kept0
     // induced surviving subgraph: both endpoints in the SAME touched
     // component (cross-component survivors cannot affect membership)
     val induced = kept
@@ -307,20 +343,21 @@ object Scc {
     // and the one-row-per-node mapping probes cannot mint duplicates
     val rebuilt = run(induced, "src", "dst", maxPeels, maxIterations,
       edgesClean)
+    // tflag marks rebuilt-component membership: exactly the standing ⋈
+    // touched split already computed here, carried through so the
+    // state path's re-quotient needs no separate (id → new scc,
+    // touched?) probe of standing
     val untouched = standing
       .join(broadcast(touched), col("scc") === col("tc"), "left_anti")
-      .select(col("id"), col("scc"))
+      .select(col("id"), col("scc"), lit(false).as("tflag"))
     val spliced = standing
       .join(broadcast(touched), col("scc") === col("tc"))
       .select(col("id"))
       .join(rebuilt.select(col("id").as("__r"), col("scc").as("newscc")),
         col("id") === col("__r"), "left_outer")
-      .select(col("id"), coalesce(col("newscc"), col("id")).as("scc"))
-    // touched stays live (the returned lazy plans reference it) — the
-    // caller's sweep owns it (CC.decremental's discipline); del's
-    // release is the caller's call: the labels-only path absorbs it,
-    // the state path's surviving-edge pass still reads it
-    (del, touched, kept, untouched.unionByName(spliced))
+      .select(col("id"), coalesce(col("newscc"), col("id")).as("scc"),
+        lit(true).as("tflag"))
+    (del, delQ, touched, kept, untouched.unionByName(spliced))
   }
 
   /** Support-counted condensation arcs — the standing state a
@@ -366,55 +403,47 @@ object Scc {
       dstCol: String, maxPeels: Int = 50, maxIterations: Int = 50,
       edgesClean: Boolean = false)
       : (DataFrame, DataFrame) = {
-    val (_, touched, kept, labels0) = decrementalParts(standing,
+    val (del, delQ, touched, kept, labelsT) = decrementalParts(standing,
       corpusEdges, deletedEdges, srcCol, dstCol, maxPeels,
-      maxIterations, edgesClean)
-    // probed twice below (src and dst sides) — stage once, count the
-    // already-materialized blocks (cheap) and carry the stats so the
-    // corpus-sized kept pass probes it as a broadcast, not a shuffle
-    val labelsStaged = Staging.stage(labels0, eager = true)
-    val labels = org.apache.spark.sql.GraftSqlBridge.withKnownStats(
+      maxIterations, edgesClean, forState = true)
+    // the state path staged both del-derived frames (delLab, kept), so
+    // the raw deletion frame is fully absorbed — release it now
+    Staging.release(del)
+    // the spliced labels carry their touched-flag ((id, scc, tflag)) —
+    // staged ONCE, they are simultaneously the returned labels and the
+    // (node → new scc, touched?) mapping the re-quotient pass probes:
+    // the old shape staged a second standing ⋈ labels ⋈ touched
+    // mapping (one more staging job + two more standing probes). The
+    // count reads already-materialized blocks (cheap) and carries the
+    // stats so the corpus-sized kept pass probes it as a broadcast,
+    // not a shuffle; blocks stay pinned for the returned lazy arc plan
+    // until the caller's Staging.sweep.
+    val labelsStaged = Staging.stage(labelsT, eager = true)
+    val labStats = org.apache.spark.sql.GraftSqlBridge.withKnownStats(
       labelsStaged, labelsStaged.count())
-    // quotient of the deletions under the OLD labels: the support
-    // decrement for arcs whose endpoints' membership did not change
-    val del = deletedEdges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-    val delQ = del
-      .join(standing.select(col("id").as("__qs"), col("scc").as("qa")),
-        col("src") === col("__qs"))
-      .join(standing.select(col("id").as("__qd"), col("scc").as("qb")),
-        col("dst") === col("__qd"))
-      .filter(col("qa") =!= col("qb"))
-      .groupBy(col("qa"), col("qb")).agg(count(lit(1)).as("qcnt"))
+    val labels = labStats.select(col("id"), col("scc"))
+    // support decrement for arcs between UNTOUCHED components, from
+    // the deletion quotient decrementalParts already staged (delQ is
+    // deletion-bounded — it rides a broadcast, the convention for
+    // every delta-sized frame here)
     val untouchedArcs = condSup
       .join(broadcast(touched.select(col("tc").as("__t1"))),
         col("csrc") === col("__t1"), "left_anti")
       .join(broadcast(touched.select(col("tc").as("__t2"))),
         col("cdst") === col("__t2"), "left_anti")
-      .join(delQ, col("csrc") === col("qa") && col("cdst") === col("qb"),
+      .join(broadcast(delQ),
+        col("csrc") === col("qa") && col("cdst") === col("qb"),
         "left_outer")
       .select(col("csrc"), col("cdst"),
         (col("support") - coalesce(col("qcnt"), lit(0L))).as("support"))
       .filter(col("support") > 0)
     // surviving edges owning a touched endpoint, re-quotiented under
-    // the new labels — ONE pass over the kept leaf: a combined
-    // (node → old scc, new scc, touched?) mapping attaches per
-    // endpoint, so the old four label joins (two old-label probes on
-    // kept, two new-label probes on the incident subset) collapse to
-    // two probes of one node-sized broadcast mapping
-    val m = standing
-      .join(labels.select(col("id").as("__ni"), col("scc").as("nscc")),
-        col("id") === col("__ni"))
-      .join(broadcast(touched), col("scc") === col("tc"), "left_outer")
-      .select(col("id"), col("nscc"), col("tc").isNotNull.as("tflag"))
-    val mStaged = Staging.stage(m, eager = true)
-    val mStats = org.apache.spark.sql.GraftSqlBridge.withKnownStats(
-      mStaged, mStaged.count())
+    // the new labels — ONE pass over the staged kept leaf, probing the
+    // stats-carried label mapping on each endpoint
     val recomputed = kept
-      .join(mStats.select(col("id").as("__ms"), col("nscc").as("ncs"),
+      .join(labStats.select(col("id").as("__ms"), col("scc").as("ncs"),
         col("tflag").as("__f1")), col("src") === col("__ms"))
-      .join(mStats.select(col("id").as("__md"), col("nscc").as("ncd"),
+      .join(labStats.select(col("id").as("__md"), col("scc").as("ncd"),
         col("tflag").as("__f2")), col("dst") === col("__md"))
       .filter(col("__f1") || col("__f2"))
       .filter(col("ncs") =!= col("ncd"))
@@ -431,7 +460,15 @@ object Scc {
     *                   shuffle before staging (the trade-graph callers
     *                   derive edges from a groupBy with structurally
     *                   disjoint src/dst encodings, so the distinct was
-    *                   a pure extra corpus exchange)
+    *                   a pure extra corpus exchange). A VIOLATED
+    *                   guarantee costs performance, never correctness:
+    *                   duplicates and self-loops are no-ops for the
+    *                   min-label fixpoint (min over a repeated
+    *                   candidate is the candidate; a self-loop adds
+    *                   the node's own label, already a candidate) —
+    *                   they only bloat the staged edge leaf and defeat
+    *                   the peel-0 restriction skip, so treat the flag
+    *                   as a perf contract, not a correctness hazard
     * @return (id, scc) for every node appearing as src or dst; scc =
     *         the minimum node id of the component
     */
@@ -458,12 +495,19 @@ object Scc {
 
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      // assignments accumulate across peels; staged each peel so the
-      // union chain never re-executes earlier peels
-      var assigned = Staging.stage(
-        active.filter(lit(false)).select(col("id"), col("id").as("scc")),
-        eager = true)
+      // data-proportional loop width (see Staging.loopShufflePartitions)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        Staging.loopShufflePartitions(spark, e).toString)
+      // assignments accumulate across peels as FILTERS over each
+      // peel's staged fused label table — no per-peel staging job, no
+      // per-peel count job (the assigned count rides minReachBoth's
+      // own convergence action), one final staging of the union. The
+      // fb tables stay pinned until that staging lands, then release.
+      val activeInit = active
+      var assignedParts = List(
+        active.filter(lit(false)).select(col("id"), col("id").as("scc")))
+      var fbFrames = List.empty[DataFrame]
+      var activeDf: DataFrame = active
       val totalN = activeN
       var peel = 0
       while (activeN > 0 && peel < maxPeels) {
@@ -475,39 +519,37 @@ object Scc {
         val er =
           if (peel == 0) e
           else Staging.stage(
-            e.join(active.select(col("id").as("__s")),
+            e.join(activeDf.select(col("id").as("__s")),
                 col("src") === col("__s"))
-              .join(active.select(col("id").as("__d")),
+              .join(activeDf.select(col("id").as("__d")),
                 col("dst") === col("__d"))
               .select(col("src"), col("dst")),
             eager = true)
         // both fixpoints in one loop; a node with f = b = m is in
         // SCC(m) — a filter on the fused label table, no join
-        val fb = minReachBoth(er, active, activeN, maxIterations)
-        val done = fb.filter(col("f") === col("b"))
-          .select(col("id"), col("f").as("scc"))
-        val nextAssigned = Staging.stage(
-          assigned.unionByName(done), eager = true)
-        val nextActive = Staging.stage(
-          fb.filter(col("f") =!= col("b")).select(col("id")),
-          eager = true)
-        val nextN = nextActive.count()
+        val (fb, doneCnt) = minReachBoth(er, activeDf, activeN,
+          maxIterations)
+        // fb is materialized (its last convergence action ran), so the
+        // induced edge leaf can release immediately
         if (!(er eq e)) Staging.release(er)
-        Staging.release(fb)
-        Staging.release(assigned); Staging.release(active)
-        assigned = nextAssigned
-        active = nextActive
+        fbFrames ::= fb
+        assignedParts ::= fb.filter(col("f") === col("b"))
+          .select(col("id"), col("f").as("scc"))
+        activeDf = fb.filter(col("f") =!= col("b")).select(col("id"))
         log.info(s"scc: peel ${peel + 1} ${secs(tPeel)}s " +
-          s"(assigned ${activeN - nextN}, remaining $nextN)")
-        activeN = nextN
+          s"(assigned $doneCnt, remaining ${activeN - doneCnt})")
+        activeN -= doneCnt
         peel += 1
       }
-      Staging.release(e); Staging.release(active)
       if (activeN > 0)
         throw new IllegalStateException(
           s"SCC did not finish within $maxPeels peel rounds " +
             s"($activeN nodes unassigned); raise maxPeels " +
             "(condensation depth exceeds it)")
+      val assigned = Staging.stage(
+        assignedParts.reduce(_ unionByName _), eager = true)
+      fbFrames.foreach(Staging.release)
+      Staging.release(e); Staging.release(activeInit)
       // carry the KNOWN row count (one label per node) so downstream
       // joins against the standing table get a real size estimate —
       // a bare staged LogicalRDD defaults to an unbounded one and

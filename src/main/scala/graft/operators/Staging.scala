@@ -71,6 +71,55 @@ object Staging {
     out
   }
 
+  /** Conf key: target bytes per shuffle partition inside an iterated
+    * loop's narrowed scope (default 64 MB — AQE's own advisory
+    * partition size). Production tuning knob; the LOCAL default keeps
+    * sf-fixture loops at the floor width, so bench numbers stay
+    * comparable across rounds. */
+  val LoopTargetBytesKey = "spark.graft.loop.targetPartitionBytes"
+
+  /** Floor for [[loopShufflePartitions]]: sliver loops never narrow
+    * below this (the r4-era measured sweet spot for label/rank tables
+    * on the local fixtures — task-scheduling overhead dominates below
+    * the floor's data volume anyway). */
+  val LoopMinPartitions = 8
+
+  /** DATA-PROPORTIONAL shuffle width for an iterated loop (guide
+    * §2.1/§2.2): the loops narrow `spark.sql.shuffle.partitions` for
+    * their per-round sliver exchanges, but a CONSTANT width is a
+    * local-mode assumption — the same loop's per-round edge-sized
+    * aggregates (PageRank's contribution groupBy, SCC/CC's neighbor
+    * joins) would fan into that constant number of reducers at 100 TB.
+    * Instead, size the width from the MEASURED bytes of the loop's
+    * staged data-heavy frames: the frames are already eagerly
+    * localCheckpointed, so their materialized block sizes are read
+    * driver-side from the block manager (no extra Spark job), divided
+    * by [[LoopTargetBytesKey]] and clamped to
+    * [[[LoopMinPartitions]], 65536]. At fixture scale every loop frame
+    * is far below one target block and the width sits at the floor
+    * (bit-identical bench behavior); at 100x/100 TB the width grows
+    * linearly with the staged bytes. AQE's partition coalescing still
+    * applies BELOW the chosen width, so overshooting costs nothing
+    * durable. Frames that are not staged leaves (or not yet
+    * materialized) contribute 0 bytes — callers pass the eagerly
+    * staged frames the loop actually re-joins every round. */
+  def loopShufflePartitions(spark: SparkSession,
+      staged: DataFrame*): Int = {
+    val target = spark.conf.getOption(LoopTargetBytesKey)
+      .map(_.toLong).getOrElse(64L * 1024 * 1024).max(1L)
+    // collect every staged leaf under the plan (projections/filters
+    // over a staged frame still see their leaf's bytes); dedup by RDD
+    // id so a self-joined leaf counts once
+    val ids = staged.flatMap(_.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }).toSet
+    val bytes = spark.sparkContext.getRDDStorageInfo
+      .filter(i => ids.contains(i.id))
+      .map(i => i.memSize + i.diskSize).sum
+    val parts = math.ceil(bytes.toDouble / target).toLong
+    math.min(math.max(parts, LoopMinPartitions.toLong), 65536L).toInt
+  }
+
   /** [[stage]] + attach a KNOWN row count as LogicalRDD statistics
     * (via `GraftSqlBridge.withKnownStats`), so downstream joins against
     * the staged frame get a real size estimate and Catalyst makes the

@@ -46,8 +46,13 @@ object Extras103 {
         // hash stage runs on a single task (measured 34.6 s at sf0.1 vs
         // ~3 s batch); one row-sized shuffle buys full parallelism. On a
         // real multi-file stream the scan already fans out and this is a
-        // cheap no-op-sized exchange.
-        .repartition($"l_orderkey")
+        // cheap no-op-sized exchange. Width = the session's core count,
+        // NOT the streaming scope's shuffle.partitions: runToMemory
+        // narrows that to 8 for state-store sizing, which quartered
+        // this CPU-bound hash stage on local[32] (the state store keeps
+        // its 8; only the pre-explode exchange fans wider).
+        .repartition(spark.sparkContext.defaultParallelism,
+          $"l_orderkey")
         .select($"flag", $"px", $"l_orderkey", $"l_linenumber",
           explode(sequence(lit(0), lit(Extras94.B - 1))).as("b"))
         .select($"flag", $"b", $"px",

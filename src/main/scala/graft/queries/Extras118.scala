@@ -92,7 +92,10 @@ object Extras118 {
       // (both sides of the core adjacency self-join, the cluster
       // re-attach, the non-core side) and each unstaged reference
       // re-ran the corpus-sized point→cell aggregate; the staged frame
-      // is grid-bounded, never corpus-sized
+      // is grid-bounded, never corpus-sized. Deliberately NOT released
+      // in-query — the returned plan references it lazily; the
+      // harness's per-query Staging.sweep owns the release (the
+      // Staging object doc's ownership convention).
       val cells = graft.operators.Staging.stage(cells0, eager = true)
       val core = cells.filter($"n" >= MinPts)
         .withColumn("id", $"cx" * 1000000L + $"cy")

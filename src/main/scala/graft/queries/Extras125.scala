@@ -40,17 +40,28 @@ object Extras125 {
       (spark, dir) =>
       import spark.implicits._
       val tt = Tables(spark, dir)
-      def edgesOf(orders: org.apache.spark.sql.DataFrame) = {
-        val b = orders.join(tt.lineitem, $"o_orderkey" === $"l_orderkey")
+      // ONE orders⋈lineitem pass builds the corpus, delta AND full
+      // edge sets: grouped by (c, s, isDelta) and staged, all three
+      // edge lists are slices of the staged pair sliver — the old
+      // shape re-ran the corpus join+groupBy three times (corpus
+      // slice, delta slice, Extras115.tradeEdges for the full graph).
+      // The q357 single-pass device (r14), applied to the BFS epoch.
+      val b = graft.operators.Staging.stage(
+        tt.orders.join(tt.lineitem, $"o_orderkey" === $"l_orderkey")
           .groupBy($"o_custkey".cast(LongType).as("c"),
-            $"l_suppkey".cast(LongType).as("s"))
-          .agg(count(lit(1)).as("w"))
-        b.select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"))
-          .unionByName(b.select(($"s" * 2 + 1).as("src"),
+            $"l_suppkey".cast(LongType).as("s"),
+            ($"o_orderkey" % 10 === 0).as("isDelta"))
+          .agg(count(lit(1)).as("w")),
+        eager = true)
+      def edgesOf(slice: org.apache.spark.sql.DataFrame) =
+        slice.select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"))
+          .unionByName(slice.select(($"s" * 2 + 1).as("src"),
             ($"c" * 2).as("dst")))
-      }
-      val corpus = edgesOf(tt.orders.filter($"o_orderkey" % 10 =!= 0))
-      val delta = edgesOf(tt.orders.filter($"o_orderkey" % 10 === 0))
+      val corpus = edgesOf(b.filter(!$"isDelta"))
+      val delta = edgesOf(b.filter($"isDelta"))
+      // full graph = distinct trading pairs across both slices (a pair
+      // ordered in both slices appears once, exactly tradeEdges' set)
+      val full = edgesOf(b.select($"c", $"s").distinct())
       val seeds = spark.range(1, Extras115.SeedMax + 1)
         .select(($"id" * 2 + 1).as("sid"))
       val standing = HopDistance.run(corpus, "src", "dst", seeds, "sid")
@@ -60,8 +71,7 @@ object Extras125 {
       // on this fixture every seed has corpus orders, so the pin is a
       // behavioral no-op — same hash — but the operator contract is
       // airtight for arbitrary splits
-      HopDistance.incremental(standing,
-          Extras115.tradeEdges(spark, dir), delta, "src", "dst",
+      HopDistance.incremental(standing, full, delta, "src", "dst",
           seeds = Some(seeds), seedCol = "sid")
         .select(($"id" % 2).as("kind"), expr("id DIV 2").as("key"),
           $"dist")

@@ -79,7 +79,9 @@ object Extras133 {
       // staged ONCE: referenced both by the CC loop (which stages its
       // own symmetrized copy from it) and by the final leak join —
       // unstaged, the second reference re-ran the whole
-      // tokenize→shingle→jaccard pipeline
+      // tokenize→shingle→jaccard pipeline. Not released in-query (the
+      // returned plan reads it lazily); the harness's per-query
+      // Staging.sweep owns the release.
       val truth = Staging.stage(
         Dedup.jaccardPairs(shc, "doc_id", dfCap = 0)
           .filter($"jaccard" >= 0.5)

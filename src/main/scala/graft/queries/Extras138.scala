@@ -118,7 +118,10 @@ object Extras138 {
   // so the 4-round Lloyd loop is memoized per dir for the session —
   // K×Dim doubles driver-side, the Extras137 weight-memo convention
   // (model constants, not data). The embedding leaf is NOT memoized;
-  // each query re-stages its own.
+  // each query re-stages its own. ASSUMES fixtures are immutable for
+  // the session lifetime (regenerating a dir in-place mid-session
+  // would serve stale centroids — key on a fixture fingerprint if
+  // that workflow ever appears).
   private val centMemo = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Long, Seq[Double])]]()
 

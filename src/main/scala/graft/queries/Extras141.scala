@@ -46,7 +46,9 @@ object Extras141 {
       // tradeFlowEdges calls produced — which, with the condensation
       // pass below also re-reading `corpus`, re-executed the corpus
       // join+groupBy pipeline three times. Staged once; every
-      // consumer reads the staged pair table.
+      // consumer reads the staged pair table. Not released in-query
+      // (the returned plan reads it lazily); the harness's per-query
+      // Staging.sweep owns the release.
       val b = Staging.stage(
         tt.orders
           .join(tt.lineitem, $"o_orderkey" === $"l_orderkey")

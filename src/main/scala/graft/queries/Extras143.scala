@@ -89,7 +89,10 @@ object Extras143 {
 
   // ---- q362/q363 weight memos (the Extras137 convention: trained
   // weights are pure functions of the fixture dir; bench warm + timed
-  // runs and the 10x folds reuse one training) ----
+  // runs and the 10x folds reuse one training). ASSUMES fixtures are
+  // immutable for the session lifetime — regenerating a fixture dir
+  // in-place mid-session would serve stale weights (key the memo on a
+  // fixture fingerprint if that ever becomes a real workflow) ----
   private val hoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, java.math.BigDecimal)]]()
   private val bgMemo =
