@@ -87,14 +87,12 @@ object ConnectedComponents {
     // linearly with the data at 100x), scoped to the loop and restored
     // — the caller's downstream plan keeps the session default. AQE may
     // coalesce further below the chosen width.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // width derived from the staged edge leaf's measured bytes, not a
-      // constant: the per-round neighbor join/aggregate is edge-sized,
-      // and 8 reducers at 100 TB would be the one local-mode assumption
-      // left in the loop (r14 verdict #1; guide §2.1/§2.2)
-      spark.conf.set("spark.sql.shuffle.partitions",
-        Staging.loopShufflePartitions(spark, sym).toString)
+    // width derived from the staged edge leaf's measured bytes, not a
+    // constant: the per-round neighbor join/aggregate is edge-sized,
+    // and 8 reducers at 100 TB would be the one local-mode assumption
+    // left in the loop (r14 verdict #1; guide §2.1/§2.2); AQE is
+    // scope-disabled only in sliver mode (see Staging.withLoopShuffle)
+    Staging.withLoopShuffle(spark, sym) {
       // coalesce: sum over an EMPTY label set (no edges) is NULL, and the
       // convergence compare must still terminate
       val sumCol = coalesce(sum(col("component").cast(DecimalType(38, 0))),
@@ -134,25 +132,26 @@ object ConnectedComponents {
         // a full extra exchange of the label table per round — is gone:
         // the union feeds the min-aggregate directly and map-side partial
         // aggregation collapses candidates before the single exchange.
-        val neighbor = sym.join(labels, col("b") === col("id"))
-          .select(col("a").as("id"), col("component"))
         // pointer jumping: the hop stream shortcuts chains so rounds
         // scale with log(diameter), not diameter. Enabled only from
         // round 3: near-dup graphs are overwhelmingly diameter-≤3 stars
-        // that converge on plain propagation, and the hop join's extra
-        // exchange per round would be pure overhead there; a graph still
-        // unconverged by round 3 is exactly the deep-chain case the
-        // shortcut exists for. Inner join is safe: every component value
-        // IS a node id present in labels (labels start as id=component
-        // and only adopt other nodes' ids).
-        val candidates =
-          if (i < 2) labels.unionByName(neighbor)
-          else labels.unionByName(neighbor).unionByName(
-            labels.select(col("component").as("__k"), col("id"))
-              .join(labels.select(col("id").as("__k2"),
-                col("component").as("__lcomp")),
-                col("__k") === col("__k2"))
-              .select(col("id"), col("__lcomp").as("component")))
+        // that converge on plain propagation, and the hop probe per
+        // round would be pure overhead there; a graph still unconverged
+        // by round 3 is exactly the deep-chain case the shortcut exists
+        // for. Inner join is safe: every component value IS a node id
+        // present in labels (labels start as id=component and only
+        // adopt other nodes' ids). Neighbor and hop streams share ONE
+        // probe union into a single label join (the union is exchange-
+        // free), so a round plans one join instead of two — identical
+        // candidate multiset, half the per-round operators.
+        val probes =
+          if (i < 2) sym.select(col("b").as("__k"), col("a").as("__o"))
+          else sym.select(col("b").as("__k"), col("a").as("__o"))
+            .unionByName(labels.select(col("component").as("__k"),
+              col("id").as("__o")))
+        val candidates = labels.unionByName(
+          probes.join(labels, col("__k") === col("id"))
+            .select(col("__o").as("id"), col("component")))
         val next = Staging.stageWithStats(
           candidates.groupBy(col("id"))
             .agg(min(col("component")).as("component")),
@@ -178,7 +177,7 @@ object ConnectedComponents {
           s"connected components did not converge within $maxIterations " +
             "iterations; raise maxIterations (graph diameter exceeds it)")
       labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** Incremental (delta) connected components — standing dup-cluster

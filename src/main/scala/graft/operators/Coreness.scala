@@ -82,11 +82,8 @@ object Coreness {
     val n = e.select(countDistinct(col("src"))).head().getLong(0)
     log.info(s"coreness: edge staging ${secs(tEdges)}s (n=$n)")
 
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // data-proportional loop width (see Staging.loopShufflePartitions)
-      spark.conf.set("spark.sql.shuffle.partitions",
-        Staging.loopShufflePartitions(spark, e).toString)
+    // data-proportional loop width + sliver-mode AQE scope
+    Staging.withLoopShuffle(spark, e) {
       val sumCol = coalesce(sum(col("v").cast(DecimalType(38, 0))),
         lit(0).cast(DecimalType(38, 0)))
       // v0 = degree (every node in a symmetrized edge list appears as
@@ -133,6 +130,6 @@ object Coreness {
         s"coreness did not converge in $maxIterations rounds")
       Staging.release(e)
       vals.select(col("id"), col("v").as("core"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }

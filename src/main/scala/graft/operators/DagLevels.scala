@@ -42,11 +42,8 @@ object DagLevels {
         .unionByName(e.select(col("dst").as("id"))).distinct(),
       eager = true)
     val n = nodes.count()
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // data-proportional loop width (see Staging.loopShufflePartitions)
-      spark.conf.set("spark.sql.shuffle.partitions",
-        Staging.loopShufflePartitions(spark, e).toString)
+    // data-proportional loop width + sliver-mode AQE scope
+    Staging.withLoopShuffle(spark, e) {
       val sumCol = coalesce(sum(col("lvl").cast(DecimalType(38, 0))),
         lit(0).cast(DecimalType(38, 0)))
       var d = Staging.stageWithStats(
@@ -78,6 +75,6 @@ object DagLevels {
           s"DAG levels did not converge within $maxIterations rounds " +
             "— longest path exceeds the bound, or the input has a cycle")
       d
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }

@@ -63,11 +63,8 @@ object HopDistance {
     val n = nodes.count()
     log.info(s"hopdist: edge/node staging ${secs(tEdges)}s (n=$n)")
 
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // data-proportional loop width (see Staging.loopShufflePartitions)
-      spark.conf.set("spark.sql.shuffle.partitions",
-        Staging.loopShufflePartitions(spark, e).toString)
+    // data-proportional loop width + sliver-mode AQE scope
+    Staging.withLoopShuffle(spark, e) {
       // settle metric: sum of coalesce(dist, n+1) — monotone decreasing
       // to the fixed point; n+1 exceeds any reachable distance
       val sumCol = coalesce(
@@ -110,7 +107,7 @@ object HopDistance {
         s"hop distance did not converge in $maxIterations rounds")
       Staging.release(e); Staging.release(nodes)
       d
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** Incremental hop-distance MAINTENANCE under edge INSERTIONS — the
@@ -170,11 +167,8 @@ object HopDistance {
       .join(standing.select(col("id").as("sid")),
         col("id") === col("sid"), "left_anti")
       .select(col("id"), lit(null).cast("long").as("dist"))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // data-proportional loop width (see Staging.loopShufflePartitions)
-      spark.conf.set("spark.sql.shuffle.partitions",
-        Staging.loopShufflePartitions(spark, e, de).toString)
+    // data-proportional loop width + sliver-mode AQE scope
+    Staging.withLoopShuffle(spark, e, de) {
       // one staged frame per round: (id, dist, imp) — imp marks the
       // frontier (rows improved last round); a single count() action
       // materializes the round AND sizes the frontier. Seeds (when
@@ -243,6 +237,6 @@ object HopDistance {
         s"incremental hop distance did not converge in $maxIterations")
       Staging.release(e); Staging.release(de)
       d.select(col("id"), col("dist"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }

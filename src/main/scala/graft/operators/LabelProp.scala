@@ -84,11 +84,8 @@ object LabelProp {
     val n = nodes.count()
     log.info(s"labelprop: edge/node staging ${secs(tEdges)}s (n=$n)")
 
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // data-proportional loop width (see Staging.loopShufflePartitions)
-      spark.conf.set("spark.sql.shuffle.partitions",
-        Staging.loopShufflePartitions(spark, e).toString)
+    // data-proportional loop width + sliver-mode AQE scope
+    Staging.withLoopShuffle(spark, e) {
       var labels = Staging.stageWithStats(
         nodes.withColumn("label", col("id")), n, eager = false)
       labels.count()
@@ -130,6 +127,6 @@ object LabelProp {
       }
       Staging.release(e); Staging.release(nodes); Staging.release(selfW)
       labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }

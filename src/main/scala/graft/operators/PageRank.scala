@@ -96,14 +96,12 @@ object PageRank {
       eager = true)
     log.info(s"pagerank: edge/node staging ${secs(tEdges)}s (n=$n)")
 
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // width from the staged edge+strength frame's measured bytes: the
-      // per-round contribution aggregate's map side is edge-sized, and
-      // its reducer count must scale with the graph, not sit at a
-      // local-mode constant (r14 verdict #1; guide §2.1/§2.2)
-      spark.conf.set("spark.sql.shuffle.partitions",
-        Staging.loopShufflePartitions(spark, ew).toString)
+    // width from the staged edge+strength frame's measured bytes: the
+    // per-round contribution aggregate's map side is edge-sized, and
+    // its reducer count must scale with the graph, not sit at a
+    // local-mode constant (r14 verdict #1; guide §2.1/§2.2); AQE is
+    // scope-disabled only in sliver mode (see Staging.withLoopShuffle)
+    Staging.withLoopShuffle(spark, ew) {
       val base = (100L - dampingPct) * Ppm / 100L
       // the dangling flag rides the rank table so each round's single
       // convergence action can ALSO return the next round's dangling
@@ -176,7 +174,7 @@ object PageRank {
       if (tolPpm >= 0) log.info(s"pagerank converged in $i rounds")
       else log.info(s"pagerank completed $i fixed rounds")
       ranks.select(col("id"), col("r").as("rank_ppm"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** Personalized PageRank (PPR): the teleport distribution
@@ -234,11 +232,8 @@ object PageRank {
         .join(ew.select(col("src").as("id")).distinct(),
           Seq("id"), "left_anti"),
       eager = true)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // data-proportional loop width (see Staging.loopShufflePartitions)
-      spark.conf.set("spark.sql.shuffle.partitions",
-        Staging.loopShufflePartitions(spark, ew).toString)
+    // data-proportional loop width + sliver-mode AQE scope
+    Staging.withLoopShuffle(spark, ew) {
       val teleport = (100L - dampingPct) * n * Ppm / (100L * sCnt)
       // dangling flag rides the rank table (run()'s device): the
       // per-round materializing count doubles as the dangling-mass
@@ -286,6 +281,6 @@ object PageRank {
       Staging.release(ew); Staging.release(nodes)
       Staging.release(dangling); Staging.release(seedIds)
       ranks.select(col("id"), col("r").as("rank_ppm"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }

@@ -88,24 +88,43 @@ object Scc {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // forward: v→w means v reaches everything w reaches
-      val fwd = er.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("f"), nullId.as("b"))
-      // backward: u→v means everything reaching u reaches v
-      val bwd = er.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), nullId.as("f"), col("b"))
-      val base = labels.unionByName(fwd).unionByName(bwd)
+      // ONE direction-tagged edge probe serves both fixpoints (fwd
+      // candidates flow dst→src, bwd src→dst): the union is exchange-
+      // free, so a round plans 2 joins instead of 4 (with the hop
+      // fusion below) — these sliver-loop jobs are dominated by
+      // per-job plan/stage fixed cost at fixture scale, and the
+      // candidate multiset is IDENTICAL (when() tags the
+      // non-contributing side NULL exactly as the two separate
+      // projections did)
+      val eBoth = er
+        .select(col("dst").as("__k"), col("src").as("__o"),
+          lit(true).as("__isF"))
+        .unionByName(er.select(col("src").as("__k"),
+          col("dst").as("__o"), lit(false).as("__isF")))
+      val edgeCand = eBoth.join(labels, col("__k") === col("id"))
+        .select(col("__o").as("id"),
+          when(col("__isF"), col("f")).otherwise(nullId).as("f"),
+          when(!col("__isF"), col("b")).otherwise(nullId).as("b"))
+      val base = labels.unionByName(edgeCand)
+      // label-of-label path doubling, same fusion: one tagged probe
+      // of the label table against itself instead of two hop joins
       val candidates =
         if (i < 2) base
-        else base
-          .unionByName(labels.select(col("f").as("__k"), col("id"))
-            .join(labels.select(col("id").as("__k2"), col("f").as("__ff")),
+        else {
+          val probes = labels
+            .select(col("f").as("__k"), col("id").as("__o"),
+              lit(true).as("__isF"))
+            .unionByName(labels.select(col("b").as("__k"),
+              col("id").as("__o"), lit(false).as("__isF")))
+          base.unionByName(probes
+            .join(labels.select(col("id").as("__k2"),
+              col("f").as("__f2"), col("b").as("__b2")),
               col("__k") === col("__k2"))
-            .select(col("id"), col("__ff").as("f"), nullId.as("b")))
-          .unionByName(labels.select(col("b").as("__k"), col("id"))
-            .join(labels.select(col("id").as("__k2"), col("b").as("__bb")),
-              col("__k") === col("__k2"))
-            .select(col("id"), nullId.as("f"), col("__bb").as("b")))
+            .select(col("__o").as("id"),
+              when(col("__isF"), col("__f2")).otherwise(nullId).as("f"),
+              when(!col("__isF"), col("__b2")).otherwise(nullId)
+                .as("b")))
+        }
       val next = Staging.stageWithStats(
         candidates.groupBy(col("id"))
           .agg(min(col("f")).as("f"), min(col("b")).as("b")),
@@ -493,11 +512,9 @@ object Scc {
     var activeN = active.count()
     log.info(s"scc: edge/node staging ${secs(tEdges)}s (n=$activeN)")
 
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      // data-proportional loop width (see Staging.loopShufflePartitions)
-      spark.conf.set("spark.sql.shuffle.partitions",
-        Staging.loopShufflePartitions(spark, e).toString)
+    // data-proportional loop width + sliver-mode AQE scope
+    // (see Staging.withLoopShuffle)
+    Staging.withLoopShuffle(spark, e) {
       // assignments accumulate across peels as FILTERS over each
       // peel's staged fused label table — no per-peel staging job, no
       // per-peel count job (the assigned count rides minReachBoth's
@@ -555,6 +572,6 @@ object Scc {
       // a bare staged LogicalRDD defaults to an unbounded one and
       // forces sort-merge plans on every consumer
       org.apache.spark.sql.GraftSqlBridge.withKnownStats(assigned, totalN)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 }

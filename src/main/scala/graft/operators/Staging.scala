@@ -104,7 +104,19 @@ object Staging {
     * materialized) contribute 0 bytes — callers pass the eagerly
     * staged frames the loop actually re-joins every round. */
   def loopShufflePartitions(spark: SparkSession,
-      staged: DataFrame*): Int = {
+      staged: DataFrame*): Int = loopShuffleConf(spark, staged: _*)._1
+
+  /** (width, sliverMode) for an iterated loop's narrowed scope.
+    * sliverMode is true when the loop's staged data-heavy frames all
+    * fit inside ONE target block: per-round jobs there are dominated
+    * by fixed driver cost (planning + per-stage scheduling), and
+    * AQE's stage-by-stage re-optimization is pure added latency — a
+    * sliver shuffle has nothing to coalesce and nothing to skew-split.
+    * Callers scope-disable AQE in sliver mode and restore it on exit;
+    * past one target block (any real data volume, and always at
+    * cluster scale) sliverMode is false and AQE stays on. */
+  def loopShuffleConf(spark: SparkSession,
+      staged: DataFrame*): (Int, Boolean) = {
     val target = spark.conf.getOption(LoopTargetBytesKey)
       .map(_.toLong).getOrElse(64L * 1024 * 1024).max(1L)
     // collect every staged leaf under the plan (projections/filters
@@ -117,7 +129,28 @@ object Staging {
       .filter(i => ids.contains(i.id))
       .map(i => i.memSize + i.diskSize).sum
     val parts = math.ceil(bytes.toDouble / target).toLong
-    math.min(math.max(parts, LoopMinPartitions.toLong), 65536L).toInt
+    (math.min(math.max(parts, LoopMinPartitions.toLong), 65536L).toInt,
+      bytes < target)
+  }
+
+  /** Run `body` under the loop-scope shuffle configuration derived
+    * from the staged frames ([[loopShuffleConf]]): data-proportional
+    * `spark.sql.shuffle.partitions`, and AQE scope-disabled in sliver
+    * mode (see above). Both settings are restored on exit, so the
+    * caller's downstream plan keeps the session defaults. */
+  def withLoopShuffle[T](spark: SparkSession, staged: DataFrame*)(
+      body: => T): T = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val (parts, sliver) = loopShuffleConf(spark, staged: _*)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      if (sliver) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      body
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** [[stage]] + attach a KNOWN row count as LogicalRDD statistics

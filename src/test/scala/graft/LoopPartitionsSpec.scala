@@ -51,6 +51,38 @@ class LoopPartitionsSpec extends SparkTestBase {
       === Staging.LoopMinPartitions)
   }
 
+  test("sliver mode flips off once frames exceed one target block") {
+    val e = staged(50000)
+    val key = Staging.LoopTargetBytesKey
+    try {
+      assert(Staging.loopShuffleConf(spark, e)._2,
+        "tiny frame must be sliver mode under the 64 MB default")
+      spark.conf.set(key, "4096")
+      assert(!Staging.loopShuffleConf(spark, e)._2,
+        "frame past one target block must leave sliver mode")
+    } finally spark.conf.unset(key)
+    Staging.release(e)
+  }
+
+  test("withLoopShuffle restores both confs on exit (and on throw)") {
+    val e = staged(1000)
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    Staging.withLoopShuffle(spark, e) {
+      assert(spark.conf.get("spark.sql.shuffle.partitions")
+        === Staging.LoopMinPartitions.toString)
+      assert(spark.conf.get("spark.sql.adaptive.enabled") === "false")
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === parts0)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe0)
+    intercept[RuntimeException] {
+      Staging.withLoopShuffle(spark, e) { throw new RuntimeException("x") }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === parts0)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === aqe0)
+    Staging.release(e)
+  }
+
   test("multiple staged frames sum their bytes") {
     val a = staged(50000)
     val b = staged(50000)
